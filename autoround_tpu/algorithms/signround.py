@@ -1,0 +1,253 @@
+"""SignRound: block-wise sign-SGD tuning of rounding offsets + clip scales.
+
+The heart of the framework — role of the reference's
+``SignRoundQuantizer.quantize_block`` (``auto_round/algorithms/quantization/
+sign_round/quantizer.py:297-525``: wrap layers → SignSGD over ``iters``
+steps of batched block forwards with qdq weights → MSE(pred, fp_ref)×1000 →
+keep the best-loss parameter snapshot → bake qdq weights).
+
+TPU-first design (SURVEY.md §7): instead of mutating per-layer wrapper
+modules, the tunable state is one pytree ``{layer: {v, min_scale,
+max_scale}}`` and the whole tuning run is a single jitted
+``lax.scan`` over steps — one compilation, no host round-trips.  The
+best-loss snapshot is kept on-device with ``jnp.where`` (the reference
+calls ``.item()`` every iter, ``quantizer.py:469`` — a host sync we avoid
+entirely), and ``dynamic_max_gap`` early-stop is a carry flag that freezes
+further updates.
+
+The block forward is supplied by the caller as a pure function
+``block_fwd(weights, inputs) -> outputs`` where ``weights`` is the block's
+parameter pytree; quantized layers are substituted with their qdq'd
+weights before the call, so model code stays quantization-agnostic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes.registry import get_quant_func
+from ..schemes import QuantizationScheme
+from .signsgd import sign_sgd
+
+__all__ = ["TuneConfig", "TuneResult", "init_tune_params", "make_qdq_weights",
+           "tune_block", "mse_loss"]
+
+
+@dataclass(frozen=True)
+class TuneConfig:
+    """Tuning hyper-parameters (field surface from the reference's config
+    ownership table, ``auto_round/autoround.py:350-367``)."""
+
+    iters: int = 200
+    lr: Optional[float] = None          # None → 1/iters (reference default)
+    minmax_lr: Optional[float] = None   # None → lr
+    batch_size: int = 8
+    seed: int = 42
+    enable_minmax_tuning: bool = True
+    enable_round_tuning: bool = True
+    use_best_params: bool = True        # inverse of not_use_best_mse
+    dynamic_max_gap: int = -1           # >0 → freeze updates after no-improve gap
+    momentum: float = 0.0
+    clip_lo: float = 0.0                # min/max_scale clamp range
+    clip_hi: float = 1.0                # alg_ext widens to (0, 2)
+    loss_scale: float = 1000.0          # reference multiplies MSE by 1000
+    gradient_accumulate_steps: int = 1
+
+    def resolved_lr(self) -> float:
+        return self.lr if self.lr is not None else 1.0 / max(self.iters, 1)
+
+    def resolved_minmax_lr(self) -> float:
+        return self.minmax_lr if self.minmax_lr is not None else self.resolved_lr()
+
+
+class TuneResult(dict):
+    """dict of best params per layer + .loss_trace / .final_loss attributes."""
+
+    loss_trace: np.ndarray = None
+    first_loss: float = None
+    best_loss: float = None
+
+
+def init_tune_params(
+    weights: Dict[str, jax.Array],
+    schemes: Dict[str, QuantizationScheme],
+    cfg: TuneConfig,
+) -> Dict[str, Dict[str, jax.Array]]:
+    """V = 0 (shape of W), min/max_scale = 1.0 per group — reference init
+    (``wrapper.py:179-181, 252-254``).  fp32 params, like the reference."""
+    params = {}
+    for name, scheme in schemes.items():
+        w = weights[name]
+        O, I = w.shape
+        g = scheme.group_size if scheme.group_size not in (-1, 0) else I
+        if isinstance(g, tuple):
+            groups_shape = (1, 1)  # 2-D block fp8: clip scales per-tensor here
+        else:
+            # (O, groups_per_row): same axis semantics as the weight, so
+            # tensor-parallel shardings of W apply unchanged (parallel/mesh.py)
+            groups_shape = (O, -(-I // g))
+        layer = {}
+        if cfg.enable_round_tuning:
+            layer["v"] = jnp.zeros((O, I), jnp.float32)
+        if cfg.enable_minmax_tuning:
+            layer["min_scale"] = jnp.ones(groups_shape, jnp.float32)
+            layer["max_scale"] = jnp.ones(groups_shape, jnp.float32)
+        params[name] = layer
+    return params
+
+
+def make_qdq_weights(
+    weights: Dict[str, Any],
+    tune_params: Dict[str, Dict[str, jax.Array]],
+    schemes: Dict[str, QuantizationScheme],
+    cfg: TuneConfig,
+    extras: Optional[Dict[str, Dict[str, Any]]] = None,
+) -> Dict[str, Any]:
+    """Substitute qdq'd weights for every tuned layer; pass the rest through.
+
+    ``extras`` carries per-layer static tensors (imatrix, global_scale...).
+    """
+    out = dict(weights)
+    for name, scheme in schemes.items():
+        fn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym)
+        p = tune_params.get(name, {})
+        kw = dict(extras.get(name, {})) if extras else {}
+        r = fn(
+            weights[name],
+            bits=scheme.bits,
+            group_size=scheme.group_size,
+            v=p.get("v"),
+            min_scale=p.get("min_scale"),
+            max_scale=p.get("max_scale"),
+            clip_lo=cfg.clip_lo,
+            clip_hi=cfg.clip_hi,
+            **kw,
+        )
+        out[name] = r.qdq
+    return out
+
+
+def mse_loss(pred, ref, mask=None):
+    """MSE in fp32; optional valid-token mask (reference masks -100 ids,
+    ``quantization/base.py:270-293``)."""
+    return _masked_mse(pred, ref, mask)
+
+
+def _masked_mse(pred, ref, mask):
+    diff = (pred.astype(jnp.float32) - ref.astype(jnp.float32)) ** 2
+    if mask is None:
+        return jnp.mean(diff)
+    m = mask.astype(jnp.float32)
+    while m.ndim < diff.ndim:
+        m = m[..., None]
+    denom = jnp.maximum(jnp.sum(m) * (diff.size / m.size), 1.0)
+    return jnp.sum(diff * m) / denom
+
+
+def tune_block(
+    block_fwd: Callable[[Dict[str, Any], Any], jax.Array],
+    weights: Dict[str, Any],
+    inputs: Any,
+    ref_outputs: jax.Array,
+    schemes: Dict[str, QuantizationScheme],
+    cfg: TuneConfig,
+    mask: Optional[jax.Array] = None,
+    extras: Optional[Dict[str, Dict[str, Any]]] = None,
+) -> Tuple[Dict[str, Dict[str, jax.Array]], Dict[str, np.ndarray]]:
+    """Tune one block's rounding params.  Returns (best_params, info).
+
+    inputs: pytree whose leaves are batched along axis 0 with nsamples
+    (cached block inputs); ref_outputs: (nsamples, ...) FP block outputs.
+    mask: optional (nsamples, seqlen) validity mask.
+    """
+    nsamples = jax.tree.leaves(inputs)[0].shape[0]
+    bs = min(cfg.batch_size, nsamples)
+    # Cyclic shuffled batch sampling (reference IndexSampler,
+    # compressors/utils.py:388-440), precomputed host-side for determinism.
+    rng = np.random.default_rng(cfg.seed)
+    n_batches_per_epoch = max(nsamples // bs, 1)
+    idx_epochs = []
+    total_draws = cfg.iters * cfg.gradient_accumulate_steps
+    while len(idx_epochs) * n_batches_per_epoch < total_draws:
+        perm = rng.permutation(nsamples)[: n_batches_per_epoch * bs]
+        idx_epochs.append(perm.reshape(n_batches_per_epoch, bs))
+    all_idx = np.concatenate(idx_epochs)[:total_draws]
+    batch_idx = jnp.asarray(
+        all_idx.reshape(cfg.iters, cfg.gradient_accumulate_steps, bs))
+
+    tune_params = init_tune_params(
+        {k: weights[k] for k in schemes}, schemes, cfg)
+
+    lr_scale = cfg.resolved_minmax_lr() / max(cfg.resolved_lr(), 1e-12)
+    opt_init, opt_update = sign_sgd(
+        cfg.resolved_lr(), cfg.iters, momentum=cfg.momentum,
+        lr_scale_fn=lambda n: lr_scale if "scale" in n else 1.0)
+
+    def loss_fn(params, idx):
+        qweights = make_qdq_weights(weights, params, schemes, cfg, extras)
+        batch_in = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), inputs)
+        batch_ref = jnp.take(ref_outputs, idx, axis=0)
+        batch_mask = None if mask is None else jnp.take(mask, idx, axis=0)
+        out = block_fwd(qweights, batch_in)
+        return _masked_mse(out, batch_ref, batch_mask) * cfg.loss_scale
+
+    def grad_accum(params, idx_groups):
+        def one(i, acc):
+            l, g = jax.value_and_grad(loss_fn)(params, idx_groups[i])
+            acc_l, acc_g = acc
+            return (acc_l + l, jax.tree.map(jnp.add, acc_g, g))
+        zero = (jnp.zeros(()),
+                jax.tree.map(jnp.zeros_like, params))
+        tot_l, tot_g = jax.lax.fori_loop(
+            0, cfg.gradient_accumulate_steps, one, zero)
+        k = float(cfg.gradient_accumulate_steps)
+        return tot_l / k, jax.tree.map(lambda x: x / k, tot_g)
+
+    def step(carry, idx_groups):
+        params, opt_state, best_params, best_loss, since_best = carry
+        loss, grads = grad_accum(params, idx_groups)
+
+        is_best = loss < best_loss
+        new_best_params = jax.tree.map(
+            lambda b, c: jnp.where(is_best, c, b), best_params, params)
+        new_best_loss = jnp.minimum(best_loss, loss)
+        since_best = jnp.where(is_best, 0, since_best + 1)
+
+        # dynamic_max_gap: freeze updates once stale (can't break a scan)
+        frozen = jnp.logical_and(
+            cfg.dynamic_max_gap > 0, since_best >= cfg.dynamic_max_gap)
+        updates, opt_state = opt_update(grads, opt_state)
+        new_params = jax.tree.map(
+            lambda p, u: jnp.where(frozen, p, p + u), params, updates)
+        return ((new_params, opt_state, new_best_params, new_best_loss,
+                 since_best), loss)
+
+    init_carry = (
+        tune_params,
+        opt_init(tune_params),
+        jax.tree.map(lambda x: x, tune_params),
+        jnp.asarray(jnp.inf, jnp.float32),
+        jnp.zeros((), jnp.int32),
+    )
+
+    @jax.jit
+    def run(carry, batch_idx):
+        return jax.lax.scan(step, carry, batch_idx)
+
+    (final_params, _, best_params, best_loss, _), losses = run(
+        init_carry, batch_idx)
+
+    if not cfg.use_best_params:
+        best_params = final_params
+    losses = np.asarray(losses)
+    info = {
+        "loss_trace": losses,
+        "first_loss": float(losses[0]) if len(losses) else float("nan"),
+        "best_loss": float(np.asarray(best_loss)),
+    }
+    return best_params, info

@@ -1,0 +1,99 @@
+"""Public API: the ``AutoRound`` entry point.
+
+Role of the reference dispatcher (``auto_round/autoround.py:705``
+``AutoRound.__new__`` routing to compressor classes): one front door that
+normalizes the scheme, resolves the per-layer plan, runs calibration-data
+capture + block-chain tuning (or RTN when ``iters=0``), and hands the
+result to the export writers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import llama
+from .quantize.layer_config import resolve_layer_schemes
+from .quantize.orchestrator import (
+    QuantizeConfig,
+    QuantizeResult,
+    quantize_model,
+)
+from .schemes import QuantizationScheme, parse_scheme
+from .utils.logger import logger
+
+__all__ = ["AutoRound"]
+
+
+class AutoRound:
+    """TPU-native AutoRound quantizer for llama-family models.
+
+    Example::
+
+        ar = AutoRound((params, model_cfg), scheme="W4A16", iters=200)
+        result = ar.quantize(input_ids)           # (nsamples, seqlen) tokens
+        ar.save_quantized("out/", format="fake")
+    """
+
+    def __init__(
+        self,
+        model,
+        scheme: Union[str, dict, QuantizationScheme] = "W4A16",
+        iters: int = 200,
+        lr: Optional[float] = None,
+        minmax_lr: Optional[float] = None,
+        batch_size: int = 8,
+        seed: int = 42,
+        layer_config: Optional[Dict[str, Any]] = None,
+        ignore_layers: Optional[Iterable[str]] = None,
+        quant_lm_head: bool = False,
+        enable_quanted_input: bool = True,
+        enable_minmax_tuning: bool = True,
+        dynamic_max_gap: int = -1,
+        gradient_accumulate_steps: int = 1,
+        **kw,
+    ):
+        if isinstance(model, str):
+            cfg = llama.CONFIG_PRESETS[model]
+            params = llama.init_params(cfg, jax.random.PRNGKey(seed))
+        else:
+            params, cfg = model
+        self.params = params
+        self.model_cfg = cfg
+        self.scheme = parse_scheme(scheme)
+        self.layer_schemes = resolve_layer_schemes(
+            cfg.num_layers, llama.block_linear_names(cfg), self.scheme,
+            layer_config=layer_config, ignore_layers=ignore_layers,
+            quant_lm_head=quant_lm_head)
+        self.cfg = QuantizeConfig(
+            iters=iters, lr=lr, minmax_lr=minmax_lr, batch_size=batch_size,
+            seed=seed, enable_quanted_input=enable_quanted_input,
+            enable_minmax_tuning=enable_minmax_tuning,
+            dynamic_max_gap=dynamic_max_gap,
+            gradient_accumulate_steps=gradient_accumulate_steps)
+        self.result: Optional[QuantizeResult] = None
+
+    def quantize(self, input_ids, mask=None) -> QuantizeResult:
+        input_ids = jnp.asarray(input_ids)
+        logger.info(
+            "quantizing %d layers, scheme=%s, iters=%d, nsamples=%d seqlen=%d",
+            len(self.layer_schemes), self.scheme.key(), self.cfg.iters,
+            input_ids.shape[0], input_ids.shape[1])
+        self.result = quantize_model(
+            self.params, self.model_cfg, self.layer_schemes, input_ids,
+            self.cfg, mask=mask)
+        return self.result
+
+    def save_quantized(self, output_dir: str, format: str = "fake") -> str:
+        if self.result is None:
+            raise RuntimeError("call quantize() first")
+        from .export import save_quantized
+        return save_quantized(self.result, self.model_cfg, output_dir, format)
+
+    def quantize_and_save(self, input_ids, output_dir: str,
+                          format: str = "fake", mask=None) -> str:
+        self.quantize(input_ids, mask=mask)
+        return self.save_quantized(output_dir, format=format)

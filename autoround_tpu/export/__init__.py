@@ -1,0 +1,162 @@
+"""Export formats (role of reference ``auto_round/export/``).
+
+Formats:
+  * ``fake``      — qdq weights serialized as safetensors + a
+    quantization_config.json; loadable for eval without kernels
+    (reference ``export/formats/backends/fake.py``).
+  * ``autoround`` — packed int codes: qweight/qzeros/scales int32 words
+    (reference ``export_to_autoround/export.py:143`` layout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+from ..utils.logger import logger
+from .packing import pack_quantized, unpack_quantized
+
+__all__ = ["save_quantized", "load_fake", "pack_quantized", "unpack_quantized",
+           "codes_from_qdq"]
+
+
+def _flatten_params(params: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in params.items():
+        name = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_params(v, name + "."))
+        elif isinstance(v, (list, tuple)):
+            for i, item in enumerate(v):
+                out.update(_flatten_params(item, f"{name}.{i}."))
+        else:
+            out[name] = np.asarray(v)
+    return out
+
+
+def _unflatten_params(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for name, arr in flat.items():
+        parts = name.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node)
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(tree)
+
+
+def codes_from_qdq(qdq: np.ndarray, scale: np.ndarray, zp, bits: int,
+                   group_size: int) -> np.ndarray:
+    """Recover integer codes from a qdq weight: q = round(qdq/s) + zp.
+    Exact because qdq lies on the grid."""
+    O, I = qdq.shape
+    g = group_size if group_size > 0 else I
+    s = np.repeat(np.asarray(scale, np.float64), g, axis=1)[:, :I]
+    if zp is None:
+        z = 2 ** (bits - 1)
+    else:
+        z = np.repeat(np.asarray(zp, np.float64), g, axis=1)[:, :I]
+    q = np.rint(np.asarray(qdq, np.float64) / s + z)
+    return np.clip(q, 0, 2 ** bits - 1).astype(np.uint32)
+
+
+def save_quantized(result, model_cfg, output_dir: str,
+                   format: str = "fake") -> str:
+    """Write a quantized checkpoint.  Returns output_dir."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(output_dir, exist_ok=True)
+    qcfg = {
+        "quant_method": "auto-round",
+        "provider": "autoround_tpu",
+        "fmt": format,
+        "layers": {
+            name: {
+                "bits": ql.scheme.bits,
+                "group_size": (list(ql.scheme.group_size)
+                               if isinstance(ql.scheme.group_size, tuple)
+                               else ql.scheme.group_size),
+                "sym": ql.scheme.sym,
+                "data_type": ql.scheme.data_type,
+            }
+            for name, ql in result.layers.items()
+        },
+        "model_config": {
+            k: (v if not hasattr(v, "dtype") else str(v))
+            for k, v in model_cfg.__dict__.items() if k != "dtype"
+        },
+    }
+
+    if format == "fake":
+        flat = _flatten_params(result.params)
+        tensors = {}
+        for k, v in flat.items():
+            if str(v.dtype) == "bfloat16":
+                # safetensors.numpy can't hold ml_dtypes bf16; store raw bits
+                tensors[k + "::bf16"] = v.view(np.uint16)
+            else:
+                tensors[k] = v
+        save_file(tensors, os.path.join(output_dir, "model.safetensors"))
+    elif format == "autoround":
+        tensors = {}
+        flat = _flatten_params(result.params)
+        quant_names = set(result.layers)
+        for k, v in flat.items():
+            if k in quant_names:
+                continue  # replaced by packed payload
+            if str(v.dtype) == "bfloat16":
+                tensors[k + "::bf16"] = v.view(np.uint16)
+            else:
+                tensors[k] = v
+        for name, ql in result.layers.items():
+            gs = ql.scheme.group_size
+            if ql.scheme.data_type != "int" or isinstance(gs, tuple):
+                raise NotImplementedError(
+                    f"autoround packed export currently covers int schemes; "
+                    f"layer {name} is {ql.scheme.data_type}")
+            qdq = np.asarray(ql.qdq, np.float32)
+            scale = np.asarray(ql.scale, np.float32)
+            zp = None if ql.zp is None else np.asarray(ql.zp)
+            codes = codes_from_qdq(qdq, scale, zp, ql.scheme.bits,
+                                   gs if gs > 0 else qdq.shape[1])
+            payload = pack_quantized(codes, scale, zp, ql.scheme.bits)
+            for pk, pv in payload.items():
+                tensors[f"{name}.{pk}"] = pv
+        save_file(tensors, os.path.join(output_dir, "model.safetensors"))
+    else:
+        raise ValueError(f"unknown export format {format!r}")
+
+    with open(os.path.join(output_dir, "quantization_config.json"), "w") as f:
+        json.dump(qcfg, f, indent=2)
+    logger.info("saved %s-format checkpoint to %s", format, output_dir)
+    return output_dir
+
+
+def load_fake(path: str):
+    """Load a fake-format checkpoint back into a params pytree (+ config)."""
+    import jax.numpy as jnp
+    from safetensors.numpy import load_file
+
+    flat = load_file(os.path.join(path, "model.safetensors"))
+    fixed = {}
+    for k, v in flat.items():
+        if k.endswith("::bf16"):
+            fixed[k[:-6]] = jnp.asarray(v).view(jnp.bfloat16)
+        else:
+            fixed[k] = jnp.asarray(v)
+    params = _unflatten_params(fixed)
+    with open(os.path.join(path, "quantization_config.json")) as f:
+        qcfg = json.load(f)
+    return params, qcfg

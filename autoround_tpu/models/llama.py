@@ -1,0 +1,237 @@
+"""Pure-JAX llama-family decoder (Llama 2/3, Qwen2/2.5, Mistral, TinyLlama).
+
+Role of the reference's model plumbing (it drives HF torch models via
+hooks — ``auto_round/utils/model.py`` ``get_block_names`` etc.).  The TPU
+build owns its model zoo instead (SURVEY.md §7 "Calibration caching"):
+blocks are pure functions over explicit parameter pytrees, so block-wise
+calibration capture is just calling the functions in order — no
+monkey-patched forwards, no hook early-stop exceptions.
+
+Weight layout convention: every linear kernel is stored ``(out_features,
+in_features)`` — the quantization layout (groups along the input axis) and
+the HF checkpoint layout, so loading is transposition-free.  Forward uses
+``einsum('...i,oi->...o')``; XLA folds the implied transpose into the
+dot_general.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["LlamaConfig", "init_params", "rope_tables", "block_fwd",
+           "embed_fwd", "final_fwd", "model_fwd", "block_linear_names",
+           "CONFIG_PRESETS"]
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_layers: int = 22
+    num_heads: int = 32
+    num_kv_heads: int = 4
+    head_dim: Optional[int] = None
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    tie_embeddings: bool = False
+    attn_bias: bool = False          # Qwen2-style q/k/v bias
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim if self.head_dim else self.hidden_size // self.num_heads
+
+
+CONFIG_PRESETS: Dict[str, LlamaConfig] = {
+    "tiny": LlamaConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+                        num_layers=2, num_heads=4, num_kv_heads=2,
+                        rope_theta=10000.0, dtype=jnp.float32),
+    "tiny-qwen": LlamaConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+                             num_layers=2, num_heads=4, num_kv_heads=2,
+                             attn_bias=True, rope_theta=10000.0, dtype=jnp.float32),
+    "llama3.2-1b": LlamaConfig(vocab_size=128256, hidden_size=2048,
+                               intermediate_size=8192, num_layers=16,
+                               num_heads=32, num_kv_heads=8, head_dim=64,
+                               tie_embeddings=True),
+    "llama3-8b": LlamaConfig(vocab_size=128256, hidden_size=4096,
+                             intermediate_size=14336, num_layers=32,
+                             num_heads=32, num_kv_heads=8),
+    "qwen2.5-7b": LlamaConfig(vocab_size=152064, hidden_size=3584,
+                              intermediate_size=18944, num_layers=28,
+                              num_heads=28, num_kv_heads=4, attn_bias=True,
+                              rope_theta=1000000.0, rms_eps=1e-6),
+}
+
+# The 2-D linear kernels inside one decoder block, in (O, I) layout —
+# exactly the set the reference quantizes per block.
+LINEAR_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj",
+               "gate_proj", "up_proj", "down_proj")
+
+
+def block_linear_names(cfg: LlamaConfig) -> Tuple[str, ...]:
+    return LINEAR_KEYS
+
+
+def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict[str, Any]:
+    """Random-init parameter pytree (tests / benchmarks use this; real
+    checkpoints come from utils.hf_loader)."""
+    H, hd = cfg.hidden_size, cfg.hd
+    qd, kvd = cfg.num_heads * hd, cfg.num_kv_heads * hd
+    shapes = {
+        "q_proj": (qd, H), "k_proj": (kvd, H), "v_proj": (kvd, H),
+        "o_proj": (H, qd),
+        "gate_proj": (cfg.intermediate_size, H),
+        "up_proj": (cfg.intermediate_size, H),
+        "down_proj": (H, cfg.intermediate_size),
+    }
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    blocks = []
+    for li in range(cfg.num_layers):
+        bkeys = jax.random.split(keys[li], len(shapes))
+        b = {
+            name: (jax.random.normal(k, shp, cfg.dtype)
+                   * (0.02 if name != "down_proj" else 0.02 / np.sqrt(2 * cfg.num_layers)))
+            for (name, shp), k in zip(shapes.items(), bkeys)
+        }
+        b["input_layernorm"] = jnp.ones((H,), cfg.dtype)
+        b["post_attention_layernorm"] = jnp.ones((H,), cfg.dtype)
+        if cfg.attn_bias:
+            b["q_bias"] = jnp.zeros((qd,), cfg.dtype)
+            b["k_bias"] = jnp.zeros((kvd,), cfg.dtype)
+            b["v_bias"] = jnp.zeros((kvd,), cfg.dtype)
+        blocks.append(b)
+    params = {
+        "embed_tokens": jax.random.normal(keys[-2], (cfg.vocab_size, H),
+                                          cfg.dtype) * 0.02,
+        "norm": jnp.ones((H,), cfg.dtype),
+        "blocks": blocks,
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = jax.random.normal(
+            keys[-1], (cfg.vocab_size, H), cfg.dtype) * 0.02
+    return params
+
+
+def rms_norm(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return (x * g.astype(jnp.float32)).astype(dt)
+
+
+def rope_tables(cfg: LlamaConfig, seqlen: int,
+                positions: Optional[jax.Array] = None
+                ) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables (seqlen, head_dim) in fp32, HF half-split convention."""
+    hd = cfg.hd
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2) / hd))
+    if positions is None:
+        positions = jnp.arange(seqlen)
+    ang = positions[:, None].astype(jnp.float32) * jnp.asarray(
+        inv_freq, jnp.float32)[None, :]
+    ang = jnp.concatenate([ang, ang], axis=-1)  # (S, hd)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _rotate_half(x):
+    h = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, S, n, hd); cos/sin: (S, hd)."""
+    c = cos[None, :, None, :].astype(jnp.float32)
+    s = sin[None, :, None, :].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    return (xf * c + _rotate_half(xf) * s).astype(x.dtype)
+
+
+def _linear(x, w, b=None):
+    y = jnp.einsum("...i,oi->...o", x, w)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def attention(q, k, v, mask: Optional[jax.Array], cfg: LlamaConfig):
+    """Plain batched MHA with GQA head repeat; causal unless mask given.
+
+    q: (B,S,nh,hd)  k,v: (B,T,nkv,hd).  Softmax in fp32 (TPU MXU feeds
+    bf16 inputs; accumulation and normalization stay fp32).
+    """
+    B, S, nh, hd = q.shape
+    T = k.shape[1]
+    rep = nh // k.shape[2]
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum("bsnh,btnh->bnst", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / np.sqrt(hd)
+    if mask is None:
+        causal = jnp.tril(jnp.ones((S, T), bool), k=T - S)
+        scores = jnp.where(causal[None, None], scores, -1e30)
+    else:
+        scores = scores + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bnst,btnh->bsnh", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def block_fwd(weights: Dict[str, jax.Array], x: jax.Array,
+              cos: jax.Array, sin: jax.Array, cfg: LlamaConfig,
+              mask: Optional[jax.Array] = None) -> jax.Array:
+    """One decoder block: pre-norm attn + pre-norm SwiGLU MLP.
+
+    This is THE function the tuning loop differentiates through with qdq'd
+    weights substituted — keep it pure and jit-friendly.
+    """
+    B, S, H = x.shape
+    hd = cfg.hd
+    h = rms_norm(x, weights["input_layernorm"], cfg.rms_eps)
+    q = _linear(h, weights["q_proj"], weights.get("q_bias"))
+    k = _linear(h, weights["k_proj"], weights.get("k_bias"))
+    v = _linear(h, weights["v_proj"], weights.get("v_bias"))
+    q = q.reshape(B, S, cfg.num_heads, hd)
+    k = k.reshape(B, S, cfg.num_kv_heads, hd)
+    v = v.reshape(B, S, cfg.num_kv_heads, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = attention(q, k, v, mask, cfg).reshape(B, S, -1)
+    x = x + _linear(attn, weights["o_proj"])
+
+    h = rms_norm(x, weights["post_attention_layernorm"], cfg.rms_eps)
+    gate = jax.nn.silu(_linear(h, weights["gate_proj"]))
+    up = _linear(h, weights["up_proj"])
+    x = x + _linear(gate * up, weights["down_proj"])
+    return x
+
+
+def embed_fwd(params: Dict[str, Any], input_ids: jax.Array,
+              cfg: LlamaConfig) -> jax.Array:
+    return jnp.take(params["embed_tokens"], input_ids, axis=0)
+
+
+def final_fwd(params: Dict[str, Any], x: jax.Array,
+              cfg: LlamaConfig) -> jax.Array:
+    """Final norm + lm_head → logits."""
+    x = rms_norm(x, params["norm"], cfg.rms_eps)
+    head = params.get("lm_head", params["embed_tokens"])
+    return _linear(x, head)
+
+
+def model_fwd(params: Dict[str, Any], input_ids: jax.Array,
+              cfg: LlamaConfig) -> jax.Array:
+    """Full forward → logits (eval / perplexity / LFQ loss)."""
+    x = embed_fwd(params, input_ids, cfg)
+    cos, sin = rope_tables(cfg, input_ids.shape[1])
+    for b in params["blocks"]:
+        x = block_fwd(b, x, cos, sin, cfg)
+    return final_fwd(params, x, cfg)

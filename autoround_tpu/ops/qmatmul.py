@@ -1,0 +1,172 @@
+"""Pallas fused dequant(int4, group scales)+matmul — the serving hot path.
+
+Role of the reference's inference kernels (triton ``quant_matmul_248``
+``auto_round_extension/triton/triton_utils/kernels.py:123``; ARK
+``woqgemm`` C++), designed TPU-first rather than translated: packed int4
+weights stay HBM-resident and stream through VMEM tiles; decode is
+HBM-bandwidth-bound, so the win is the 4x smaller weight stream and the
+dequant rides free under the DMA.
+
+TPU-native weight layout — "nibble-plane" packing: a K-tile of width
+``TK = 8 * group_size`` is stored as ``group_size`` int32 words per row;
+nibble plane ``j`` of the word tile holds quantization group ``j`` of that
+K-tile.  Unpacking a group is then a single vectorized ``(w >> 4j) & 0xF``
+over the whole (TO, group_size) word tile — no element interleave, no
+shape casts Mosaic can't lower — and each plane's scale is a (TO, 1)
+broadcast.  Each plane feeds the MXU as a (B, g) @ (g, TO) partial dot
+with g = 128 = the MXU's native contraction.
+
+Codes are sym full-range: dq = (code - 8) * scale, scale sign carries the
+full-range flip (dtypes/intq.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pack_w4_planes", "unpack_w4_planes", "w4a16_matmul",
+           "w4a16_matmul_ref", "PLANES"]
+
+PLANES = 8  # int4 codes per int32 word
+
+
+def pack_w4_planes(codes: jax.Array, group_size: int = 128) -> jax.Array:
+    """(O, K) uint codes < 16 → (O, K//8) int32 in nibble-plane layout.
+
+    K-tile t (width 8g) stores logical column ``t*8g + j*g + i`` in nibble
+    ``j`` of word ``t*g + i``.
+    """
+    O, K = codes.shape
+    TK = PLANES * group_size
+    assert K % TK == 0, f"K={K} must be a multiple of 8*group_size={TK}"
+    c = codes.astype(jnp.uint32).reshape(O, K // TK, PLANES, group_size)
+    shifts = (jnp.arange(PLANES, dtype=jnp.uint32) * 4)[None, None, :, None]
+    words = jnp.sum(c << shifts, axis=2, dtype=jnp.uint32)  # (O, K//TK, g)
+    return words.reshape(O, K // PLANES).astype(jnp.int32)
+
+
+def unpack_w4_planes(words: jax.Array, group_size: int = 128) -> jax.Array:
+    """Inverse of :func:`pack_w4_planes` → (O, K) int32 codes."""
+    O, Kw = words.shape
+    g = group_size
+    w = words.astype(jnp.uint32).reshape(O, Kw // g, 1, g)
+    shifts = (jnp.arange(PLANES, dtype=jnp.uint32) * 4)[None, None, :, None]
+    codes = (w >> shifts) & 0xF
+    return codes.reshape(O, Kw * PLANES).astype(jnp.int32)
+
+
+def w4a16_matmul_ref(x, qweight, scales, group_size: int = 128):
+    """Pure-XLA fallback (CPU tests / shapes the kernel doesn't cover)."""
+    O, Kw = qweight.shape
+    K = Kw * PLANES
+    codes = unpack_w4_planes(qweight, group_size)
+    s = jnp.repeat(scales.astype(jnp.float32), group_size, axis=1)[:, :K]
+    w = ((codes - 8).astype(jnp.float32) * s).astype(x.dtype)
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _kernel(x_ref, w_ref, st_ref, o_ref, acc_ref, *, group_size: int):
+    """st_ref: transposed scales block (PLANES, TO) — plane j's scale row.
+
+    The group scale is constant along the contraction, so it factors out
+    of the dot: acc += (x_g @ (codes-8)^T) * s_row.  This keeps the MXU
+    inputs exact small ints in bf16 (no pre-scaled rounding) and turns the
+    scale into one (B, TO) row broadcast instead of a (TO, g) multiply.
+    """
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    words = w_ref[:]                                  # (TO, g) int32
+    acc = acc_ref[:]
+    for j in range(PLANES):
+        chunk = jax.lax.shift_right_logical(words, 4 * j) & 0xF
+        wq = (chunk - 8).astype(jnp.bfloat16)                       # exact
+        xg = x_ref[:, pl.ds(j * group_size, group_size)]            # (B, g)
+        partial = jax.lax.dot_general(
+            xg.astype(jnp.bfloat16), wq,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                     # (B, TO)
+        acc = acc + partial * st_ref[j, :][None, :].astype(jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "block_o"))
+def w4a16_matmul(
+    x: jax.Array,
+    qweight: jax.Array,
+    scales: jax.Array,
+    group_size: int = 128,
+    block_o: int = 1024,
+) -> jax.Array:
+    """y = x @ dequant(qweight).T.
+
+    x (..., K) bf16; qweight (O, K//8) int32 nibble-plane layout;
+    scales (O, K//g).  Requires g >= 128 (lane tiling) — smaller groups
+    fall back to the XLA path.
+    """
+    orig_shape = x.shape
+    K = orig_shape[-1]
+    x2 = x.reshape(-1, K)
+    B = x2.shape[0]
+    O = qweight.shape[0]
+    assert qweight.shape[1] * PLANES == K, (qweight.shape, K)
+
+    TK = PLANES * group_size
+    usable = (jax.devices()[0].platform == "tpu" and group_size >= 128
+              and K % TK == 0 and O % 256 == 0)
+    if not usable:
+        return w4a16_matmul_ref(x2, qweight, scales, group_size).reshape(
+            *orig_shape[:-1], O)
+
+    TO = min(block_o, O)
+    while O % TO:
+        TO //= 2
+
+    Bp = max(16, -(-B // 16) * 16)
+    if Bp != B:
+        x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
+
+    # scales transposed to (K//g, O): plane-row layout for the kernel
+    scales_t = scales.astype(jnp.float32).T
+
+    grid = (O // TO, K // TK)
+    out = pl.pallas_call(
+        functools.partial(_kernel, group_size=group_size),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bp, TK), lambda o, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TO, group_size), lambda o, k: (o, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PLANES, TO), lambda o, k: (k, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bp, TO), lambda o, k: (0, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((Bp, TO), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * O * K,
+            bytes_accessed=O * K // 2 + Bp * K * 2 + Bp * O * 2,
+            transcendentals=0,
+        ),
+    )(x2, qweight, scales_t)
+    return out[:B].reshape(*orig_shape[:-1], O)

@@ -1,0 +1,207 @@
+"""Block-chain quantization driver.
+
+Role of the reference's ``CompressionOrchestrator``
+(``auto_round/compressors/orchestrator.py:390`` ``quantize``,
+``:525`` ``_quantize_data_driven``, ``:176`` ``_quantize_blocks``): cache
+block-0 inputs, then walk blocks; per block compute the FP reference
+outputs, tune (SignRound) or RTN the block's linears, and chain both the
+FP input cache and the quantized input cache to the next block — the
+dual-chain semantics of the reference composer
+(``algorithms/composer.py:415-478``: target = block_fp(fp_input), tuning
+input = q_input, both caches advance).
+
+TPU-first: there are no hooks — the model zoo's blocks are pure functions
+called in order, and each cache-advance forward is one jitted batched
+call.  All per-sample caches are plain device arrays ``(nsamples, S, H)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algorithms.rtn import rtn_quantize_layer
+from ..algorithms.signround import TuneConfig, make_qdq_weights, tune_block
+from ..dtypes.intq import QdqResult
+from ..dtypes.registry import get_quant_func
+from ..models import llama
+from ..schemes import QuantizationScheme
+from ..utils.logger import logger
+
+__all__ = ["QuantizeConfig", "QuantizedLayer", "QuantizeResult", "quantize_model"]
+
+
+@dataclass(frozen=True)
+class QuantizeConfig:
+    """Run-level knobs (reference entry kwargs, ``autoround.py:705``)."""
+
+    iters: int = 200
+    lr: Optional[float] = None
+    minmax_lr: Optional[float] = None
+    batch_size: int = 8
+    seed: int = 42
+    enable_quanted_input: bool = True
+    enable_minmax_tuning: bool = True
+    enable_round_tuning: bool = True
+    use_best_params: bool = True
+    dynamic_max_gap: int = -1
+    gradient_accumulate_steps: int = 1
+    cache_batch: int = 8  # batch size for cache-advance forwards
+
+    def tune_config(self) -> TuneConfig:
+        return TuneConfig(
+            iters=self.iters, lr=self.lr, minmax_lr=self.minmax_lr,
+            batch_size=self.batch_size, seed=self.seed,
+            enable_minmax_tuning=self.enable_minmax_tuning,
+            enable_round_tuning=self.enable_round_tuning,
+            use_best_params=self.use_best_params,
+            dynamic_max_gap=self.dynamic_max_gap,
+            gradient_accumulate_steps=self.gradient_accumulate_steps,
+        )
+
+
+@dataclass
+class QuantizedLayer:
+    """Export payload for one layer: qdq weight + scale/zp + scheme."""
+
+    name: str
+    scheme: QuantizationScheme
+    qdq: jax.Array
+    scale: jax.Array
+    zp: Optional[jax.Array]
+
+
+@dataclass
+class QuantizeResult:
+    params: Dict[str, Any]               # model params with qdq weights baked
+    layers: Dict[str, QuantizedLayer]    # per-layer export payloads
+    loss_traces: Dict[int, np.ndarray] = field(default_factory=dict)
+
+
+def _batched_block_apply(block_weights, x, cos, sin, cfg, batch: int):
+    """Advance a cache through one block in jitted batches (static shapes)."""
+    n = x.shape[0]
+    fn = jax.jit(lambda w, xb: llama.block_fwd(w, xb, cos, sin, cfg))
+    outs = []
+    for s in range(0, n, batch):
+        e = min(s + batch, n)
+        xb = x[s:e]
+        if xb.shape[0] != batch and n > batch:
+            # pad tail batch to keep one compiled shape
+            padn = batch - xb.shape[0]
+            xb = jnp.concatenate([xb, jnp.zeros((padn,) + xb.shape[1:], xb.dtype)])
+            outs.append(fn(block_weights, xb)[: e - s])
+        else:
+            outs.append(fn(block_weights, xb))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _finalize_layer(name, w, scheme, tune_params, tcfg) -> QuantizedLayer:
+    """Re-run the qdq once with the best params to harvest scale/zp."""
+    fn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym)
+    p = tune_params.get(name.split(".")[-1], {}) if tune_params else {}
+    r: QdqResult = fn(
+        w, bits=scheme.bits, group_size=scheme.group_size,
+        v=p.get("v"), min_scale=p.get("min_scale"), max_scale=p.get("max_scale"),
+        clip_lo=tcfg.clip_lo, clip_hi=tcfg.clip_hi)
+    return QuantizedLayer(name=name, scheme=scheme, qdq=r.qdq, scale=r.scale,
+                          zp=r.zp)
+
+
+def quantize_model(
+    params: Dict[str, Any],
+    model_cfg: llama.LlamaConfig,
+    layer_schemes: Dict[str, QuantizationScheme],
+    input_ids: jax.Array,
+    cfg: QuantizeConfig = QuantizeConfig(),
+    mask: Optional[jax.Array] = None,
+    imatrix: bool = False,
+) -> QuantizeResult:
+    """Quantize a llama-family model block-by-block.
+
+    input_ids: (nsamples, seqlen) calibration token batch.
+    mask: optional (nsamples, seqlen) valid-token mask (pad → 0).
+    iters == 0 → pure RTN zero-shot path (reference ``iters=0`` →
+    RTNQuantizer swap, ``autoround.py:487-495``).
+    """
+    nsamples, seqlen = input_ids.shape
+    cos, sin = llama.rope_tables(model_cfg, seqlen)
+    tcfg = cfg.tune_config()
+
+    # group flat layer plan by block index
+    per_block: Dict[int, Dict[str, QuantizationScheme]] = {}
+    for flat, scheme in layer_schemes.items():
+        parts = flat.split(".")
+        if parts[0] == "blocks":
+            per_block.setdefault(int(parts[1]), {})[parts[2]] = scheme
+
+    x_fp = llama.embed_fwd(params, input_ids, model_cfg)
+    x_q = x_fp if (cfg.enable_quanted_input and cfg.iters > 0) else None
+
+    new_blocks: List[Dict[str, jax.Array]] = []
+    layers: Dict[str, QuantizedLayer] = {}
+    traces: Dict[int, np.ndarray] = {}
+
+    for bi, block in enumerate(params["blocks"]):
+        schemes = per_block.get(bi, {})
+        ref_out = _batched_block_apply(block, x_fp, cos, sin, model_cfg,
+                                       cfg.cache_batch)
+        if not schemes:
+            new_blocks.append(block)
+            x_fp = ref_out
+            if x_q is not None:
+                x_q = _batched_block_apply(block, x_q, cos, sin, model_cfg,
+                                           cfg.cache_batch)
+            continue
+
+        if cfg.iters > 0:
+            tune_in = x_q if x_q is not None else x_fp
+            block_fn = lambda w, xb: llama.block_fwd(w, xb, cos, sin, model_cfg)
+            best, info = tune_block(
+                block_fn, block, tune_in, ref_out, schemes, tcfg, mask=mask)
+            traces[bi] = info["loss_trace"]
+            logger.info(
+                "block %d: loss iter0 %.6f -> best %.6f",
+                bi, info["first_loss"], info["best_loss"])
+            qdq_block = dict(block)
+            for lname, scheme in schemes.items():
+                ql = _finalize_layer(f"blocks.{bi}.{lname}", block[lname],
+                                     scheme, best, tcfg)
+                qdq_block[lname] = ql.qdq.astype(block[lname].dtype)
+                layers[ql.name] = ql
+        else:
+            qdq_block = dict(block)
+            for lname, scheme in schemes.items():
+                r = rtn_quantize_layer(block[lname], scheme)
+                qdq_block[lname] = r.qdq.astype(block[lname].dtype)
+                layers[f"blocks.{bi}.{lname}"] = QuantizedLayer(
+                    name=f"blocks.{bi}.{lname}", scheme=scheme, qdq=r.qdq,
+                    scale=r.scale, zp=r.zp)
+
+        new_blocks.append(qdq_block)
+        # advance chains
+        x_fp = ref_out
+        if x_q is not None:
+            tune_in = x_q
+            x_q = _batched_block_apply(qdq_block, tune_in, cos, sin, model_cfg,
+                                       cfg.cache_batch)
+
+    new_params = dict(params)
+    new_params["blocks"] = new_blocks
+
+    # outside-block layers (lm_head) — RTN for now (reference tunes
+    # them via quantize_layer_outside_block; milestone for a later round)
+    if "lm_head" in layer_schemes:
+        head_name = "lm_head" if "lm_head" in params else "embed_tokens"
+        w = params.get("lm_head", params["embed_tokens"])
+        r = rtn_quantize_layer(w, layer_schemes["lm_head"])
+        new_params[head_name] = r.qdq.astype(w.dtype)
+        layers["lm_head"] = QuantizedLayer(
+            name="lm_head", scheme=layer_schemes["lm_head"], qdq=r.qdq,
+            scale=r.scale, zp=r.zp)
+
+    return QuantizeResult(params=new_params, layers=layers, loss_traces=traces)

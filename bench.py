@@ -1,0 +1,89 @@
+"""Benchmark: W4A16 fused dequant-matmul decode throughput vs BF16.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Shapes are the Llama-3-8B MLP projection (K=4096 -> O=14336) at decode
+batch 8 — the HBM-bound regime where weight-only int4 should approach a
+4x win over BF16 (BASELINE.json north star: >=4x BF16 decode tok/s/chip).
+
+Timing is fully device-side (lax.scan over iterations with a data
+dependency between steps); only scalars cross the host link — the axon
+tunnel makes per-call dispatch and bulk transfers dominate otherwise.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def chained(fn, iters):
+    """Run fn iters times with a serializing data dependency, jitted once."""
+
+    def body(x, _):
+        y = fn(x)
+        # fold a scalar of y back into x to serialize without reshaping
+        x = x * (1.0 + 0.0 * jax.lax.stop_gradient(y[0, 0]).astype(x.dtype))
+        return x, ()
+
+    @jax.jit
+    def run(x):
+        x, _ = jax.lax.scan(body, x, None, length=iters)
+        return x
+
+    return run
+
+
+def time_it(run, x, iters, warmup=2):
+    for _ in range(warmup):
+        run(x).block_until_ready()
+    t0 = time.perf_counter()
+    run(x).block_until_ready()
+    dt = time.perf_counter() - t0
+    return dt / iters
+
+
+def main():
+    from autoround_tpu.ops.qmatmul import pack_w4_planes, w4a16_matmul
+
+    B, K, O, g = 8, 4096, 14336, 128
+    iters = 100
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, K), jnp.bfloat16)
+    wbf = jax.random.normal(key, (O, K), jnp.bfloat16) * 0.02
+    codes = jax.random.randint(key, (O, K), 0, 16, jnp.int32)
+    qw = pack_w4_planes(codes, g)
+    scales = jax.random.uniform(key, (O, K // g), jnp.float32, 0.008, 0.012)
+
+    bf16_fn = lambda x: jax.lax.dot_general(
+        x, wbf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    w4_fn = lambda x: w4a16_matmul(x, qw, scales, g)
+
+    t_bf16 = time_it(chained(bf16_fn, iters), x, iters)
+    t_w4 = time_it(chained(w4_fn, iters), x, iters)
+
+    # tokens/s for this layer: each call processes B tokens
+    toks_w4 = B / t_w4
+    speedup = t_bf16 / t_w4
+    hbm_bytes_w4 = O * K // 2 + O * (K // g) * 4
+    gbps = hbm_bytes_w4 / t_w4 / 1e9
+
+    print(json.dumps({
+        "metric": "w4a16_decode_matmul_tokens_per_s",
+        "value": round(toks_w4, 1),
+        "unit": "tok/s/chip (8Kx14K layer, bs8)",
+        "vs_baseline": round(speedup, 3),
+        "detail": {
+            "t_bf16_us": round(t_bf16 * 1e6, 1),
+            "t_w4_us": round(t_w4 * 1e6, 1),
+            "w4_hbm_gbps": round(gbps, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
