@@ -30,6 +30,9 @@ def rtn_quantize_layer(
     imatrix is supplied and one is registered for the dtype (mirrors the
     reference's auto-enable of opt-RTN, ``autoround.py:252``)."""
     mode = "rtn"
+    if scheme.super_bits is not None:
+        extras.setdefault("super_bits", scheme.super_bits)
+        extras.setdefault("super_group_size", scheme.super_group_size)
     if imatrix is not None:
         try:
             fn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym,

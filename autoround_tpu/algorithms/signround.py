@@ -57,6 +57,10 @@ class TuneConfig:
     clip_hi: float = 1.0                # alg_ext widens to (0, 2)
     loss_scale: float = 1000.0          # reference multiplies MSE by 1000
     gradient_accumulate_steps: int = 1
+    # alg_ext (SignRoundV2, reference sign_roundv2/quantizer.py): searched
+    # per-group init scale, widened clamp, outlier-masked loss for bits<4
+    enable_alg_ext: bool = False
+    outlier_mask_frac: float = 0.001
 
     def resolved_lr(self) -> float:
         return self.lr if self.lr is not None else 1.0 / max(self.iters, 1)
@@ -73,13 +77,57 @@ class TuneResult(dict):
     best_loss: float = None
 
 
+def _search_init_max_scale(w: jax.Array, scheme: QuantizationScheme
+                           ) -> jax.Array:
+    """alg_ext searched init: per-group max_scale minimizing qdq error.
+
+    int-sym uses the closed grid search; other dtypes sweep a uniform
+    candidate grid through their own qdq and pick per-group argmin
+    (reference dispatch, ``data_type/utils.py:178-310``).
+    """
+    from ..dtypes.intq import search_init_scale_ratio
+
+    g = scheme.group_size
+    if scheme.data_type == "int" and scheme.sym and isinstance(g, int) \
+            and scheme.super_bits is None:
+        return search_init_scale_ratio(w, scheme.bits, g)
+
+    fn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym)
+    O, I = w.shape
+    gg = I if (not isinstance(g, int) or g in (-1, 0)) else min(g, I)
+    is_mx = scheme.data_type.startswith("mx")
+    cands = jnp.concatenate([
+        1.0 - 0.05 * jnp.arange(10, dtype=jnp.float32),
+        (1.0 + 0.25 * jnp.arange(1, 5, dtype=jnp.float32)) if is_mx
+        else jnp.zeros((0,), jnp.float32),
+    ])
+    kw = {}
+    if scheme.super_bits is not None:
+        kw = dict(super_bits=scheme.super_bits,
+                  super_group_size=scheme.super_group_size)
+
+    def err_for(c):
+        ms = jnp.full((O, -(-I // gg)), c, jnp.float32)
+        qdq = fn(w, bits=scheme.bits, group_size=scheme.group_size,
+                 max_scale=ms, clip_lo=0.0, clip_hi=2.0, **kw).qdq
+        d = (qdq.astype(jnp.float32) - w.astype(jnp.float32)) ** 2
+        pad = (-I) % gg
+        if pad:
+            d = jnp.pad(d, ((0, 0), (0, pad)))
+        return d.reshape(O, -1, gg).sum(-1)  # (O, groups)
+
+    errs = jax.vmap(err_for)(cands)
+    return cands[jnp.argmin(errs, axis=0)]
+
+
 def init_tune_params(
     weights: Dict[str, jax.Array],
     schemes: Dict[str, QuantizationScheme],
     cfg: TuneConfig,
 ) -> Dict[str, Dict[str, jax.Array]]:
     """V = 0 (shape of W), min/max_scale = 1.0 per group — reference init
-    (``wrapper.py:179-181, 252-254``).  fp32 params, like the reference."""
+    (``wrapper.py:179-181, 252-254``).  fp32 params, like the reference.
+    With ``enable_alg_ext``, max_scale seeds from a per-group search."""
     params = {}
     for name, scheme in schemes.items():
         w = weights[name]
@@ -95,8 +143,12 @@ def init_tune_params(
         if cfg.enable_round_tuning:
             layer["v"] = jnp.zeros((O, I), jnp.float32)
         if cfg.enable_minmax_tuning:
-            layer["min_scale"] = jnp.ones(groups_shape, jnp.float32)
-            layer["max_scale"] = jnp.ones(groups_shape, jnp.float32)
+            if cfg.enable_alg_ext and not isinstance(g, tuple):
+                init = _search_init_max_scale(w, scheme).reshape(groups_shape)
+            else:
+                init = jnp.ones(groups_shape, jnp.float32)
+            layer["min_scale"] = init
+            layer["max_scale"] = init
         params[name] = layer
     return params
 
@@ -117,6 +169,9 @@ def make_qdq_weights(
         fn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym)
         p = tune_params.get(name, {})
         kw = dict(extras.get(name, {})) if extras else {}
+        if scheme.super_bits is not None:
+            kw.setdefault("super_bits", scheme.super_bits)
+            kw.setdefault("super_group_size", scheme.super_group_size)
         r = fn(
             weights[name],
             bits=scheme.bits,
@@ -165,6 +220,16 @@ def tune_block(
     (cached block inputs); ref_outputs: (nsamples, ...) FP block outputs.
     mask: optional (nsamples, seqlen) validity mask.
     """
+    if cfg.enable_alg_ext and cfg.clip_hi <= 1.0:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, clip_lo=0.0, clip_hi=2.0)
+    # outlier-suppressed loss applies for aggressive schemes (reference
+    # masks the top 0.1% |pred-ref| elements when bits<4 or act_bits<=4,
+    # sign_roundv2/quantizer.py:355-392)
+    mask_outliers = cfg.enable_alg_ext and any(
+        s.bits < 4 or (s.act_bits <= 4 and s.is_act_quantized)
+        for s in schemes.values())
+
     nsamples = jax.tree.leaves(inputs)[0].shape[0]
     bs = min(cfg.batch_size, nsamples)
     # Cyclic shuffled batch sampling (reference IndexSampler,
@@ -194,6 +259,23 @@ def tune_block(
         batch_ref = jnp.take(ref_outputs, idx, axis=0)
         batch_mask = None if mask is None else jnp.take(mask, idx, axis=0)
         out = block_fwd(qweights, batch_in)
+        if mask_outliers:
+            diff2 = jax.lax.stop_gradient(
+                (out.astype(jnp.float32) - batch_ref.astype(jnp.float32)) ** 2)
+            thr = jnp.quantile(diff2.reshape(-1),
+                               1.0 - cfg.outlier_mask_frac)
+            keep = (diff2 <= thr).astype(jnp.float32)
+            d = ((out.astype(jnp.float32) - batch_ref.astype(jnp.float32))
+                 ** 2) * keep
+            if batch_mask is not None:
+                m = batch_mask.astype(jnp.float32)
+                while m.ndim < d.ndim:
+                    m = m[..., None]
+                d = d * m
+                denom = jnp.maximum(jnp.sum(keep * m), 1.0)
+            else:
+                denom = jnp.maximum(jnp.sum(keep), 1.0)
+            return jnp.sum(d) / denom * cfg.loss_scale
         return _masked_mse(out, batch_ref, batch_mask) * cfg.loss_scale
 
     def grad_accum(params, idx_groups):

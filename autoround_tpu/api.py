@@ -52,6 +52,8 @@ class AutoRound:
         quant_lm_head: bool = False,
         enable_quanted_input: bool = True,
         enable_minmax_tuning: bool = True,
+        enable_alg_ext: bool = False,
+        use_imatrix: bool = False,
         dynamic_max_gap: int = -1,
         gradient_accumulate_steps: int = 1,
         **kw,
@@ -63,25 +65,53 @@ class AutoRound:
             params, cfg = model
         self.params = params
         self.model_cfg = cfg
-        self.scheme = parse_scheme(scheme)
-        self.layer_schemes = resolve_layer_schemes(
-            cfg.num_layers, llama.block_linear_names(cfg), self.scheme,
-            layer_config=layer_config, ignore_layers=ignore_layers,
-            quant_lm_head=quant_lm_head)
+        from .quantize.auto_scheme import AutoScheme as _AutoScheme
+        if isinstance(scheme, _AutoScheme):
+            # mixed-precision search resolved lazily at quantize() time
+            # (needs calibration tokens for the gradient pass)
+            self.scheme = scheme
+            self.layer_schemes = None
+            self._auto_layer_kwargs = dict(
+                layer_config=layer_config, ignore_layers=ignore_layers,
+                quant_lm_head=quant_lm_head)
+        else:
+            self.scheme = parse_scheme(scheme)
+            self.layer_schemes = resolve_layer_schemes(
+                cfg.num_layers, llama.block_linear_names(cfg), self.scheme,
+                layer_config=layer_config, ignore_layers=ignore_layers,
+                quant_lm_head=quant_lm_head)
         self.cfg = QuantizeConfig(
             iters=iters, lr=lr, minmax_lr=minmax_lr, batch_size=batch_size,
             seed=seed, enable_quanted_input=enable_quanted_input,
             enable_minmax_tuning=enable_minmax_tuning,
+            enable_alg_ext=enable_alg_ext,
+            use_imatrix=use_imatrix,
             dynamic_max_gap=dynamic_max_gap,
             gradient_accumulate_steps=gradient_accumulate_steps)
         self.result: Optional[QuantizeResult] = None
 
     def quantize(self, input_ids, mask=None) -> QuantizeResult:
         input_ids = jnp.asarray(input_ids)
+        if self.layer_schemes is None:
+            # AutoScheme path (reference post_init phase 4 _gen_auto_scheme,
+            # compressors/base.py:700)
+            from .quantize.auto_scheme import gen_auto_scheme
+            plan = gen_auto_scheme(self.params, self.model_cfg, self.scheme,
+                                   input_ids)
+            kw = self._auto_layer_kwargs
+            if kw["ignore_layers"]:
+                import re
+                for pattern in kw["ignore_layers"]:
+                    plan = {n: s for n, s in plan.items()
+                            if not (n == pattern
+                                    or n.split(".")[-1] == pattern
+                                    or re.fullmatch(pattern, n))}
+            self.layer_schemes = plan
         logger.info(
             "quantizing %d layers, scheme=%s, iters=%d, nsamples=%d seqlen=%d",
-            len(self.layer_schemes), self.scheme.key(), self.cfg.iters,
-            input_ids.shape[0], input_ids.shape[1])
+            len(self.layer_schemes),
+            self.scheme.key() if hasattr(self.scheme, "key") else "auto",
+            self.cfg.iters, input_ids.shape[0], input_ids.shape[1])
         self.result = quantize_model(
             self.params, self.model_cfg, self.layer_schemes, input_ids,
             self.cfg, mask=mask)

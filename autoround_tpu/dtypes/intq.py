@@ -149,6 +149,52 @@ def rtn_int_asym(w, bits, group_size, **_):
     return qdq_int_asym(w, bits, group_size)
 
 
+def search_init_scale_ratio(
+    w: jax.Array,
+    bits: int,
+    group_size: int,
+    num_steps: Optional[int] = None,
+    step: float = 0.01,
+    imatrix: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-group best scale-shrink ratio (O, groups_per_row) — the alg_ext
+    searched init for ``max_scale`` (role of the reference's
+    SignRoundOptimizedWrapperLinear seeded init,
+    ``sign_roundv2/quantizer.py:101`` + dispatch ``data_type/utils.py:178``).
+    """
+    O, I = w.shape
+    compute_dtype = jnp.promote_types(w.dtype, jnp.float32)
+    wg, _ = to_groups(w.astype(compute_dtype), group_size)
+    if num_steps is None:
+        num_steps = 90 if bits <= 2 else 30
+    maxq = 2 ** (bits - 1)
+
+    wmin = jnp.minimum(wg.min(axis=-1, keepdims=True), 0.0)
+    wmax = jnp.maximum(wg.max(axis=-1, keepdims=True), 0.0)
+    extreme = jnp.where(-wmin > wmax, wmin, wmax)
+    base_scale = -extreme / maxq
+    base_scale = jnp.where(jnp.abs(base_scale) < _EPS, _EPS, base_scale)
+
+    if imatrix is None:
+        weight = jnp.ones_like(wg)
+    else:
+        im = jnp.broadcast_to(
+            imatrix.astype(compute_dtype).reshape(1, -1), (O, I))
+        weight, _ = to_groups(im, group_size)
+
+    ratios = 1.0 - step * jnp.arange(num_steps, dtype=compute_dtype)
+
+    def err_for(ratio):
+        s = base_scale * ratio
+        q = jnp.clip(jnp.round(wg / s) + maxq, 0, 2 ** bits - 1)
+        dq = (q - maxq) * s
+        return jnp.sum(weight * (wg - dq) ** 2, axis=-1)
+
+    errs = jax.vmap(err_for)(ratios)
+    best = ratios[jnp.argmin(errs, axis=0)]
+    return best.reshape(O, -1)
+
+
 def opt_rtn_int_sym(
     w: jax.Array,
     bits: int,

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from . import fp8, intq, mxfp, nvfp
+from . import fp8, gguf, intq, mxfp, nvfp
 
 __all__ = ["QUANT_FUNCS", "register_dtype", "get_quant_func"]
 
@@ -107,6 +107,33 @@ _reg("fp8_e5m2", lambda w, bits, group_size, **kw: fp8.qdq_fp8_sym(
     w, group_size=group_size, fp8_format="e5m2"))
 _reg("block_fp8", lambda w, bits, group_size, **kw: fp8.qdq_fp8_block(
     w, block=group_size if isinstance(group_size, tuple) else (128, 128)))
+
+
+# --- gguf double-quant (k-quants) ---
+def _dq_kw(kw):
+    return {k: v for k, v in kw.items()
+            if k in ("v", "min_scale", "max_scale", "super_bits",
+                     "super_group_size", "imatrix", "clip_lo", "clip_hi")
+            and v is not None}
+
+_reg("int_sym_dq", lambda w, bits, group_size, **kw: gguf.qdq_int_dq_sym(
+    w, bits, group_size, **_dq_kw(kw)))
+_reg("int_asym_dq", lambda w, bits, group_size, **kw: gguf.qdq_int_dq_asym(
+    w, bits, group_size, **_dq_kw(kw)))
+_reg("rtn_int_sym_dq", lambda w, bits, group_size, **kw: gguf.rtn_int_dq_sym(
+    w, bits, group_size, **_dq_kw(kw)))
+_reg("rtn_int_asym_dq", lambda w, bits, group_size, **kw: gguf.rtn_int_dq_asym(
+    w, bits, group_size, **_dq_kw(kw)))
+_reg("opt_rtn_int_sym_dq", QUANT_FUNCS["rtn_int_sym_dq"])
+_reg("opt_rtn_int_asym_dq", QUANT_FUNCS["rtn_int_asym_dq"])
+# aliases matching the resolver's "{data_type}_{sym}" probe for
+# scheme.data_type == "int_dq"
+_reg("int_dq_sym", QUANT_FUNCS["int_sym_dq"])
+_reg("int_dq_asym", QUANT_FUNCS["int_asym_dq"])
+_reg("rtn_int_dq_sym", QUANT_FUNCS["rtn_int_sym_dq"])
+_reg("rtn_int_dq_asym", QUANT_FUNCS["rtn_int_asym_dq"])
+_reg("opt_rtn_int_dq_sym", QUANT_FUNCS["rtn_int_sym_dq"])
+_reg("opt_rtn_int_dq_asym", QUANT_FUNCS["rtn_int_asym_dq"])
 
 
 def get_quant_func(data_type: str, bits: int, sym: bool, mode: str = "tuned"):

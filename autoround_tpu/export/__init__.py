@@ -100,26 +100,12 @@ def save_quantized(result, model_cfg, output_dir: str,
     }
 
     if format == "fake":
-        flat = _flatten_params(result.params)
-        tensors = {}
-        for k, v in flat.items():
-            if str(v.dtype) == "bfloat16":
-                # safetensors.numpy can't hold ml_dtypes bf16; store raw bits
-                tensors[k + "::bf16"] = v.view(np.uint16)
-            else:
-                tensors[k] = v
+        tensors = _flatten_params(result.params)
         save_file(tensors, os.path.join(output_dir, "model.safetensors"))
     elif format == "autoround":
-        tensors = {}
         flat = _flatten_params(result.params)
         quant_names = set(result.layers)
-        for k, v in flat.items():
-            if k in quant_names:
-                continue  # replaced by packed payload
-            if str(v.dtype) == "bfloat16":
-                tensors[k + "::bf16"] = v.view(np.uint16)
-            else:
-                tensors[k] = v
+        tensors = {k: v for k, v in flat.items() if k not in quant_names}
         for name, ql in result.layers.items():
             gs = ql.scheme.group_size
             if ql.scheme.data_type != "int" or isinstance(gs, tuple):
@@ -150,13 +136,7 @@ def load_fake(path: str):
     from safetensors.numpy import load_file
 
     flat = load_file(os.path.join(path, "model.safetensors"))
-    fixed = {}
-    for k, v in flat.items():
-        if k.endswith("::bf16"):
-            fixed[k[:-6]] = jnp.asarray(v).view(jnp.bfloat16)
-        else:
-            fixed[k] = jnp.asarray(v)
-    params = _unflatten_params(fixed)
+    params = _unflatten_params({k: jnp.asarray(v) for k, v in flat.items()})
     with open(os.path.join(path, "quantization_config.json")) as f:
         qcfg = json.load(f)
     return params, qcfg

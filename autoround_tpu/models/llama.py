@@ -152,11 +152,15 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return (xf * c + _rotate_half(xf) * s).astype(x.dtype)
 
 
-def _linear(x, w, b=None):
+def _plain_linear(name, x, w, b=None):
     y = jnp.einsum("...i,oi->...o", x, w)
     if b is not None:
         y = y + b
     return y
+
+
+def _linear(x, w, b=None):
+    return _plain_linear("", x, w, b)
 
 
 def attention(q, k, v, mask: Optional[jax.Array], cfg: LlamaConfig):
@@ -187,30 +191,37 @@ def attention(q, k, v, mask: Optional[jax.Array], cfg: LlamaConfig):
 
 def block_fwd(weights: Dict[str, jax.Array], x: jax.Array,
               cos: jax.Array, sin: jax.Array, cfg: LlamaConfig,
-              mask: Optional[jax.Array] = None) -> jax.Array:
+              mask: Optional[jax.Array] = None,
+              linear_fn=None) -> jax.Array:
     """One decoder block: pre-norm attn + pre-norm SwiGLU MLP.
 
     This is THE function the tuning loop differentiates through with qdq'd
     weights substituted — keep it pure and jit-friendly.
+
+    ``linear_fn(name, x, w, b) -> y`` intercepts every linear application;
+    it is the TPU-native replacement for the reference's forward hooks
+    (``wrapper.py`` WrapperWALayer / act hooks): activation fake-quant,
+    act-stat collection, and serving-kernel substitution all inject here.
     """
+    lf = linear_fn or _plain_linear
     B, S, H = x.shape
     hd = cfg.hd
     h = rms_norm(x, weights["input_layernorm"], cfg.rms_eps)
-    q = _linear(h, weights["q_proj"], weights.get("q_bias"))
-    k = _linear(h, weights["k_proj"], weights.get("k_bias"))
-    v = _linear(h, weights["v_proj"], weights.get("v_bias"))
+    q = lf("q_proj", h, weights["q_proj"], weights.get("q_bias"))
+    k = lf("k_proj", h, weights["k_proj"], weights.get("k_bias"))
+    v = lf("v_proj", h, weights["v_proj"], weights.get("v_bias"))
     q = q.reshape(B, S, cfg.num_heads, hd)
     k = k.reshape(B, S, cfg.num_kv_heads, hd)
     v = v.reshape(B, S, cfg.num_kv_heads, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     attn = attention(q, k, v, mask, cfg).reshape(B, S, -1)
-    x = x + _linear(attn, weights["o_proj"])
+    x = x + lf("o_proj", attn, weights["o_proj"])
 
     h = rms_norm(x, weights["post_attention_layernorm"], cfg.rms_eps)
-    gate = jax.nn.silu(_linear(h, weights["gate_proj"]))
-    up = _linear(h, weights["up_proj"])
-    x = x + _linear(gate * up, weights["down_proj"])
+    gate = jax.nn.silu(lf("gate_proj", h, weights["gate_proj"]))
+    up = lf("up_proj", h, weights["up_proj"])
+    x = x + lf("down_proj", gate * up, weights["down_proj"])
     return x
 
 

@@ -1,0 +1,195 @@
+"""AutoScheme: mixed-precision bit-width assignment under an avg-bits budget.
+
+Role of the reference's ``auto_round/auto_scheme/`` (``AutoScheme``
+dataclass ``gen_auto_scheme.py:28``, delta-loss scoring
+``delta_loss.py:100-160`` and knapsack ``choose_bits_per_layer_with_path``
+``delta_loss.py:1291``): score every quantizable layer under each candidate
+scheme with a first-order Taylor estimate of LM-loss damage
+
+    score(layer, scheme) = Σ | ∂L/∂W ⊙ (W − qdq_scheme(W)) |
+
+then assign one scheme per layer minimizing total estimated damage subject
+to the average-bits budget.
+
+TPU-first: the gradient pass is one ``jax.grad`` of the LM cross-entropy
+through the functional model (no wrapper modules, no backward hooks), and
+scheme scoring is a vectorized qdq sweep.  The selector uses a Lagrangian
+bisection over the bits/loss trade-off (each step is an independent
+per-layer argmin — embarrassingly parallel) with a greedy refinement,
+rather than the reference's beam-pruned DP; for the small layer×option
+spaces involved both find the same frontier points.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes.registry import get_quant_func
+from ..models import llama
+from ..schemes import QuantizationScheme, parse_scheme
+from ..utils.logger import logger
+
+__all__ = ["AutoScheme", "gen_auto_scheme", "scheme_storage_bits"]
+
+
+@dataclass(frozen=True)
+class AutoScheme:
+    """User-facing search spec (reference ``gen_auto_scheme.py:28``)."""
+
+    avg_bits: float
+    options: Tuple[Union[str, QuantizationScheme], ...]
+    nsamples: int = 8
+    seed: int = 42
+
+
+def scheme_storage_bits(scheme: QuantizationScheme, shape) -> float:
+    """Effective stored bits/weight incl. scale/zp overhead (the reference
+    accounts scale storage when computing avg bits)."""
+    O, I = shape
+    g = scheme.group_size
+    if isinstance(g, tuple):
+        n_groups = (-(-O // g[0])) * (-(-I // g[1]))
+        per_weight_overhead = n_groups * 16 / (O * I)
+        return scheme.bits + per_weight_overhead
+    if g in (0,):
+        return float(scheme.bits)
+    if g == -1:
+        g = I
+    n_groups = O * (-(-I // g))
+    scale_bits = 16.0
+    zp_bits = 0.0 if scheme.sym else scheme.bits
+    if scheme.super_bits is not None:
+        # k-quant: sub-scales are super_bits ints + fp16 supers
+        sgs = scheme.super_group_size or 8
+        scale_bits = scheme.super_bits + 16.0 / sgs
+        zp_bits = 0.0 if scheme.sym else scheme.super_bits + 16.0 / sgs
+    return scheme.bits + n_groups * (scale_bits + zp_bits) / (O * I)
+
+
+def _lm_loss(params, cfg, ids):
+    logits = llama.model_fwd(params, ids[:, :-1], cfg).astype(jnp.float32)
+    targets = ids[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+    return jnp.mean(nll)
+
+
+def gen_auto_scheme(
+    params,
+    model_cfg,
+    auto_scheme: AutoScheme,
+    input_ids: jax.Array,
+    layer_names: Optional[Sequence[str]] = None,
+) -> Dict[str, QuantizationScheme]:
+    """Return {flat_layer_name: scheme} hitting the avg-bits budget."""
+    options = [parse_scheme(o) for o in auto_scheme.options]
+    if layer_names is None:
+        layer_names = [
+            f"blocks.{i}.{ln}" for i in range(model_cfg.num_layers)
+            for ln in llama.block_linear_names(model_cfg)]
+
+    ids = input_ids[: auto_scheme.nsamples]
+
+    # one gradient pass over the quantizable leaves
+    def loss_of_blocks(blocks):
+        p = dict(params)
+        p["blocks"] = blocks
+        return _lm_loss(p, model_cfg, ids)
+
+    grads_blocks = jax.grad(loss_of_blocks)(params["blocks"])
+
+    def get_leaf(tree, flat):
+        parts = flat.split(".")
+        node = tree[int(parts[1])] if parts[0] == "blocks" else tree
+        return node[parts[2]] if parts[0] == "blocks" else node[flat]
+
+    # score every (layer, option)
+    scores = np.zeros((len(layer_names), len(options)))
+    bits_cost = np.zeros((len(layer_names), len(options)))
+    nparams = np.zeros(len(layer_names))
+
+    score_fns = []
+    for opt in options:
+        fn = get_quant_func(opt.data_type, opt.bits, opt.sym, mode="rtn")
+        kw = {}
+        if opt.super_bits is not None:
+            kw = dict(super_bits=opt.super_bits,
+                      super_group_size=opt.super_group_size)
+
+        def make(fn=fn, opt=opt, kw=kw):
+            @jax.jit
+            def s(w, g):
+                qdq = fn(w, bits=opt.bits, group_size=opt.group_size, **kw).qdq
+                return jnp.sum(jnp.abs(
+                    g.astype(jnp.float32)
+                    * (w.astype(jnp.float32) - qdq.astype(jnp.float32))))
+            return s
+        score_fns.append(make())
+
+    for li, flat in enumerate(layer_names):
+        w = get_leaf(params["blocks"], flat)
+        g = get_leaf(grads_blocks, flat)
+        nparams[li] = w.size
+        for oi, opt in enumerate(options):
+            scores[li, oi] = float(score_fns[oi](w, g))
+            bits_cost[li, oi] = scheme_storage_bits(opt, w.shape)
+
+    budget = auto_scheme.avg_bits * nparams.sum()
+    weighted_bits = bits_cost * nparams[:, None]
+
+    lo_bits = float((weighted_bits.min(1)).sum())
+    hi_bits = float((weighted_bits.max(1)).sum())
+    if not (lo_bits <= budget <= hi_bits):
+        raise ValueError(
+            f"avg_bits={auto_scheme.avg_bits} outside reachable range "
+            f"[{lo_bits/nparams.sum():.3f}, {hi_bits/nparams.sum():.3f}]")
+
+    def assign(lam):
+        return np.argmin(scores + lam * weighted_bits, axis=1)
+
+    lam_lo, lam_hi = 0.0, 1.0
+    while (weighted_bits[np.arange(len(layer_names)), assign(lam_hi)].sum()
+           > budget and lam_hi < 1e12):
+        lam_hi *= 4.0
+    for _ in range(80):
+        lam = 0.5 * (lam_lo + lam_hi)
+        used = weighted_bits[np.arange(len(layer_names)), assign(lam)].sum()
+        if used > budget:
+            lam_lo = lam
+        else:
+            lam_hi = lam
+    choice = assign(lam_hi)
+
+    # greedy refinement: spend leftover budget on the best loss-per-bit
+    # upgrades (recovers frontier points the bisection can straddle)
+    used = weighted_bits[np.arange(len(layer_names)), choice].sum()
+    improved = True
+    while improved:
+        improved = False
+        best = None
+        for li in range(len(layer_names)):
+            cur = choice[li]
+            for oi in range(len(options)):
+                extra = weighted_bits[li, oi] - weighted_bits[li, cur]
+                gain = scores[li, cur] - scores[li, oi]
+                if gain > 0 and used + extra <= budget:
+                    rate = gain / max(extra, 1e-9) if extra > 0 else np.inf
+                    if best is None or rate > best[0]:
+                        best = (rate, li, oi, extra)
+        if best is not None:
+            _, li, oi, extra = best
+            choice[li] = oi
+            used += extra
+            improved = True
+
+    plan = {flat: options[choice[li]] for li, flat in enumerate(layer_names)}
+    achieved = used / nparams.sum()
+    logger.info("AutoScheme: avg_bits target %.3f -> achieved %.3f "
+                "(est. loss damage %.4g)", auto_scheme.avg_bits, achieved,
+                float(scores[np.arange(len(layer_names)), choice].sum()))
+    return plan

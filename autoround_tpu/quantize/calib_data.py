@@ -1,0 +1,158 @@
+"""Calibration dataset handling.
+
+Role of the reference's ``auto_round/calib_dataset.py`` (named-dataset
+registry, ``get_dataloader`` ``:1136``, pad/trailing-token ``-100``
+masking in ``calibration/llm.py``): produce a fixed ``(nsamples, seqlen)``
+int32 token batch plus a validity mask.
+
+Zero-egress container note: HF hub datasets (pile-10k etc.) are registered
+but only usable when a local cache exists; ``local:`` files and raw token
+arrays always work, and ``synthetic`` provides deterministic random tokens
+for smoke tests/benchmarks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ..utils.logger import logger, warning_once
+
+__all__ = ["CALIB_DATASETS", "register_dataset", "get_calib_batch"]
+
+CALIB_DATASETS: Dict[str, Callable] = {}
+
+
+def register_dataset(name: str):
+    def deco(fn):
+        CALIB_DATASETS[name] = fn
+        return fn
+    return deco
+
+
+def _pack_texts(texts: List[str], tokenizer, nsamples: int, seqlen: int,
+                seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Tokenize, keep samples >= half seqlen, pad/truncate to seqlen.
+    Pad and trailing positions are masked 0 (the reference marks them -100,
+    ``calibration/llm.py:340-360``)."""
+    rng = np.random.default_rng(seed)
+    ids_list = []
+    for t in texts:
+        toks = tokenizer(t)
+        toks = toks["input_ids"] if isinstance(toks, dict) else toks
+        if len(toks) >= seqlen // 2:
+            ids_list.append(np.asarray(toks[: seqlen], np.int32))
+        if len(ids_list) >= nsamples * 4:
+            break
+    if not ids_list:
+        raise ValueError("no calibration sample reached seqlen/2 tokens")
+    order = rng.permutation(len(ids_list))[:nsamples]
+    batch = np.zeros((len(order), seqlen), np.int32)
+    mask = np.zeros((len(order), seqlen), np.float32)
+    for i, j in enumerate(order):
+        t = ids_list[j]
+        batch[i, : len(t)] = t
+        mask[i, : len(t)] = 1.0
+    return batch, mask
+
+
+@register_dataset("synthetic")
+def _synthetic(nsamples, seqlen, tokenizer=None, vocab_size=32000, seed=42,
+               **_):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, vocab_size, (nsamples, seqlen), dtype=np.int64)
+    return ids.astype(np.int32), np.ones((nsamples, seqlen), np.float32)
+
+
+@register_dataset("local")
+def _local(nsamples, seqlen, tokenizer=None, path=None, seed=42, **_):
+    """Local text/json/jsonl file: one sample per line, or a json list of
+    strings / {"text": ...} records (reference 'local' dataset)."""
+    assert tokenizer is not None, "local dataset needs a tokenizer"
+    texts = []
+    with open(path) as f:
+        if path.endswith(".json"):
+            data = json.load(f)
+            for item in data:
+                texts.append(item["text"] if isinstance(item, dict) else item)
+        else:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if path.endswith(".jsonl"):
+                    rec = json.loads(line)
+                    texts.append(rec["text"] if isinstance(rec, dict) else rec)
+                else:
+                    texts.append(line)
+    return _pack_texts(texts, tokenizer, nsamples, seqlen, seed)
+
+
+def _hf_dataset(hub_name: str, text_key: str = "text", split: str = "train"):
+    def load(nsamples, seqlen, tokenizer=None, seed=42, **_):
+        assert tokenizer is not None, f"{hub_name} needs a tokenizer"
+        try:
+            import datasets
+            ds = datasets.load_dataset(hub_name, split=split)
+        except Exception as e:  # zero-egress: no cache → actionable error
+            raise RuntimeError(
+                f"dataset {hub_name!r} unavailable (no network/cache): {e}"
+            ) from e
+        texts = (row[text_key] for row in ds)
+        return _pack_texts(list(texts)[: nsamples * 8], tokenizer, nsamples,
+                           seqlen, seed)
+    return load
+
+
+# reference dataset registry surface (calib_dataset.py:62+)
+for _name, _hub, _key in [
+    ("pile-10k", "NeelNanda/pile-10k", "text"),
+    ("pile-val-backup", "mit-han-lab/pile-val-backup", "text"),
+    ("ultrachat_200k", "HuggingFaceH4/ultrachat_200k", "prompt"),
+    ("mbpp", "mbpp", "text"),
+    ("github-code-clean", "codeparrot/github-code-clean", "code"),
+]:
+    CALIB_DATASETS[_name] = _hf_dataset(_hub, _key)
+
+
+def get_calib_batch(
+    dataset: Union[str, np.ndarray, List[List[int]]],
+    nsamples: int = 128,
+    seqlen: int = 2048,
+    tokenizer=None,
+    vocab_size: int = 32000,
+    seed: int = 42,
+    **kw,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Resolve a dataset spec into (input_ids, mask).
+
+    Accepts: a registered name ("pile-10k", "synthetic", "local:<path>"),
+    a raw (nsamples, seqlen) token array, or a list of token lists.
+    Mixing syntax "name1:frac,name2" of the reference is deferred.
+    """
+    if isinstance(dataset, np.ndarray):
+        ids = dataset.astype(np.int32)
+        return ids, np.ones(ids.shape, np.float32)
+    if isinstance(dataset, (list, tuple)):
+        batch = np.zeros((min(len(dataset), nsamples), seqlen), np.int32)
+        mask = np.zeros_like(batch, dtype=np.float32)
+        for i, toks in enumerate(dataset[:nsamples]):
+            t = np.asarray(toks[:seqlen], np.int32)
+            batch[i, : len(t)] = t
+            mask[i, : len(t)] = 1.0
+        return batch, mask
+    if isinstance(dataset, str):
+        if dataset.startswith("local:"):
+            return CALIB_DATASETS["local"](
+                nsamples, seqlen, tokenizer=tokenizer,
+                path=dataset.split(":", 1)[1], seed=seed)
+        if dataset in CALIB_DATASETS:
+            return CALIB_DATASETS[dataset](
+                nsamples, seqlen, tokenizer=tokenizer,
+                vocab_size=vocab_size, seed=seed, **kw)
+        raise ValueError(
+            f"unknown dataset {dataset!r}; known: {sorted(CALIB_DATASETS)}")
+    raise TypeError(f"cannot build calib batch from {type(dataset)}")

@@ -24,6 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..algorithms.actquant import (
+    build_static_act_scales,
+    collect_act_stats,
+    collect_imatrix,
+    make_act_quant_linear_fn,
+)
 from ..algorithms.rtn import rtn_quantize_layer
 from ..algorithms.signround import TuneConfig, make_qdq_weights, tune_block
 from ..dtypes.intq import QdqResult
@@ -51,6 +57,12 @@ class QuantizeConfig:
     dynamic_max_gap: int = -1
     gradient_accumulate_steps: int = 1
     cache_batch: int = 8  # batch size for cache-advance forwards
+    enable_alg_ext: bool = False
+    use_imatrix: bool = False  # opt-RTN: imatrix-weighted scale search
+    # crash-resume directory (reference AR_RESUME_DIR).  Opt-in: each block
+    # persists its payload + the chained caches (device→host copies — slow
+    # over a TPU tunnel, cheap on a real host).
+    resume_dir: Optional[str] = None
 
     def tune_config(self) -> TuneConfig:
         return TuneConfig(
@@ -61,18 +73,22 @@ class QuantizeConfig:
             use_best_params=self.use_best_params,
             dynamic_max_gap=self.dynamic_max_gap,
             gradient_accumulate_steps=self.gradient_accumulate_steps,
+            enable_alg_ext=self.enable_alg_ext,
         )
 
 
 @dataclass
 class QuantizedLayer:
-    """Export payload for one layer: qdq weight + scale/zp + scheme."""
+    """Export payload for one layer: qdq weight + scale/zp + scheme,
+    plus static activation scales when the scheme quantizes activations."""
 
     name: str
     scheme: QuantizationScheme
     qdq: jax.Array
     scale: jax.Array
     zp: Optional[jax.Array]
+    act_scale: Optional[jax.Array] = None       # static act scale (FP8/int)
+    act_global_scale: Optional[jax.Array] = None  # NVFP4 global scale
 
 
 @dataclass
@@ -82,10 +98,12 @@ class QuantizeResult:
     loss_traces: Dict[int, np.ndarray] = field(default_factory=dict)
 
 
-def _batched_block_apply(block_weights, x, cos, sin, cfg, batch: int):
+def _batched_block_apply(block_weights, x, cos, sin, cfg, batch: int,
+                         linear_fn=None):
     """Advance a cache through one block in jitted batches (static shapes)."""
     n = x.shape[0]
-    fn = jax.jit(lambda w, xb: llama.block_fwd(w, xb, cos, sin, cfg))
+    fn = jax.jit(lambda w, xb: llama.block_fwd(w, xb, cos, sin, cfg,
+                                               linear_fn=linear_fn))
     outs = []
     for s in range(0, n, batch):
         e = min(s + batch, n)
@@ -104,10 +122,14 @@ def _finalize_layer(name, w, scheme, tune_params, tcfg) -> QuantizedLayer:
     """Re-run the qdq once with the best params to harvest scale/zp."""
     fn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym)
     p = tune_params.get(name.split(".")[-1], {}) if tune_params else {}
+    kw = {}
+    if scheme.super_bits is not None:
+        kw.update(super_bits=scheme.super_bits,
+                  super_group_size=scheme.super_group_size)
     r: QdqResult = fn(
         w, bits=scheme.bits, group_size=scheme.group_size,
         v=p.get("v"), min_scale=p.get("min_scale"), max_scale=p.get("max_scale"),
-        clip_lo=tcfg.clip_lo, clip_hi=tcfg.clip_hi)
+        clip_lo=tcfg.clip_lo, clip_hi=tcfg.clip_hi, **kw)
     return QuantizedLayer(name=name, scheme=scheme, qdq=r.qdq, scale=r.scale,
                           zp=r.zp)
 
@@ -146,8 +168,37 @@ def quantize_model(
     layers: Dict[str, QuantizedLayer] = {}
     traces: Dict[int, np.ndarray] = {}
 
+    # crash-resume (reference AR_RESUME_DIR, utils/resume.py)
+    import os as _os
+    resume = None
+    start_block = 0
+    resume_dir = cfg.resume_dir or _os.environ.get("AR_RESUME_DIR")
+    if resume_dir:
+        from ..utils.resume import ResumeState, run_signature
+        sig = run_signature(model_cfg, layer_schemes, input_ids, cfg)
+        resume = ResumeState(resume_dir, sig)
+        start_block = resume.next_block()
+
     for bi, block in enumerate(params["blocks"]):
         schemes = per_block.get(bi, {})
+        if resume is not None and bi < start_block:
+            payload = resume.load_block(bi)
+            qdq_block = dict(block)
+            for lname, scheme in schemes.items():
+                qdq = jnp.asarray(payload[f"{lname}.qdq"])
+                qdq_block[lname] = qdq.astype(block[lname].dtype)
+                zp_key = f"{lname}.zp"
+                layers[f"blocks.{bi}.{lname}"] = QuantizedLayer(
+                    name=f"blocks.{bi}.{lname}", scheme=scheme, qdq=qdq,
+                    scale=jnp.asarray(payload[f"{lname}.scale"]),
+                    zp=(jnp.asarray(payload[zp_key])
+                        if zp_key in payload else None))
+            new_blocks.append(qdq_block)
+            if bi == start_block - 1:
+                fp_np, q_np = resume.load_chain(bi)
+                x_fp = jnp.asarray(fp_np, x_fp.dtype)
+                x_q = None if q_np is None else jnp.asarray(q_np, x_fp.dtype)
+            continue
         ref_out = _batched_block_apply(block, x_fp, cos, sin, model_cfg,
                                        cfg.cache_batch)
         if not schemes:
@@ -156,11 +207,32 @@ def quantize_model(
             if x_q is not None:
                 x_q = _batched_block_apply(block, x_q, cos, sin, model_cfg,
                                            cfg.cache_batch)
+            if resume is not None:
+                resume.mark_block_done(
+                    bi, {"_empty": np.zeros((1,), np.int8)},
+                    np.asarray(x_fp), None if x_q is None else np.asarray(x_q))
             continue
+
+        # activation quantization: collect per-layer amax on the FP pass
+        # (reference act_max hooks fire during the FP reference forward),
+        # derive static/global scales, and build the interceptor.
+        act_lf = None
+        static_scales: Dict[str, jax.Array] = {}
+        global_scales: Dict[str, jax.Array] = {}
+        if any(s.effective_act().is_act_quantized for s in schemes.values()):
+            amax = collect_act_stats(
+                lambda w, xb, lf: llama.block_fwd(w, xb, cos, sin, model_cfg,
+                                                  linear_fn=lf),
+                block, x_fp[: cfg.cache_batch], set(schemes))
+            static_scales, global_scales = build_static_act_scales(
+                schemes, amax)
+            act_lf = make_act_quant_linear_fn(schemes, static_scales,
+                                              global_scales)
 
         if cfg.iters > 0:
             tune_in = x_q if x_q is not None else x_fp
-            block_fn = lambda w, xb: llama.block_fwd(w, xb, cos, sin, model_cfg)
+            block_fn = lambda w, xb: llama.block_fwd(
+                w, xb, cos, sin, model_cfg, linear_fn=act_lf)
             best, info = tune_block(
                 block_fn, block, tune_in, ref_out, schemes, tcfg, mask=mask)
             traces[bi] = info["loss_trace"]
@@ -174,21 +246,44 @@ def quantize_model(
                 qdq_block[lname] = ql.qdq.astype(block[lname].dtype)
                 layers[ql.name] = ql
         else:
+            im: Dict[str, jax.Array] = {}
+            if cfg.use_imatrix:
+                im = collect_imatrix(
+                    lambda w, xb, lf: llama.block_fwd(
+                        w, xb, cos, sin, model_cfg, linear_fn=lf),
+                    block, x_fp[: cfg.cache_batch], set(schemes))
             qdq_block = dict(block)
             for lname, scheme in schemes.items():
-                r = rtn_quantize_layer(block[lname], scheme)
+                r = rtn_quantize_layer(block[lname], scheme,
+                                       imatrix=im.get(lname))
                 qdq_block[lname] = r.qdq.astype(block[lname].dtype)
                 layers[f"blocks.{bi}.{lname}"] = QuantizedLayer(
                     name=f"blocks.{bi}.{lname}", scheme=scheme, qdq=r.qdq,
                     scale=r.scale, zp=r.zp)
+        for lname in schemes:
+            ql = layers[f"blocks.{bi}.{lname}"]
+            ql.act_scale = static_scales.get(lname)
+            ql.act_global_scale = global_scales.get(lname)
 
         new_blocks.append(qdq_block)
-        # advance chains
+        # advance chains (q-chain keeps act quant active, like the
+        # reference's persistent WrapperWALayer)
         x_fp = ref_out
         if x_q is not None:
-            tune_in = x_q
-            x_q = _batched_block_apply(qdq_block, tune_in, cos, sin, model_cfg,
-                                       cfg.cache_batch)
+            x_q = _batched_block_apply(qdq_block, x_q, cos, sin, model_cfg,
+                                       cfg.cache_batch, linear_fn=act_lf)
+        if resume is not None:
+            payload = {}
+            for lname in schemes:
+                ql = layers[f"blocks.{bi}.{lname}"]
+                payload[f"{lname}.qdq"] = np.asarray(ql.qdq, np.float32)
+                payload[f"{lname}.scale"] = np.asarray(ql.scale, np.float32)
+                if ql.zp is not None:
+                    payload[f"{lname}.zp"] = np.asarray(ql.zp, np.float32)
+            # durable write before the manifest marks the block done
+            resume.mark_block_done(
+                bi, payload, np.asarray(x_fp),
+                None if x_q is None else np.asarray(x_q))
 
     new_params = dict(params)
     new_params["blocks"] = new_blocks

@@ -1,0 +1,216 @@
+"""Quantized serving engine: packed weights + KV cache + decode loop.
+
+New capability vs the reference (SURVEY.md §7 "Serving engine" — the
+reference only provides QuantLinear kernels consumed by HF/vLLM): packed
+int4 weights stay HBM-resident in the nibble-plane layout and every
+projection hits the fused Pallas dequant+matmul (``ops/qmatmul``); the KV
+cache is a preallocated functional buffer updated with dynamic slices, so
+prefill and every decode step are two fixed-shape jitted executables.
+
+Single-chip in this milestone; the mesh-sharded variant (weights/KV over
+``tp``) rides on parallel/mesh.py next.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..ops.qmatmul import pack_w4_planes, w4a16_matmul
+from ..quantize.orchestrator import QuantizeResult
+from ..utils.logger import logger
+
+__all__ = ["KVCache", "QuantizedLlama"]
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (L, B, T, n_kv, hd)
+    v: jax.Array
+    length: jax.Array  # () int32 — tokens filled so far
+
+
+def _init_cache(cfg: llama.LlamaConfig, batch: int, max_seq: int,
+                n_layers: int) -> KVCache:
+    shape = (n_layers, batch, max_seq, cfg.num_kv_heads, cfg.hd)
+    return KVCache(
+        k=jnp.zeros(shape, cfg.dtype),
+        v=jnp.zeros(shape, cfg.dtype),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+@dataclass(eq=False)
+class QuantizedLlama:
+    """Serving-side model: packed quantized layers + bf16 residue.
+
+    Build with :meth:`from_quantize_result` (codes derived from the qdq
+    grid) and run :meth:`prefill` / :meth:`decode_step` / :meth:`generate`.
+    """
+
+    cfg: llama.LlamaConfig
+    params: Dict[str, Any]                 # non-quantized leaves (bf16)
+    packed: Dict[str, Tuple[jax.Array, jax.Array]]  # name -> (qweight, scales)
+    max_seq: int = 2048
+
+    def __post_init__(self):
+        # jitted entry points close over static config; weights flow in as
+        # arguments so XLA treats them as runtime buffers, compiled once.
+        self._prefill_c = jax.jit(self._prefill_impl)
+        self._decode_c = jax.jit(self._decode_impl)
+
+    @classmethod
+    def from_quantize_result(cls, result: QuantizeResult,
+                             cfg: llama.LlamaConfig,
+                             max_seq: int = 2048) -> "QuantizedLlama":
+        packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
+        params = jax.tree.map(lambda x: x, result.params)
+        for name, ql in result.layers.items():
+            s = ql.scheme
+            g = s.group_size if isinstance(s.group_size, int) else 0
+            eligible = (s.data_type == "int" and s.bits == 4 and s.sym
+                        and g >= 128 and ql.qdq.shape[1] % (8 * g) == 0)
+            if not eligible:
+                continue  # stays as qdq bf16 weights (fake-quant serving)
+            qdq = np.asarray(ql.qdq, np.float32)
+            scale = np.asarray(ql.scale, np.float32)
+            # codes = round(qdq/scale) + 8 (sym full-range, signed scale)
+            srep = np.repeat(scale, g, axis=1)[:, : qdq.shape[1]]
+            codes = np.clip(np.rint(qdq / srep) + 8, 0, 15).astype(np.uint32)
+            qw = pack_w4_planes(jnp.asarray(codes.astype(np.int32)), g)
+            packed[name] = (qw, jnp.asarray(scale))
+            # drop the dense copy from the block params
+            parts = name.split(".")
+            if parts[0] == "blocks":
+                params["blocks"][int(parts[1])][parts[2]] = None
+        n_packed = len(packed)
+        logger.info("serving engine: %d layers packed int4, rest dense",
+                    n_packed)
+        return cls(cfg=cfg, params=params, packed=packed, max_seq=max_seq)
+
+    # -- linear interceptor: packed kernel or dense fallback --
+    @staticmethod
+    def _make_linear_fn(packed, block_idx: int):
+        def lf(name, x, w, b=None):
+            key = f"blocks.{block_idx}.{name}"
+            if key in packed:
+                qw, scales = packed[key]
+                group_size = (qw.shape[1] * 8) // scales.shape[1]
+                y = w4a16_matmul(x, qw, scales, group_size)
+            else:
+                y = jnp.einsum("...i,oi->...o", x, w)
+            if b is not None:
+                y = y + b
+            return y
+
+        return lf
+
+    def prefill(self, input_ids: jax.Array) -> Tuple[jax.Array, KVCache]:
+        """Run the prompt, return (logits_last, cache)."""
+        return self._prefill_c(self.params, self.packed,
+                               jnp.asarray(input_ids))
+
+    def _prefill_impl(self, params, packed, input_ids):
+        cfg = self.cfg
+        B, S = input_ids.shape
+        cache = _init_cache(cfg, B, self.max_seq, cfg.num_layers)
+        x = llama.embed_fwd(params, input_ids, cfg)
+        cos, sin = llama.rope_tables(cfg, S)
+        ks, vs = [], []
+        for i in range(cfg.num_layers):
+            x, k_new, v_new = _block_with_cache(
+                params["blocks"][i], x, cos, sin, cfg,
+                None, None, self._make_linear_fn(packed, i))
+            ks.append(k_new)
+            vs.append(v_new)
+        k_stack = jnp.stack(ks)  # (L, B, S, n_kv, hd)
+        v_stack = jnp.stack(vs)
+        cache = KVCache(
+            k=jax.lax.dynamic_update_slice(
+                cache.k, k_stack.astype(cache.k.dtype), (0, 0, 0, 0, 0)),
+            v=jax.lax.dynamic_update_slice(
+                cache.v, v_stack.astype(cache.v.dtype), (0, 0, 0, 0, 0)),
+            length=jnp.asarray(S, jnp.int32),
+        )
+        logits = llama.final_fwd(params, x[:, -1:], cfg)
+        return logits[:, 0], cache
+
+    def decode_step(self, token: jax.Array, cache: KVCache
+                    ) -> Tuple[jax.Array, KVCache]:
+        """One token for the whole batch: token (B,) → (logits (B, V), cache)."""
+        return self._decode_c(self.params, self.packed, token, cache)
+
+    def _decode_impl(self, params, packed, token, cache):
+        cfg = self.cfg
+        pos = cache.length
+        x = llama.embed_fwd(params, token[:, None], cfg)
+        cos, sin = llama.rope_tables(cfg, 1, positions=pos[None])
+        new_k, new_v = cache.k, cache.v
+        for i in range(cfg.num_layers):
+            x, k_new, v_new = _block_with_cache(
+                params["blocks"][i], x, cos, sin, cfg,
+                (new_k[i], new_v[i]), pos, self._make_linear_fn(packed, i))
+            new_k = jax.lax.dynamic_update_slice(
+                new_k, k_new[None].astype(new_k.dtype), (i, 0, pos, 0, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                new_v, v_new[None].astype(new_v.dtype), (i, 0, pos, 0, 0))
+        logits = llama.final_fwd(params, x, cfg)
+        return logits[:, 0], KVCache(new_k, new_v, pos + 1)
+
+    def generate(self, input_ids: jax.Array, max_new_tokens: int = 32,
+                 ) -> jax.Array:
+        """Greedy generation.  Returns (B, max_new_tokens) token ids."""
+        logits, cache = self.prefill(jnp.asarray(input_ids))
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        out = [tok]
+        for _ in range(max_new_tokens - 1):
+            logits, cache = self.decode_step(tok, cache)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            out.append(tok)
+        return jnp.stack(out, axis=1)
+
+
+def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf):
+    """Decoder block returning (out, k_new, v_new); kv=(k_all, v_all) with
+    valid length ``pos`` enables decode attention over the cache."""
+    B, S, H = x.shape
+    hd = cfg.hd
+    h = llama.rms_norm(x, weights["input_layernorm"], cfg.rms_eps)
+    q = lf("q_proj", h, weights["q_proj"], weights.get("q_bias"))
+    k = lf("k_proj", h, weights["k_proj"], weights.get("k_bias"))
+    v = lf("v_proj", h, weights["v_proj"], weights.get("v_bias"))
+    q = q.reshape(B, S, cfg.num_heads, hd)
+    k = k.reshape(B, S, cfg.num_kv_heads, hd)
+    v = v.reshape(B, S, cfg.num_kv_heads, hd)
+    q = llama.apply_rope(q, cos, sin)
+    k = llama.apply_rope(k, cos, sin)
+    k_new, v_new = k, v
+
+    if kv is None:
+        attn = llama.attention(q, k, v, None, cfg)
+    else:
+        k_all, v_all = kv  # (B, T, n_kv, hd) preallocated
+        T = k_all.shape[1]
+        k_full = jax.lax.dynamic_update_slice(
+            k_all, k.astype(k_all.dtype), (0, pos, 0, 0))
+        v_full = jax.lax.dynamic_update_slice(
+            v_all, v.astype(v_all.dtype), (0, pos, 0, 0))
+        # mask positions beyond pos (+ current token)
+        idx = jnp.arange(T)
+        valid = idx <= pos  # current token at index pos
+        bias = jnp.where(valid, 0.0, -1e30)[None, None, None, :]
+        # attention() expects mask broadcastable to (B, nh, S, T)
+        attn = llama.attention(q, k_full, v_full, bias, cfg)
+    attn = attn.reshape(B, S, -1)
+    x = x + lf("o_proj", attn, weights["o_proj"])
+
+    h = llama.rms_norm(x, weights["post_attention_layernorm"], cfg.rms_eps)
+    gate = jax.nn.silu(lf("gate_proj", h, weights["gate_proj"]))
+    up = lf("up_proj", h, weights["up_proj"])
+    x = x + lf("down_proj", gate * up, weights["down_proj"])
+    return x, k_new, v_new

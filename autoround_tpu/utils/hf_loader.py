@@ -1,0 +1,154 @@
+"""HF checkpoint ↔ functional pytree conversion for llama-family models.
+
+Role of the reference's model loading (``auto_round/utils/model.py``
+``llm_load_model`` + checkpoint-name conversion): read a HuggingFace
+llama/qwen2/mistral safetensors checkpoint (sharded or single-file) into
+the ``models.llama`` parameter pytree, and write one back (used to
+fabricate test fixtures and to emit qdq "fake" checkpoints HF tools can
+load).
+
+Weights stay in the HF (out, in) layout — identical to ours, so loading is
+copy-free aside from dtype casts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import LlamaConfig
+from .logger import logger
+
+__all__ = ["load_hf_checkpoint", "save_hf_checkpoint", "config_from_hf"]
+
+_BLOCK_MAP = {
+    "self_attn.q_proj.weight": "q_proj",
+    "self_attn.k_proj.weight": "k_proj",
+    "self_attn.v_proj.weight": "v_proj",
+    "self_attn.o_proj.weight": "o_proj",
+    "self_attn.q_proj.bias": "q_bias",
+    "self_attn.k_proj.bias": "k_bias",
+    "self_attn.v_proj.bias": "v_bias",
+    "mlp.gate_proj.weight": "gate_proj",
+    "mlp.up_proj.weight": "up_proj",
+    "mlp.down_proj.weight": "down_proj",
+    "input_layernorm.weight": "input_layernorm",
+    "post_attention_layernorm.weight": "post_attention_layernorm",
+}
+_TOP_MAP = {
+    "model.embed_tokens.weight": "embed_tokens",
+    "model.norm.weight": "norm",
+    "lm_head.weight": "lm_head",
+}
+
+
+def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
+    """HF config.json dict → LlamaConfig."""
+    return LlamaConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"],
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=cfg["num_attention_heads"],
+        num_kv_heads=cfg.get("num_key_value_heads",
+                             cfg["num_attention_heads"]),
+        head_dim=cfg.get("head_dim"),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        rms_eps=cfg.get("rms_norm_eps", 1e-5),
+        tie_embeddings=cfg.get("tie_word_embeddings", False),
+        attn_bias=cfg.get("attention_bias",
+                          cfg.get("model_type") == "qwen2"),
+        dtype=dtype,
+    )
+
+
+def _iter_shards(path: str):
+    from safetensors import safe_open
+
+    index_path = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        shard_files = sorted(set(index["weight_map"].values()))
+    else:
+        shard_files = ["model.safetensors"]
+    for shard in shard_files:
+        with safe_open(os.path.join(path, shard), framework="numpy") as f:
+            for key in f.keys():
+                yield key, f.get_tensor(key)
+
+
+def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
+                       ) -> Tuple[Dict[str, Any], LlamaConfig]:
+    """Load an HF llama/qwen2/mistral checkpoint directory."""
+    with open(os.path.join(path, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = config_from_hf(hf_cfg, dtype)
+
+    blocks = [dict() for _ in range(cfg.num_layers)]
+    params: Dict[str, Any] = {"blocks": blocks}
+    n = 0
+    for key, tensor in _iter_shards(path):
+        arr = jnp.asarray(tensor).astype(dtype)
+        if key in _TOP_MAP:
+            params[_TOP_MAP[key]] = arr
+            n += 1
+            continue
+        if key.startswith("model.layers."):
+            rest = key[len("model.layers."):]
+            li, sub = rest.split(".", 1)
+            if sub in _BLOCK_MAP:
+                blocks[int(li)][_BLOCK_MAP[sub]] = arr
+                n += 1
+                continue
+        logger.debug("skipping unmapped tensor %s", key)
+    if cfg.tie_embeddings:
+        params.pop("lm_head", None)
+    missing = [i for i, b in enumerate(blocks) if "q_proj" not in b]
+    if missing:
+        raise ValueError(f"blocks missing attention weights: {missing}")
+    logger.info("loaded %d tensors from %s", n, path)
+    return params, cfg
+
+
+def save_hf_checkpoint(params: Dict[str, Any], cfg: LlamaConfig, path: str,
+                       hf_extra: Optional[Dict[str, Any]] = None) -> str:
+    """Write params as an HF-layout single-shard safetensors checkpoint."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    inv_block = {v: k for k, v in _BLOCK_MAP.items()}
+    tensors: Dict[str, np.ndarray] = {}
+    for hf_key, ours in _TOP_MAP.items():
+        if ours in params:
+            tensors[hf_key] = np.asarray(params[ours])
+    for li, block in enumerate(params["blocks"]):
+        for ours, arr in block.items():
+            if ours in inv_block:
+                tensors[f"model.layers.{li}.{inv_block[ours]}"] = np.asarray(arr)
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+
+    hf_cfg = {
+        "model_type": "qwen2" if cfg.attn_bias else "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_eps,
+        "tie_word_embeddings": cfg.tie_embeddings,
+        "attention_bias": cfg.attn_bias,
+        "torch_dtype": "bfloat16",
+    }
+    if hf_extra:
+        hf_cfg.update(hf_extra)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+    return path

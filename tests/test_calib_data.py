@@ -1,0 +1,58 @@
+"""Calibration data layer tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from autoround_tpu.quantize.calib_data import CALIB_DATASETS, get_calib_batch
+
+
+class FakeTokenizer:
+    def __call__(self, text):
+        return {"input_ids": [ord(c) % 250 for c in text]}
+
+
+class TestCalibData:
+    def test_synthetic(self):
+        ids, mask = get_calib_batch("synthetic", nsamples=8, seqlen=32,
+                                    vocab_size=100)
+        assert ids.shape == (8, 32) and ids.max() < 100
+        assert mask.all()
+        ids2, _ = get_calib_batch("synthetic", nsamples=8, seqlen=32,
+                                  vocab_size=100)
+        np.testing.assert_array_equal(ids, ids2)  # deterministic
+
+    def test_raw_array(self):
+        arr = np.arange(64).reshape(4, 16)
+        ids, mask = get_calib_batch(arr)
+        np.testing.assert_array_equal(ids, arr)
+
+    def test_token_lists_padded_and_masked(self):
+        data = [[1] * 20, [2] * 10]
+        ids, mask = get_calib_batch(data, nsamples=2, seqlen=16)
+        assert ids.shape == (2, 16)
+        assert mask[0].sum() == 16 and mask[1].sum() == 10
+        assert (ids[1, 10:] == 0).all()
+
+    def test_local_file(self, tmp_path):
+        p = tmp_path / "texts.jsonl"
+        with open(p, "w") as f:
+            for i in range(20):
+                f.write(json.dumps({"text": "hello world " * 30}) + "\n")
+        ids, mask = get_calib_batch(f"local:{p}", nsamples=4, seqlen=64,
+                                    tokenizer=FakeTokenizer())
+        assert ids.shape == (4, 64)
+        assert mask.sum() > 0
+
+    def test_unknown_dataset_raises(self):
+        with pytest.raises(ValueError):
+            get_calib_batch("not-a-dataset", nsamples=2, seqlen=8)
+
+    def test_reference_dataset_names_registered(self):
+        for name in ["pile-10k", "pile-val-backup", "synthetic", "local"]:
+            assert name in CALIB_DATASETS
+
+    def test_hub_dataset_unavailable_is_actionable(self):
+        with pytest.raises(RuntimeError, match="unavailable"):
+            CALIB_DATASETS["pile-10k"](2, 8, tokenizer=FakeTokenizer())

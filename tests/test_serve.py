@@ -1,0 +1,77 @@
+"""Serving engine tests: prefill/decode vs full forward, packed-vs-dense
+parity (CPU runs the kernel's XLA reference path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoround_tpu import AutoRound
+from autoround_tpu.models import llama
+from autoround_tpu.serve import QuantizedLlama
+
+
+@pytest.fixture(scope="module")
+def quantized():
+    # dims compatible with int4 packing (in_features % 1024 == 0 for g=128)
+    cfg = llama.LlamaConfig(vocab_size=128, hidden_size=1024,
+                            intermediate_size=1024, num_layers=2,
+                            num_heads=4, num_kv_heads=2, rope_theta=1e4,
+                            dtype=jnp.float32)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 128)
+    res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+    return cfg, params, res
+
+
+class TestEngine:
+    def test_packs_all_int4_layers(self, quantized):
+        cfg, params, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=64)
+        assert len(eng.packed) == cfg.num_layers * 7
+
+    def test_prefill_matches_model_fwd(self, quantized):
+        cfg, params, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=64)
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 128)
+        logits, cache = eng.prefill(ids)
+        want = llama.model_fwd(res.params, ids, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+        assert int(cache.length) == 8
+
+    def test_decode_matches_full_forward(self, quantized):
+        cfg, params, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=64)
+        ids = jax.random.randint(jax.random.PRNGKey(3), (1, 8), 0, 128)
+        logits, cache = eng.prefill(ids)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits2, cache2 = eng.decode_step(tok, cache)
+        # compare with running the full sequence through model_fwd
+        seq = jnp.concatenate([ids, tok[:, None]], axis=1)
+        want = llama.model_fwd(res.params, seq, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits2, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+        assert int(cache2.length) == 9
+
+    def test_generate_deterministic(self, quantized):
+        cfg, params, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=64)
+        ids = jax.random.randint(jax.random.PRNGKey(4), (2, 4), 0, 128)
+        out1 = eng.generate(ids, max_new_tokens=6)
+        out2 = eng.generate(ids, max_new_tokens=6)
+        assert out1.shape == (2, 6)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def test_unpackable_scheme_stays_dense(self):
+        cfg = llama.CONFIG_PRESETS["tiny"]  # hidden 64: not packable
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        assert len(eng.packed) == 0  # falls back to qdq-dense serving
+        logits, cache = eng.prefill(ids[:1])
+        assert np.isfinite(np.asarray(logits)).all()
