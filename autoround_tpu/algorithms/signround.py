@@ -32,6 +32,7 @@ import numpy as np
 
 from ..dtypes.registry import get_quant_func
 from ..schemes import QuantizationScheme
+from ..utils.pytree import get_by_path, set_by_path
 from .signsgd import sign_sgd
 
 __all__ = ["TuneConfig", "TuneResult", "init_tune_params", "make_qdq_weights",
@@ -130,7 +131,7 @@ def init_tune_params(
     With ``enable_alg_ext``, max_scale seeds from a per-group search."""
     params = {}
     for name, scheme in schemes.items():
-        w = weights[name]
+        w = get_by_path(weights, name)
         O, I = w.shape
         g = scheme.group_size if scheme.group_size not in (-1, 0) else I
         if isinstance(g, tuple):
@@ -163,8 +164,9 @@ def make_qdq_weights(
     """Substitute qdq'd weights for every tuned layer; pass the rest through.
 
     ``extras`` carries per-layer static tensors (imatrix, global_scale...).
+    Layer names may be dotted paths into nested structures (MoE experts).
     """
-    out = dict(weights)
+    out = weights
     for name, scheme in schemes.items():
         fn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym)
         p = tune_params.get(name, {})
@@ -173,7 +175,7 @@ def make_qdq_weights(
             kw.setdefault("super_bits", scheme.super_bits)
             kw.setdefault("super_group_size", scheme.super_group_size)
         r = fn(
-            weights[name],
+            get_by_path(weights, name),
             bits=scheme.bits,
             group_size=scheme.group_size,
             v=p.get("v"),
@@ -183,7 +185,7 @@ def make_qdq_weights(
             clip_hi=cfg.clip_hi,
             **kw,
         )
-        out[name] = r.qdq
+        out = set_by_path(out, name, r.qdq)
     return out
 
 
@@ -245,8 +247,7 @@ def tune_block(
     batch_idx = jnp.asarray(
         all_idx.reshape(cfg.iters, cfg.gradient_accumulate_steps, bs))
 
-    tune_params = init_tune_params(
-        {k: weights[k] for k in schemes}, schemes, cfg)
+    tune_params = init_tune_params(weights, schemes, cfg)
 
     lr_scale = cfg.resolved_minmax_lr() / max(cfg.resolved_lr(), 1e-12)
     opt_init, opt_update = sign_sgd(

@@ -58,11 +58,14 @@ class AutoRound:
         gradient_accumulate_steps: int = 1,
         **kw,
     ):
+        from .models.registry import ALL_PRESETS, get_model_fns
         if isinstance(model, str):
-            cfg = llama.CONFIG_PRESETS[model]
-            params = llama.init_params(cfg, jax.random.PRNGKey(seed))
+            cfg = ALL_PRESETS[model]
+            params = get_model_fns(cfg).init_params(cfg,
+                                                    jax.random.PRNGKey(seed))
         else:
             params, cfg = model
+        self._mfns = get_model_fns(cfg)
         self.params = params
         self.model_cfg = cfg
         from .quantize.auto_scheme import AutoScheme as _AutoScheme
@@ -77,9 +80,9 @@ class AutoRound:
         else:
             self.scheme = parse_scheme(scheme)
             self.layer_schemes = resolve_layer_schemes(
-                cfg.num_layers, llama.block_linear_names(cfg), self.scheme,
-                layer_config=layer_config, ignore_layers=ignore_layers,
-                quant_lm_head=quant_lm_head)
+                cfg.num_layers, self._mfns.block_linear_names(cfg),
+                self.scheme, layer_config=layer_config,
+                ignore_layers=ignore_layers, quant_lm_head=quant_lm_head)
         self.cfg = QuantizeConfig(
             iters=iters, lr=lr, minmax_lr=minmax_lr, batch_size=batch_size,
             seed=seed, enable_quanted_input=enable_quanted_input,

@@ -80,9 +80,11 @@ def main(argv=None) -> int:
     nsamples = recipe.pop("nsamples")
     seqlen = recipe.pop("seqlen")
 
-    if args.model in llama.CONFIG_PRESETS:
-        cfg = llama.CONFIG_PRESETS[args.model]
-        params = llama.init_params(cfg, jax.random.PRNGKey(args.seed))
+    from .models.registry import ALL_PRESETS, get_model_fns
+    if args.model in ALL_PRESETS:
+        cfg = ALL_PRESETS[args.model]
+        params = get_model_fns(cfg).init_params(
+            cfg, jax.random.PRNGKey(args.seed))
         tokenizer = None
     else:
         from .utils.hf_loader import load_hf_checkpoint

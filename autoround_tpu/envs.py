@@ -1,0 +1,39 @@
+"""Environment-variable flag system.
+
+Role of the reference's ``auto_round/envs.py`` (vLLM-style lazy
+``environment_variables`` dict): every knob is a named lazy accessor so
+``import autoround_tpu.envs as envs; envs.AR_LOG_LEVEL`` reads the
+current process environment at access time.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict
+
+environment_variables: Dict[str, Callable[[], Any]] = {
+    # logging level for the package logger (TRACE/DEBUG/INFO/...)
+    "AR_LOG_LEVEL": lambda: os.environ.get("AR_LOG_LEVEL", "INFO"),
+    # crash-resume directory (see utils/resume.py)
+    "AR_RESUME_DIR": lambda: os.environ.get("AR_RESUME_DIR"),
+    # worker processes for the model-free shard compressor
+    "AR_MODEL_FREE_SHARD_PARALLELISM": lambda: int(
+        os.environ.get("AR_MODEL_FREE_SHARD_PARALLELISM", "1")),
+    # enable tuning of activation static scales (reference parity flag)
+    "AR_ENABLE_ACT_MINMAX_TUNING": lambda: os.environ.get(
+        "AR_ENABLE_ACT_MINMAX_TUNING", "0") == "1",
+    # scratch/workspace directory
+    "AR_WORK_SPACE": lambda: os.environ.get("AR_WORK_SPACE", "/tmp/ar_tpu"),
+    # memory log verbosity (per-block memory summaries)
+    "AR_LOG_MEMORY": lambda: os.environ.get("AR_LOG_MEMORY", "0") == "1",
+}
+
+
+def __getattr__(name: str):
+    if name in environment_variables:
+        return environment_variables[name]()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return list(environment_variables)

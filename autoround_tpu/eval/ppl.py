@@ -20,9 +20,12 @@ def lm_nll(params: Dict[str, Any], cfg: llama.LlamaConfig,
     input_ids = jnp.asarray(input_ids)
     N, S = input_ids.shape
 
+    from ..models.registry import get_model_fns
+    model_fwd = get_model_fns(cfg).model_fwd
+
     @jax.jit
     def nll_batch(ids, m):
-        logits = llama.model_fwd(params, ids[:, :-1], cfg).astype(jnp.float32)
+        logits = model_fwd(params, ids[:, :-1], cfg).astype(jnp.float32)
         targets = ids[:, 1:]
         logp = jax.nn.log_softmax(logits, axis=-1)
         tok_nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]

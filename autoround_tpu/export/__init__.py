@@ -102,7 +102,10 @@ def save_quantized(result, model_cfg, output_dir: str,
     if format == "fake":
         tensors = _flatten_params(result.params)
         save_file(tensors, os.path.join(output_dir, "model.safetensors"))
-    elif format == "autoround":
+    elif format in ("autoround", "gptq", "awq", "llm_compressor"):
+        from .formats import (
+            awq_pack_layer, gptq_pack_layer, llmcompressor_config)
+
         flat = _flatten_params(result.params)
         quant_names = set(result.layers)
         tensors = {k: v for k, v in flat.items() if k not in quant_names}
@@ -110,17 +113,24 @@ def save_quantized(result, model_cfg, output_dir: str,
             gs = ql.scheme.group_size
             if ql.scheme.data_type != "int" or isinstance(gs, tuple):
                 raise NotImplementedError(
-                    f"autoround packed export currently covers int schemes; "
+                    f"{format} packed export currently covers int schemes; "
                     f"layer {name} is {ql.scheme.data_type}")
-            qdq = np.asarray(ql.qdq, np.float32)
-            scale = np.asarray(ql.scale, np.float32)
-            zp = None if ql.zp is None else np.asarray(ql.zp)
-            codes = codes_from_qdq(qdq, scale, zp, ql.scheme.bits,
-                                   gs if gs > 0 else qdq.shape[1])
-            payload = pack_quantized(codes, scale, zp, ql.scheme.bits)
+            if format == "gptq":
+                payload = gptq_pack_layer(ql)
+            elif format == "awq":
+                payload = awq_pack_layer(ql)
+            else:
+                qdq = np.asarray(ql.qdq, np.float32)
+                scale = np.asarray(ql.scale, np.float32)
+                zp = None if ql.zp is None else np.asarray(ql.zp)
+                codes = codes_from_qdq(qdq, scale, zp, ql.scheme.bits,
+                                       gs if gs > 0 else qdq.shape[1])
+                payload = pack_quantized(codes, scale, zp, ql.scheme.bits)
             for pk, pv in payload.items():
                 tensors[f"{name}.{pk}"] = pv
         save_file(tensors, os.path.join(output_dir, "model.safetensors"))
+        if format == "llm_compressor":
+            qcfg["compressed_tensors"] = llmcompressor_config(result)
     else:
         raise ValueError(f"unknown export format {format!r}")
 

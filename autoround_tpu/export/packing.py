@@ -24,8 +24,21 @@ __all__ = ["pack_rows", "unpack_rows", "pack_quantized", "unpack_quantized"]
 
 def pack_rows(codes: np.ndarray, bits: int) -> np.ndarray:
     """Pack (N, K) unsigned codes (< 2^bits) into (N, ceil(K*bits/32)) int32,
-    LSB-first within each word.  Requires 32 % bits == 0."""
+    LSB-first within each word.  Requires 32 % bits == 0.
+
+    Large tensors route through the native C++ packer (utils.native) when
+    it is available; this numpy path is the reference implementation."""
     assert 32 % bits == 0, f"bits={bits} must divide 32"
+    if bits <= 8 and codes.size >= 1 << 20:
+        from ..utils.native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            N, K = codes.shape
+            per = 32 // bits
+            out = np.empty((N, -(-K // per)), np.int32)
+            lib.pack_rows_u32(np.ascontiguousarray(codes, np.uint8), N, K,
+                              bits, out)
+            return out
     per = 32 // bits
     N, K = codes.shape
     pad = (-K) % per

@@ -2,7 +2,10 @@
 models + ``utils/model.py`` block discovery — here the framework owns the
 model definitions as pure functions)."""
 
-from . import llama
+from . import llama, mixtral
 from .llama import CONFIG_PRESETS, LlamaConfig
+from .mixtral import MixtralConfig
+from .registry import ALL_PRESETS, get_model_fns
 
-__all__ = ["llama", "LlamaConfig", "CONFIG_PRESETS"]
+__all__ = ["llama", "mixtral", "LlamaConfig", "MixtralConfig",
+           "CONFIG_PRESETS", "ALL_PRESETS", "get_model_fns"]

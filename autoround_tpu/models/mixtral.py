@@ -1,0 +1,145 @@
+"""Pure-JAX Mixtral-family MoE decoder (sparse top-k routed experts).
+
+Role of the reference's MoE modeling (``auto_round/modeling/fused_moe/``:
+fused 3-D expert tensors are replaced with per-expert linears so each
+expert quantizes independently — here experts are naturally separate
+(O, I) leaves addressed as ``experts.<e>.<w1|w2|w3>``).
+
+Calibration-time expert compute is dense-then-mask: every expert runs on
+every token and the router's top-k weights gate the sum.  That is exact
+(not an approximation), XLA-friendly (no ragged gather), and gives every
+expert calibration signal; the serving engine can switch to grouped
+matmuls later.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import llama
+from .llama import LlamaConfig, rms_norm
+
+__all__ = ["MixtralConfig", "init_params", "block_fwd", "model_fwd",
+           "block_linear_names", "CONFIG_PRESETS"]
+
+
+@dataclass(frozen=True)
+class MixtralConfig(LlamaConfig):
+    num_experts: int = 8
+    top_k: int = 2
+
+
+CONFIG_PRESETS: Dict[str, MixtralConfig] = {
+    "tiny-moe": MixtralConfig(vocab_size=256, hidden_size=64,
+                              intermediate_size=128, num_layers=2,
+                              num_heads=4, num_kv_heads=2, num_experts=4,
+                              top_k=2, rope_theta=10000.0, dtype=jnp.float32),
+    "mixtral-8x7b": MixtralConfig(vocab_size=32000, hidden_size=4096,
+                                  intermediate_size=14336, num_layers=32,
+                                  num_heads=32, num_kv_heads=8,
+                                  num_experts=8, top_k=2,
+                                  rope_theta=1000000.0),
+}
+
+
+def block_linear_names(cfg: MixtralConfig) -> Tuple[str, ...]:
+    attn = ("q_proj", "k_proj", "v_proj", "o_proj")
+    experts = tuple(
+        f"experts.{e}.{w}" for e in range(cfg.num_experts)
+        for w in ("w1", "w2", "w3"))
+    return attn + experts
+
+
+def init_params(cfg: MixtralConfig, key: jax.Array) -> Dict[str, Any]:
+    H, hd = cfg.hidden_size, cfg.hd
+    qd, kvd = cfg.num_heads * hd, cfg.num_kv_heads * hd
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    blocks = []
+    for li in range(cfg.num_layers):
+        bk = jax.random.split(keys[li], 5 + cfg.num_experts)
+        b = {
+            "q_proj": jax.random.normal(bk[0], (qd, H), cfg.dtype) * 0.02,
+            "k_proj": jax.random.normal(bk[1], (kvd, H), cfg.dtype) * 0.02,
+            "v_proj": jax.random.normal(bk[2], (kvd, H), cfg.dtype) * 0.02,
+            "o_proj": jax.random.normal(bk[3], (H, qd), cfg.dtype) * 0.02,
+            "router": jax.random.normal(bk[4], (cfg.num_experts, H),
+                                        cfg.dtype) * 0.02,
+            "input_layernorm": jnp.ones((H,), cfg.dtype),
+            "post_attention_layernorm": jnp.ones((H,), cfg.dtype),
+            "experts": [
+                {
+                    "w1": jax.random.normal(bk[5 + e], (cfg.intermediate_size,
+                                                        H), cfg.dtype) * 0.02,
+                    "w2": jax.random.normal(
+                        jax.random.fold_in(bk[5 + e], 1),
+                        (H, cfg.intermediate_size), cfg.dtype) * 0.02
+                        / np.sqrt(2 * cfg.num_layers),
+                    "w3": jax.random.normal(
+                        jax.random.fold_in(bk[5 + e], 2),
+                        (cfg.intermediate_size, H), cfg.dtype) * 0.02,
+                }
+                for e in range(cfg.num_experts)
+            ],
+        }
+        blocks.append(b)
+    params = {
+        "embed_tokens": jax.random.normal(keys[-2], (cfg.vocab_size, H),
+                                          cfg.dtype) * 0.02,
+        "norm": jnp.ones((H,), cfg.dtype),
+        "blocks": blocks,
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = jax.random.normal(keys[-1], (cfg.vocab_size, H),
+                                              cfg.dtype) * 0.02
+    return params
+
+
+def _moe_mlp(weights, h, cfg: MixtralConfig, lf):
+    """Dense-compute top-k routed SwiGLU experts."""
+    B, S, H = h.shape
+    router_logits = lf("router", h, weights["router"])  # (B,S,E)
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.top_k)
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)  # renormalize
+    out = jnp.zeros_like(h, dtype=jnp.float32)
+    for e, ew in enumerate(weights["experts"]):
+        gate = jax.nn.silu(lf(f"experts.{e}.w1", h, ew["w1"]))
+        up = lf(f"experts.{e}.w3", h, ew["w3"])
+        y = lf(f"experts.{e}.w2", gate * up, ew["w2"]).astype(jnp.float32)
+        # weight of expert e per token (0 when not in top-k)
+        w_e = jnp.sum(jnp.where(topi == e, topv, 0.0), axis=-1)  # (B,S)
+        out = out + y * w_e[..., None]
+    return out.astype(h.dtype)
+
+
+def block_fwd(weights: Dict[str, Any], x: jax.Array, cos, sin,
+              cfg: MixtralConfig, mask=None, linear_fn=None) -> jax.Array:
+    lf = linear_fn or llama._plain_linear
+    B, S, H = x.shape
+    hd = cfg.hd
+    h = rms_norm(x, weights["input_layernorm"], cfg.rms_eps)
+    q = lf("q_proj", h, weights["q_proj"]).reshape(B, S, cfg.num_heads, hd)
+    k = lf("k_proj", h, weights["k_proj"]).reshape(B, S, cfg.num_kv_heads, hd)
+    v = lf("v_proj", h, weights["v_proj"]).reshape(B, S, cfg.num_kv_heads, hd)
+    q = llama.apply_rope(q, cos, sin)
+    k = llama.apply_rope(k, cos, sin)
+    attn = llama.attention(q, k, v, mask, cfg).reshape(B, S, -1)
+    x = x + lf("o_proj", attn, weights["o_proj"])
+
+    h = rms_norm(x, weights["post_attention_layernorm"], cfg.rms_eps)
+    x = x + _moe_mlp(weights, h, cfg, lf)
+    return x
+
+
+def model_fwd(params: Dict[str, Any], input_ids: jax.Array,
+              cfg: MixtralConfig) -> jax.Array:
+    x = llama.embed_fwd(params, input_ids, cfg)
+    cos, sin = llama.rope_tables(cfg, input_ids.shape[1])
+    for b in params["blocks"]:
+        x = block_fwd(b, x, cos, sin, cfg)
+    return llama.final_fwd(params, x, cfg)

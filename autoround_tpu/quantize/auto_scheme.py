@@ -72,7 +72,9 @@ def scheme_storage_bits(scheme: QuantizationScheme, shape) -> float:
 
 
 def _lm_loss(params, cfg, ids):
-    logits = llama.model_fwd(params, ids[:, :-1], cfg).astype(jnp.float32)
+    from ..models.registry import get_model_fns
+    logits = get_model_fns(cfg).model_fwd(
+        params, ids[:, :-1], cfg).astype(jnp.float32)
     targets = ids[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
@@ -89,9 +91,10 @@ def gen_auto_scheme(
     """Return {flat_layer_name: scheme} hitting the avg-bits budget."""
     options = [parse_scheme(o) for o in auto_scheme.options]
     if layer_names is None:
+        from ..models.registry import get_model_fns
         layer_names = [
             f"blocks.{i}.{ln}" for i in range(model_cfg.num_layers)
-            for ln in llama.block_linear_names(model_cfg)]
+            for ln in get_model_fns(model_cfg).block_linear_names(model_cfg)]
 
     ids = input_ids[: auto_scheme.nsamples]
 
@@ -103,10 +106,11 @@ def gen_auto_scheme(
 
     grads_blocks = jax.grad(loss_of_blocks)(params["blocks"])
 
+    from ..utils.pytree import get_by_path
+
     def get_leaf(tree, flat):
-        parts = flat.split(".")
-        node = tree[int(parts[1])] if parts[0] == "blocks" else tree
-        return node[parts[2]] if parts[0] == "blocks" else node[flat]
+        parts = flat.split(".", 2)
+        return get_by_path(tree[int(parts[1])], parts[2])
 
     # score every (layer, option)
     scores = np.zeros((len(layer_names), len(options)))

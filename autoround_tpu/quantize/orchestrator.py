@@ -37,6 +37,7 @@ from ..dtypes.registry import get_quant_func
 from ..models import llama
 from ..schemes import QuantizationScheme
 from ..utils.logger import logger
+from ..utils.pytree import get_by_path, set_by_path
 
 __all__ = ["QuantizeConfig", "QuantizedLayer", "QuantizeResult", "quantize_model"]
 
@@ -101,9 +102,11 @@ class QuantizeResult:
 def _batched_block_apply(block_weights, x, cos, sin, cfg, batch: int,
                          linear_fn=None):
     """Advance a cache through one block in jitted batches (static shapes)."""
+    from ..models.registry import get_model_fns
+    block_fwd = get_model_fns(cfg).block_fwd
     n = x.shape[0]
-    fn = jax.jit(lambda w, xb: llama.block_fwd(w, xb, cos, sin, cfg,
-                                               linear_fn=linear_fn))
+    fn = jax.jit(lambda w, xb: block_fwd(w, xb, cos, sin, cfg,
+                                         linear_fn=linear_fn))
     outs = []
     for s in range(0, n, batch):
         e = min(s + batch, n)
@@ -118,10 +121,12 @@ def _batched_block_apply(block_weights, x, cos, sin, cfg, batch: int,
     return jnp.concatenate(outs, axis=0)
 
 
-def _finalize_layer(name, w, scheme, tune_params, tcfg) -> QuantizedLayer:
+def _finalize_layer(name, w, scheme, tune_params, tcfg,
+                    inner_name=None) -> QuantizedLayer:
     """Re-run the qdq once with the best params to harvest scale/zp."""
     fn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym)
-    p = tune_params.get(name.split(".")[-1], {}) if tune_params else {}
+    key = inner_name if inner_name is not None else name.split(".")[-1]
+    p = tune_params.get(key, {}) if tune_params else {}
     kw = {}
     if scheme.super_bits is not None:
         kw.update(super_bits=scheme.super_bits,
@@ -150,23 +155,30 @@ def quantize_model(
     iters == 0 → pure RTN zero-shot path (reference ``iters=0`` →
     RTNQuantizer swap, ``autoround.py:487-495``).
     """
+    from ..models.registry import get_model_fns
+    mfns = get_model_fns(model_cfg)
     nsamples, seqlen = input_ids.shape
-    cos, sin = llama.rope_tables(model_cfg, seqlen)
+    cos, sin = mfns.rope_tables(model_cfg, seqlen)
     tcfg = cfg.tune_config()
 
-    # group flat layer plan by block index
+    # group flat layer plan by block index; inner key is the (possibly
+    # dotted) path within the block, e.g. "q_proj" or "experts.3.w1"
     per_block: Dict[int, Dict[str, QuantizationScheme]] = {}
     for flat, scheme in layer_schemes.items():
-        parts = flat.split(".")
+        parts = flat.split(".", 2)
         if parts[0] == "blocks":
             per_block.setdefault(int(parts[1]), {})[parts[2]] = scheme
 
-    x_fp = llama.embed_fwd(params, input_ids, model_cfg)
+    x_fp = mfns.embed_fwd(params, input_ids, model_cfg)
     x_q = x_fp if (cfg.enable_quanted_input and cfg.iters > 0) else None
 
     new_blocks: List[Dict[str, jax.Array]] = []
     layers: Dict[str, QuantizedLayer] = {}
     traces: Dict[int, np.ndarray] = {}
+
+    from .. import envs
+    from ..utils.memory import MemoryMonitor
+    monitor = MemoryMonitor() if envs.AR_LOG_MEMORY else None
 
     # crash-resume (reference AR_RESUME_DIR, utils/resume.py)
     import os as _os
@@ -183,10 +195,12 @@ def quantize_model(
         schemes = per_block.get(bi, {})
         if resume is not None and bi < start_block:
             payload = resume.load_block(bi)
-            qdq_block = dict(block)
+            qdq_block = block
             for lname, scheme in schemes.items():
+                w_orig = get_by_path(block, lname)
                 qdq = jnp.asarray(payload[f"{lname}.qdq"])
-                qdq_block[lname] = qdq.astype(block[lname].dtype)
+                qdq_block = set_by_path(qdq_block, lname,
+                                        qdq.astype(w_orig.dtype))
                 zp_key = f"{lname}.zp"
                 layers[f"blocks.{bi}.{lname}"] = QuantizedLayer(
                     name=f"blocks.{bi}.{lname}", scheme=scheme, qdq=qdq,
@@ -221,8 +235,8 @@ def quantize_model(
         global_scales: Dict[str, jax.Array] = {}
         if any(s.effective_act().is_act_quantized for s in schemes.values()):
             amax = collect_act_stats(
-                lambda w, xb, lf: llama.block_fwd(w, xb, cos, sin, model_cfg,
-                                                  linear_fn=lf),
+                lambda w, xb, lf: mfns.block_fwd(w, xb, cos, sin, model_cfg,
+                                                 linear_fn=lf),
                 block, x_fp[: cfg.cache_batch], set(schemes))
             static_scales, global_scales = build_static_act_scales(
                 schemes, amax)
@@ -231,7 +245,7 @@ def quantize_model(
 
         if cfg.iters > 0:
             tune_in = x_q if x_q is not None else x_fp
-            block_fn = lambda w, xb: llama.block_fwd(
+            block_fn = lambda w, xb: mfns.block_fwd(
                 w, xb, cos, sin, model_cfg, linear_fn=act_lf)
             best, info = tune_block(
                 block_fn, block, tune_in, ref_out, schemes, tcfg, mask=mask)
@@ -239,24 +253,28 @@ def quantize_model(
             logger.info(
                 "block %d: loss iter0 %.6f -> best %.6f",
                 bi, info["first_loss"], info["best_loss"])
-            qdq_block = dict(block)
+            qdq_block = block
             for lname, scheme in schemes.items():
-                ql = _finalize_layer(f"blocks.{bi}.{lname}", block[lname],
-                                     scheme, best, tcfg)
-                qdq_block[lname] = ql.qdq.astype(block[lname].dtype)
+                w_orig = get_by_path(block, lname)
+                ql = _finalize_layer(f"blocks.{bi}.{lname}", w_orig,
+                                     scheme, best, tcfg, inner_name=lname)
+                qdq_block = set_by_path(qdq_block, lname,
+                                        ql.qdq.astype(w_orig.dtype))
                 layers[ql.name] = ql
         else:
             im: Dict[str, jax.Array] = {}
             if cfg.use_imatrix:
                 im = collect_imatrix(
-                    lambda w, xb, lf: llama.block_fwd(
+                    lambda w, xb, lf: mfns.block_fwd(
                         w, xb, cos, sin, model_cfg, linear_fn=lf),
                     block, x_fp[: cfg.cache_batch], set(schemes))
-            qdq_block = dict(block)
+            qdq_block = block
             for lname, scheme in schemes.items():
-                r = rtn_quantize_layer(block[lname], scheme,
+                w_orig = get_by_path(block, lname)
+                r = rtn_quantize_layer(w_orig, scheme,
                                        imatrix=im.get(lname))
-                qdq_block[lname] = r.qdq.astype(block[lname].dtype)
+                qdq_block = set_by_path(qdq_block, lname,
+                                        r.qdq.astype(w_orig.dtype))
                 layers[f"blocks.{bi}.{lname}"] = QuantizedLayer(
                     name=f"blocks.{bi}.{lname}", scheme=scheme, qdq=r.qdq,
                     scale=r.scale, zp=r.zp)
@@ -272,6 +290,8 @@ def quantize_model(
         if x_q is not None:
             x_q = _batched_block_apply(qdq_block, x_q, cos, sin, model_cfg,
                                        cfg.cache_batch, linear_fn=act_lf)
+        if monitor is not None:
+            monitor.log_summary(f"block {bi}")
         if resume is not None:
             payload = {}
             for lname in schemes:
