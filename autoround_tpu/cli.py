@@ -46,7 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tokenizer", default=None,
                    help="tokenizer dir (defaults to --model)")
     p.add_argument("--output", default="quantized/")
-    p.add_argument("--format", default="fake", choices=["fake", "autoround"])
+    p.add_argument("--format", default="fake",
+                   help="fake | autoround | gptq | awq | llm_compressor | "
+                        "gguf:q4_k_m (etc.)")
     p.add_argument("--quant-lm-head", action="store_true")
     p.add_argument("--ignore-layers", nargs="*", default=None)
     p.add_argument("--avg-bits", type=float, default=None,

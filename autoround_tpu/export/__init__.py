@@ -131,6 +131,19 @@ def save_quantized(result, model_cfg, output_dir: str,
         save_file(tensors, os.path.join(output_dir, "model.safetensors"))
         if format == "llm_compressor":
             qcfg["compressed_tensors"] = llmcompressor_config(result)
+    elif format.startswith("gguf"):
+        # "gguf:q4_k_m" etc. — requantizes the qdq weights with the ggml
+        # packers (tuned weights already sit on the k-quant grid)
+        from .gguf import GGMLType, save_gguf_checkpoint
+        name = (format.split(":", 1)[1] if ":" in format else "q4_k_m").lower()
+        base = {"q2_k": GGMLType.Q2_K, "q2_k_s": GGMLType.Q2_K,
+                "q4_0": GGMLType.Q4_0, "q8_0": GGMLType.Q8_0,
+                "q4_k": GGMLType.Q4_K, "q4_k_s": GGMLType.Q4_K,
+                "q4_k_m": GGMLType.Q4_K, "q6_k": GGMLType.Q6_K}[name]
+        mixed = name.endswith("_m")
+        save_gguf_checkpoint(result.params, model_cfg,
+                             os.path.join(output_dir, "model.gguf"),
+                             base_type=base, mixed=mixed)
     else:
         raise ValueError(f"unknown export format {format!r}")
 

@@ -1,0 +1,466 @@
+"""GGUF export: llama.cpp-convention container writer + k-quant block packers.
+
+Role of the reference's ``export/export_to_gguf/`` (numpy packers
+replicating ggml at ``packing.py:150-1053``, metadata emission
+``convert.py``, per-layer type cascade ``backends/gguf.py:485-617``).
+Implemented from the public GGUF v3 container spec and the ggml block
+layouts:
+
+  q8_0: per 32 elems — fp16 d, int8 qs[32]
+  q4_0: per 32 — fp16 d, 16 bytes (nibble l = elem l, elem l+16), code-8
+  q4_K: per 256 — fp16 d, fp16 dmin, 12-byte 6-bit scale/min pack
+        (llama.cpp get_scale_min_k4 layout), 128 nibble bytes
+        (qs[j*32+l] = L[j*64+l] | L[j*64+32+l]<<4)
+  q6_K: per 256 — ql[128] low-4, qh[64] upper-2, int8 scales[16], fp16 d;
+        value = d * scales[g] * (q - 32)
+  q2_K: per 256 — 16 scale/min bytes (4-bit each per 16-elem group),
+        qs[64] 2-bit packed, fp16 d, fp16 dmin; value = d*sc*q - dmin*m
+
+Each packer has an exact self-inverse (``dequant_*``) used by the tests;
+cross-validation against llama.cpp binaries needs a networked host.
+
+Tokenizer metadata is emitted only when a tokenizer payload is provided —
+this container has no hub access, so checkpoints written here carry model
+weights + hparams and can have tokenizer KVs injected later.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.logger import logger
+
+__all__ = ["GGMLType", "quantize_q8_0", "quantize_q4_0", "quantize_q4_k",
+           "quantize_q6_k", "quantize_q2_k", "dequant_q8_0", "dequant_q4_0",
+           "dequant_q4_k", "dequant_q6_k", "dequant_q2_k", "write_gguf",
+           "save_gguf_checkpoint", "select_layer_qtype"]
+
+QK = 32       # simple-quant block
+QK_K = 256    # k-quant super-block
+
+
+class GGMLType:
+    F32 = 0
+    F16 = 1
+    Q4_0 = 2
+    Q8_0 = 8
+    Q2_K = 10
+    Q4_K = 12
+    Q6_K = 14
+
+TYPE_NAMES = {0: "F32", 1: "F16", 2: "Q4_0", 8: "Q8_0", 10: "Q2_K",
+              12: "Q4_K", 14: "Q6_K"}
+BLOCK_BYTES = {GGMLType.Q4_0: 18, GGMLType.Q8_0: 34, GGMLType.Q2_K: 84,
+               GGMLType.Q4_K: 144, GGMLType.Q6_K: 210}
+BLOCK_ELEMS = {GGMLType.Q4_0: QK, GGMLType.Q8_0: QK, GGMLType.Q2_K: QK_K,
+               GGMLType.Q4_K: QK_K, GGMLType.Q6_K: QK_K}
+
+
+def _f16(x: np.ndarray) -> np.ndarray:
+    return x.astype(np.float16)
+
+
+# ---------------------------------------------------------------- q8_0
+def quantize_q8_0(w: np.ndarray) -> np.ndarray:
+    """w (..., multiple of 32) → raw block bytes."""
+    x = w.reshape(-1, QK).astype(np.float32)
+    amax = np.abs(x).max(axis=1, keepdims=True)
+    d = amax / 127.0
+    d = np.where(d == 0, 1e-12, d)
+    q = np.clip(np.rint(x / d), -127, 127).astype(np.int8)
+    out = np.empty((x.shape[0], 34), np.uint8)
+    out[:, :2] = _f16(d[:, 0]).view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = q.view(np.uint8)
+    return out.reshape(-1)
+
+
+def dequant_q8_0(raw: np.ndarray, n: int) -> np.ndarray:
+    blocks = raw.reshape(-1, 34)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32)
+    q = blocks[:, 2:].copy().view(np.int8).astype(np.float32)
+    return (q * d).reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------- q4_0
+def quantize_q4_0(w: np.ndarray) -> np.ndarray:
+    x = w.reshape(-1, QK).astype(np.float32)
+    # full-range: signed extreme maps to -8
+    idx = np.abs(x).argmax(axis=1)
+    m = x[np.arange(x.shape[0]), idx]
+    d = m / -8.0
+    d = np.where(d == 0, 1e-12, d)
+    q = np.clip(np.rint(x / d[:, None]) + 8, 0, 15).astype(np.uint8)
+    out = np.empty((x.shape[0], 18), np.uint8)
+    out[:, :2] = _f16(d).view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = q[:, :16] | (q[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def dequant_q4_0(raw: np.ndarray, n: int) -> np.ndarray:
+    blocks = raw.reshape(-1, 18)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32)
+    qs = blocks[:, 2:]
+    lo = (qs & 0xF).astype(np.float32) - 8
+    hi = (qs >> 4).astype(np.float32) - 8
+    x = np.concatenate([lo, hi], axis=1) * d
+    return x.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------- q4_K
+def _pack_scale_min_k4(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """(N, 8) 6-bit scales + (N, 8) 6-bit mins → (N, 12) bytes
+    (llama.cpp get_scale_min_k4 inverse)."""
+    N = sc.shape[0]
+    out = np.zeros((N, 12), np.uint8)
+    out[:, 0:4] = (sc[:, 0:4] & 63) | ((sc[:, 4:8] >> 4) << 6)
+    out[:, 4:8] = (mn[:, 0:4] & 63) | ((mn[:, 4:8] >> 4) << 6)
+    out[:, 8:12] = (sc[:, 4:8] & 0xF) | ((mn[:, 4:8] & 0xF) << 4)
+    return out
+
+
+def _unpack_scale_min_k4(b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    sc = np.empty((b.shape[0], 8), np.uint8)
+    mn = np.empty((b.shape[0], 8), np.uint8)
+    sc[:, 0:4] = b[:, 0:4] & 63
+    mn[:, 0:4] = b[:, 4:8] & 63
+    sc[:, 4:8] = (b[:, 8:12] & 0xF) | ((b[:, 0:4] >> 6) << 4)
+    mn[:, 4:8] = (b[:, 8:12] >> 4) | ((b[:, 4:8] >> 6) << 4)
+    return sc, mn
+
+
+def quantize_q4_k(w: np.ndarray) -> np.ndarray:
+    """Asymmetric double-quant, 8 groups of 32 per super-block."""
+    x = w.reshape(-1, 8, 32).astype(np.float32)
+    N = x.shape[0]
+    gmin = np.minimum(x.min(axis=2), 0.0)          # (N, 8)
+    gmax = np.maximum(x.max(axis=2), 0.0)
+    d_g = np.maximum((gmax - gmin) / 15.0, 1e-12)  # per-group scale
+    m_g = -gmin                                    # ≥ 0
+    d_super = np.maximum(d_g.max(axis=1) / 63.0, 1e-12)   # (N,)
+    m_super = np.maximum(m_g.max(axis=1) / 63.0, 1e-12)
+    sc = np.clip(np.rint(d_g / d_super[:, None]), 0, 63).astype(np.uint8)
+    mn = np.clip(np.rint(m_g / m_super[:, None]), 0, 63).astype(np.uint8)
+    d_hat = sc * d_super[:, None]
+    m_hat = mn * m_super[:, None]
+    d_hat = np.where(d_hat == 0, 1e-12, d_hat)
+    q = np.clip(np.rint((x + m_hat[:, :, None]) / d_hat[:, :, None]),
+                0, 15).astype(np.uint8)            # (N, 8, 32)
+    out = np.empty((N, 144), np.uint8)
+    out[:, 0:2] = _f16(d_super).view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = _f16(m_super).view(np.uint8).reshape(-1, 2)
+    out[:, 4:16] = _pack_scale_min_k4(sc, mn)
+    # qs: per 64-elem chunk j: qs[j*32+l] = L[j*64+l] | L[j*64+32+l]<<4
+    L = q.reshape(N, 256)
+    qs = np.empty((N, 128), np.uint8)
+    for j in range(4):
+        qs[:, j * 32:(j + 1) * 32] = (L[:, j * 64: j * 64 + 32]
+                                      | (L[:, j * 64 + 32: j * 64 + 64] << 4))
+    out[:, 16:] = qs
+    return out.reshape(-1)
+
+
+def dequant_q4_k(raw: np.ndarray, n: int) -> np.ndarray:
+    b = raw.reshape(-1, 144)
+    N = b.shape[0]
+    d_super = b[:, 0:2].copy().view(np.float16).astype(np.float32)[:, 0]
+    m_super = b[:, 2:4].copy().view(np.float16).astype(np.float32)[:, 0]
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    qs = b[:, 16:]
+    L = np.empty((N, 256), np.uint8)
+    for j in range(4):
+        L[:, j * 64: j * 64 + 32] = qs[:, j * 32:(j + 1) * 32] & 0xF
+        L[:, j * 64 + 32: j * 64 + 64] = qs[:, j * 32:(j + 1) * 32] >> 4
+    L = L.reshape(N, 8, 32).astype(np.float32)
+    d_hat = sc.astype(np.float32) * d_super[:, None]
+    m_hat = mn.astype(np.float32) * m_super[:, None]
+    x = L * d_hat[:, :, None] - m_hat[:, :, None]
+    return x.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------- q6_K
+def quantize_q6_k(w: np.ndarray) -> np.ndarray:
+    """Symmetric, 16 groups of 16, int8 sub-scales vs fp16 super scale."""
+    x = w.reshape(-1, 16, 16).astype(np.float32)
+    N = x.shape[0]
+    amin = np.minimum(x.min(axis=2), 0.0)
+    amax = np.maximum(x.max(axis=2), 0.0)
+    extreme = np.where(-amin > amax, amin, amax)
+    d_g = -extreme / 32.0                              # signed per-group
+    d_super = np.maximum(np.abs(d_g).max(axis=1) / 127.0, 1e-12)
+    sc = np.clip(np.rint(d_g / d_super[:, None]), -128, 127).astype(np.int8)
+    d_hat = sc.astype(np.float32) * d_super[:, None]
+    d_hat = np.where(d_hat == 0, 1e-12, d_hat)
+    q = np.clip(np.rint(x / d_hat[:, :, None]) + 32, 0, 63).astype(np.uint8)
+    L = q.reshape(N, 256)
+    out = np.empty((N, 210), np.uint8)
+    # ql: low 4 bits — per 128-chunk j: ql[j*64+l] = (L[j*128+l]&0xF) | ((L[j*128+64+l]&0xF)<<4)
+    ql = np.empty((N, 128), np.uint8)
+    qh = np.empty((N, 64), np.uint8)
+    for j in range(2):
+        base = j * 128
+        ql[:, j * 64:(j + 1) * 64] = ((L[:, base:base + 64] & 0xF)
+                                      | ((L[:, base + 64:base + 128] & 0xF) << 4))
+        # qh: 2-bit planes — qh[j*32+l] holds elems base+l, +32, +64, +96
+        qh[:, j * 32:(j + 1) * 32] = (
+            (L[:, base:base + 32] >> 4)
+            | ((L[:, base + 32:base + 64] >> 4) << 2)
+            | ((L[:, base + 64:base + 96] >> 4) << 4)
+            | ((L[:, base + 96:base + 128] >> 4) << 6))
+    out[:, 0:128] = ql
+    out[:, 128:192] = qh
+    out[:, 192:208] = sc.view(np.uint8)
+    out[:, 208:210] = _f16(d_super).view(np.uint8).reshape(-1, 2)
+    return out.reshape(-1)
+
+
+def dequant_q6_k(raw: np.ndarray, n: int) -> np.ndarray:
+    b = raw.reshape(-1, 210)
+    N = b.shape[0]
+    ql = b[:, 0:128]
+    qh = b[:, 128:192]
+    sc = b[:, 192:208].copy().view(np.int8).astype(np.float32)
+    d_super = b[:, 208:210].copy().view(np.float16).astype(np.float32)[:, 0]
+    L = np.empty((N, 256), np.uint8)
+    for j in range(2):
+        base = j * 128
+        lo = ql[:, j * 64:(j + 1) * 64]
+        h = qh[:, j * 32:(j + 1) * 32]
+        L[:, base:base + 32] = (lo[:, :32] & 0xF) | ((h & 0x3) << 4)
+        L[:, base + 32:base + 64] = (lo[:, 32:64] & 0xF) | (((h >> 2) & 0x3) << 4)
+        L[:, base + 64:base + 96] = (lo[:, :32] >> 4) | (((h >> 4) & 0x3) << 4)
+        L[:, base + 96:base + 128] = (lo[:, 32:64] >> 4) | (((h >> 6) & 0x3) << 4)
+    Lf = L.reshape(N, 16, 16).astype(np.float32) - 32.0
+    d_hat = sc.reshape(N, 16) * d_super[:, None]
+    x = Lf * d_hat[:, :, None]
+    return x.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------- q2_K
+def quantize_q2_k(w: np.ndarray) -> np.ndarray:
+    """Asymmetric 2-bit, 16 groups of 16, 4-bit sub scale/min."""
+    x = w.reshape(-1, 16, 16).astype(np.float32)
+    N = x.shape[0]
+    gmin = np.minimum(x.min(axis=2), 0.0)
+    gmax = np.maximum(x.max(axis=2), 0.0)
+    d_g = np.maximum((gmax - gmin) / 3.0, 1e-12)
+    m_g = -gmin
+    d_super = np.maximum(d_g.max(axis=1) / 15.0, 1e-12)
+    m_super = np.maximum(m_g.max(axis=1) / 15.0, 1e-12)
+    sc = np.clip(np.rint(d_g / d_super[:, None]), 0, 15).astype(np.uint8)
+    mn = np.clip(np.rint(m_g / m_super[:, None]), 0, 15).astype(np.uint8)
+    d_hat = np.where(sc == 0, 1e-12, sc * d_super[:, None])
+    m_hat = mn * m_super[:, None]
+    q = np.clip(np.rint((x + m_hat[:, :, None]) / d_hat[:, :, None]),
+                0, 3).astype(np.uint8)
+    out = np.empty((N, 84), np.uint8)
+    out[:, 0:16] = sc | (mn << 4)
+    # qs: 2-bit pack — per 128-chunk j, byte l holds elems l, l+32, l+64, l+96
+    L = q.reshape(N, 256)
+    qs = np.empty((N, 64), np.uint8)
+    for j in range(2):
+        base = j * 128
+        qs[:, j * 32:(j + 1) * 32] = (
+            L[:, base:base + 32]
+            | (L[:, base + 32:base + 64] << 2)
+            | (L[:, base + 64:base + 96] << 4)
+            | (L[:, base + 96:base + 128] << 6))
+    out[:, 16:80] = qs
+    out[:, 80:82] = _f16(d_super).view(np.uint8).reshape(-1, 2)
+    out[:, 82:84] = _f16(m_super).view(np.uint8).reshape(-1, 2)
+    return out.reshape(-1)
+
+
+def dequant_q2_k(raw: np.ndarray, n: int) -> np.ndarray:
+    b = raw.reshape(-1, 84)
+    N = b.shape[0]
+    sc = (b[:, 0:16] & 0xF).astype(np.float32)
+    mn = (b[:, 0:16] >> 4).astype(np.float32)
+    qs = b[:, 16:80]
+    d_super = b[:, 80:82].copy().view(np.float16).astype(np.float32)[:, 0]
+    m_super = b[:, 82:84].copy().view(np.float16).astype(np.float32)[:, 0]
+    L = np.empty((N, 256), np.uint8)
+    for j in range(2):
+        base = j * 128
+        chunk = qs[:, j * 32:(j + 1) * 32]
+        L[:, base:base + 32] = chunk & 0x3
+        L[:, base + 32:base + 64] = (chunk >> 2) & 0x3
+        L[:, base + 64:base + 96] = (chunk >> 4) & 0x3
+        L[:, base + 96:base + 128] = (chunk >> 6) & 0x3
+    Lf = L.reshape(N, 16, 16).astype(np.float32)
+    x = (Lf * (sc * d_super[:, None])[:, :, None]
+         - (mn * m_super[:, None])[:, :, None])
+    return x.reshape(-1)[:n]
+
+
+QUANTIZERS = {GGMLType.Q8_0: quantize_q8_0, GGMLType.Q4_0: quantize_q4_0,
+              GGMLType.Q4_K: quantize_q4_k, GGMLType.Q6_K: quantize_q6_k,
+              GGMLType.Q2_K: quantize_q2_k}
+DEQUANTIZERS = {GGMLType.Q8_0: dequant_q8_0, GGMLType.Q4_0: dequant_q4_0,
+                GGMLType.Q4_K: dequant_q4_k, GGMLType.Q6_K: dequant_q6_k,
+                GGMLType.Q2_K: dequant_q2_k}
+
+
+# ------------------------------------------------------------- container
+_GGUF_MAGIC = 0x46554747
+_T_U32, _T_F32, _T_STR, _T_U64 = 4, 6, 8, 10
+
+
+def _w_str(f, s: str):
+    b = s.encode()
+    f.write(struct.pack("<Q", len(b)))
+    f.write(b)
+
+
+def _w_kv(f, key: str, vtype: int, value):
+    _w_str(f, key)
+    f.write(struct.pack("<I", vtype))
+    if vtype == _T_U32:
+        f.write(struct.pack("<I", value))
+    elif vtype == _T_F32:
+        f.write(struct.pack("<f", value))
+    elif vtype == _T_U64:
+        f.write(struct.pack("<Q", value))
+    elif vtype == _T_STR:
+        _w_str(f, value)
+    else:
+        raise ValueError(vtype)
+
+
+def write_gguf(path: str, metadata: List[Tuple[str, int, Any]],
+               tensors: List[Tuple[str, Tuple[int, ...], int, np.ndarray]],
+               alignment: int = 32) -> None:
+    """tensors: (name, ne_dims fastest-first, ggml_type, raw bytes/array)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<IIQQ", _GGUF_MAGIC, 3, len(tensors),
+                            len(metadata) + 1))
+        _w_kv(f, "general.alignment", _T_U32, alignment)
+        for key, vtype, value in metadata:
+            _w_kv(f, key, vtype, value)
+        # tensor infos
+        offset = 0
+        infos = []
+        for name, ne, ttype, raw in tensors:
+            infos.append((name, ne, ttype, offset))
+            nbytes = raw.nbytes
+            offset += -(-nbytes // alignment) * alignment
+        for name, ne, ttype, off in infos:
+            _w_str(f, name)
+            f.write(struct.pack("<I", len(ne)))
+            for d in ne:
+                f.write(struct.pack("<Q", d))
+            f.write(struct.pack("<IQ", ttype, off))
+        # align data section
+        pos = f.tell()
+        pad = (-pos) % alignment
+        f.write(b"\x00" * pad)
+        for name, ne, ttype, raw in tensors:
+            b = raw.tobytes()
+            f.write(b)
+            f.write(b"\x00" * ((-len(b)) % alignment))
+
+
+def select_layer_qtype(base_type: int, block_idx: int, n_blocks: int,
+                       layer_kind: str, in_features: int) -> int:
+    """Per-layer type cascade (reference ``backends/gguf.py:485-617``):
+    official mixed rule gives the first/last 1/8 of blocks and every 3rd
+    middle block more bits; embeddings/output get at least Q6_K; layers
+    whose row length isn't 256-divisible fall back to Q8_0/Q4_0."""
+    t = base_type
+    upgrade = {GGMLType.Q2_K: GGMLType.Q4_K, GGMLType.Q4_K: GGMLType.Q6_K,
+               GGMLType.Q4_0: GGMLType.Q6_K}
+    if layer_kind in ("output", "token_embd"):
+        t = max(t, GGMLType.Q6_K)
+    elif layer_kind in ("attn_v", "ffn_down") and t in upgrade:
+        use_more = (block_idx < n_blocks // 8
+                    or block_idx >= n_blocks - n_blocks // 8
+                    or block_idx % 3 == 2)
+        if use_more:
+            t = upgrade[t]
+    if BLOCK_ELEMS.get(t) == QK_K and in_features % QK_K != 0:
+        t = GGMLType.Q8_0 if in_features % QK == 0 else GGMLType.F16
+    if BLOCK_ELEMS.get(t) == QK and in_features % QK != 0:
+        t = GGMLType.F16
+    return t
+
+
+_GGUF_NAME = {
+    "embed_tokens": "token_embd.weight",
+    "norm": "output_norm.weight",
+    "lm_head": "output.weight",
+}
+_GGUF_BLOCK_NAME = {
+    "q_proj": "attn_q", "k_proj": "attn_k", "v_proj": "attn_v",
+    "o_proj": "attn_output", "gate_proj": "ffn_gate", "up_proj": "ffn_up",
+    "down_proj": "ffn_down", "input_layernorm": "attn_norm",
+    "post_attention_layernorm": "ffn_norm",
+}
+
+
+def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
+                         path: str, base_type: int = GGMLType.Q4_K,
+                         mixed: bool = True) -> str:
+    """Write a llama-family params pytree as a .gguf file.
+
+    Weights are (re)quantized by the ggml packers (qdq-tuned weights sit on
+    the k-quant grid already, so the packers recover the tuned scales).
+    """
+    n_blocks = model_cfg.num_layers
+    tensors: List[Tuple[str, Tuple[int, ...], int, np.ndarray]] = []
+
+    def add(name, arr, kind, block_idx=0):
+        arr = np.asarray(arr, np.float32)
+        if arr.ndim == 1:
+            tensors.append((name, (arr.shape[0],), GGMLType.F32, arr))
+            return
+        O, I = arr.shape
+        if kind == "norm":
+            t = GGMLType.F32
+        elif mixed:
+            t = select_layer_qtype(base_type, block_idx, n_blocks, kind, I)
+        else:
+            t = base_type
+            if I % BLOCK_ELEMS.get(t, 1):
+                t = GGMLType.Q8_0 if I % QK == 0 else GGMLType.F16
+        if t == GGMLType.F16:
+            tensors.append((name, (I, O), t, arr.astype(np.float16)))
+        elif t == GGMLType.F32:
+            tensors.append((name, (I, O), t, arr))
+        else:
+            raw = QUANTIZERS[t](arr)
+            tensors.append((name, (I, O), t, raw))
+
+    add("token_embd.weight", params["embed_tokens"], "token_embd")
+    add("output_norm.weight", params["norm"], "norm")
+    if "lm_head" in params:
+        add("output.weight", params["lm_head"], "output")
+    for bi, block in enumerate(params["blocks"]):
+        for ours, arr in block.items():
+            if ours not in _GGUF_BLOCK_NAME:
+                continue
+            kind = _GGUF_BLOCK_NAME[ours]
+            add(f"blk.{bi}.{kind}.weight", arr, kind, bi)
+
+    metadata = [
+        ("general.architecture", _T_STR, "llama"),
+        ("general.name", _T_STR, "autoround_tpu"),
+        ("llama.block_count", _T_U32, model_cfg.num_layers),
+        ("llama.context_length", _T_U32, 8192),
+        ("llama.embedding_length", _T_U32, model_cfg.hidden_size),
+        ("llama.feed_forward_length", _T_U32, model_cfg.intermediate_size),
+        ("llama.attention.head_count", _T_U32, model_cfg.num_heads),
+        ("llama.attention.head_count_kv", _T_U32, model_cfg.num_kv_heads),
+        ("llama.rope.freq_base", _T_F32, float(model_cfg.rope_theta)),
+        ("llama.attention.layer_norm_rms_epsilon", _T_F32,
+         float(model_cfg.rms_eps)),
+        ("llama.vocab_size", _T_U32, model_cfg.vocab_size),
+    ]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    write_gguf(path, metadata, tensors)
+    logger.info("wrote GGUF (%d tensors, base %s) -> %s", len(tensors),
+                TYPE_NAMES.get(base_type), path)
+    return path
