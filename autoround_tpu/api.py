@@ -53,6 +53,8 @@ class AutoRound:
         enable_quanted_input: bool = True,
         enable_minmax_tuning: bool = True,
         enable_alg_ext: bool = False,
+        enable_awq: bool = False,
+        enable_rotation: bool = False,
         use_imatrix: bool = False,
         dynamic_max_gap: int = -1,
         gradient_accumulate_steps: int = 1,
@@ -66,6 +68,10 @@ class AutoRound:
         else:
             params, cfg = model
         self._mfns = get_model_fns(cfg)
+        if enable_rotation:
+            # reference post_init phase 4.5 _apply_rotations
+            from .transforms.hadamard import apply_r1_rotation
+            params = apply_r1_rotation(params, cfg, seed=seed)
         self.params = params
         self.model_cfg = cfg
         from .quantize.auto_scheme import AutoScheme as _AutoScheme
@@ -88,6 +94,7 @@ class AutoRound:
             seed=seed, enable_quanted_input=enable_quanted_input,
             enable_minmax_tuning=enable_minmax_tuning,
             enable_alg_ext=enable_alg_ext,
+            enable_awq=enable_awq,
             use_imatrix=use_imatrix,
             dynamic_max_gap=dynamic_max_gap,
             gradient_accumulate_steps=gradient_accumulate_steps)

@@ -60,6 +60,7 @@ class QuantizeConfig:
     cache_batch: int = 8  # batch size for cache-advance forwards
     enable_alg_ext: bool = False
     use_imatrix: bool = False  # opt-RTN: imatrix-weighted scale search
+    enable_awq: bool = False   # per-block AWQ smoothing before tuning
     # crash-resume directory (reference AR_RESUME_DIR).  Opt-in: each block
     # persists its payload + the chained caches (device→host copies — slow
     # over a TPU tunnel, cheap on a real host).
@@ -226,6 +227,16 @@ def quantize_model(
                     bi, {"_empty": np.zeros((1,), np.int8)},
                     np.asarray(x_fp), None if x_q is None else np.asarray(x_q))
             continue
+
+        # AWQ smoothing (composer preprocessor step, reference
+        # composer.py:393-413): exact reparameterization before tuning
+        if cfg.enable_awq:
+            from ..transforms.awq import awq_smooth_block
+            block, _ = awq_smooth_block(
+                block,
+                lambda w, xx, linear_fn=None: mfns.block_fwd(
+                    w, xx, cos, sin, model_cfg, linear_fn=linear_fn),
+                x_fp[: cfg.cache_batch], schemes)
 
         # activation quantization: collect per-layer amax on the FP pass
         # (reference act_max hooks fire during the FP reference forward),

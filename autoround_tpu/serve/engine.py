@@ -30,19 +30,44 @@ __all__ = ["KVCache", "QuantizedLlama"]
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, B, T, n_kv, hd)
+    """KV cache; optionally int8/fp8-quantized storage with per-(layer,
+    head) static scales calibrated at prefill (role of the reference's
+    ``QuantizedKVParameterCache`` + k/v scale hooks,
+    ``experimental/kv_cache.py:90,237``)."""
+
+    k: jax.Array  # (L, B, T, n_kv, hd) — cfg dtype, or int8/fp8 storage
     v: jax.Array
     length: jax.Array  # () int32 — tokens filled so far
+    k_scale: Optional[jax.Array] = None  # (L, 1, 1, n_kv, 1) when quantized
+    v_scale: Optional[jax.Array] = None
+
+
+_KV_QMAX = {"int8": 127.0, "fp8": 448.0}
+_KV_DTYPE = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}
 
 
 def _init_cache(cfg: llama.LlamaConfig, batch: int, max_seq: int,
-                n_layers: int) -> KVCache:
+                n_layers: int, kv_quant: Optional[str] = None) -> KVCache:
     shape = (n_layers, batch, max_seq, cfg.num_kv_heads, cfg.hd)
+    store = _KV_DTYPE.get(kv_quant, cfg.dtype)
     return KVCache(
-        k=jnp.zeros(shape, cfg.dtype),
-        v=jnp.zeros(shape, cfg.dtype),
+        k=jnp.zeros(shape, store),
+        v=jnp.zeros(shape, store),
         length=jnp.zeros((), jnp.int32),
     )
+
+
+def _kv_quantize(x, scale, kv_quant):
+    """x (..., n_kv, hd) → quantized storage with per-head scale."""
+    qmax = _KV_QMAX[kv_quant]
+    y = jnp.clip(x.astype(jnp.float32) / scale, -qmax, qmax)
+    if kv_quant == "int8":
+        return jnp.round(y).astype(jnp.int8)
+    return y.astype(jnp.float8_e4m3fn)
+
+
+def _kv_dequantize(x, scale, dtype):
+    return (x.astype(jnp.float32) * scale).astype(dtype)
 
 
 @dataclass(eq=False)
@@ -57,6 +82,7 @@ class QuantizedLlama:
     params: Dict[str, Any]                 # non-quantized leaves (bf16)
     packed: Dict[str, Tuple[jax.Array, jax.Array]]  # name -> (qweight, scales)
     max_seq: int = 2048
+    kv_quant: Optional[str] = None         # None | "int8" | "fp8"
 
     def __post_init__(self):
         # jitted entry points close over static config; weights flow in as
@@ -67,7 +93,9 @@ class QuantizedLlama:
     @classmethod
     def from_quantize_result(cls, result: QuantizeResult,
                              cfg: llama.LlamaConfig,
-                             max_seq: int = 2048) -> "QuantizedLlama":
+                             max_seq: int = 2048,
+                             kv_quant: Optional[str] = None
+                             ) -> "QuantizedLlama":
         packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
         params = jax.tree.map(lambda x: x, result.params)
         for name, ql in result.layers.items():
@@ -91,7 +119,8 @@ class QuantizedLlama:
         n_packed = len(packed)
         logger.info("serving engine: %d layers packed int4, rest dense",
                     n_packed)
-        return cls(cfg=cfg, params=params, packed=packed, max_seq=max_seq)
+        return cls(cfg=cfg, params=params, packed=packed, max_seq=max_seq,
+                   kv_quant=kv_quant)
 
     # -- linear interceptor: packed kernel or dense fallback --
     @staticmethod
@@ -118,7 +147,8 @@ class QuantizedLlama:
     def _prefill_impl(self, params, packed, input_ids):
         cfg = self.cfg
         B, S = input_ids.shape
-        cache = _init_cache(cfg, B, self.max_seq, cfg.num_layers)
+        cache = _init_cache(cfg, B, self.max_seq, cfg.num_layers,
+                            self.kv_quant)
         x = llama.embed_fwd(params, input_ids, cfg)
         cos, sin = llama.rope_tables(cfg, S)
         ks, vs = [], []
@@ -130,12 +160,24 @@ class QuantizedLlama:
             vs.append(v_new)
         k_stack = jnp.stack(ks)  # (L, B, S, n_kv, hd)
         v_stack = jnp.stack(vs)
+        k_scale = v_scale = None
+        if self.kv_quant is not None:
+            # static per-(layer, head) scales calibrated on the prompt
+            qmax = _KV_QMAX[self.kv_quant]
+            amax = lambda t: jnp.maximum(
+                jnp.max(jnp.abs(t.astype(jnp.float32)), axis=(1, 2, 4),
+                        keepdims=True), 1e-6)
+            k_scale = amax(k_stack) / qmax
+            v_scale = amax(v_stack) / qmax
+            k_stack = _kv_quantize(k_stack, k_scale, self.kv_quant)
+            v_stack = _kv_quantize(v_stack, v_scale, self.kv_quant)
         cache = KVCache(
             k=jax.lax.dynamic_update_slice(
                 cache.k, k_stack.astype(cache.k.dtype), (0, 0, 0, 0, 0)),
             v=jax.lax.dynamic_update_slice(
                 cache.v, v_stack.astype(cache.v.dtype), (0, 0, 0, 0, 0)),
             length=jnp.asarray(S, jnp.int32),
+            k_scale=k_scale, v_scale=v_scale,
         )
         logits = llama.final_fwd(params, x[:, -1:], cfg)
         return logits[:, 0], cache
@@ -152,15 +194,25 @@ class QuantizedLlama:
         cos, sin = llama.rope_tables(cfg, 1, positions=pos[None])
         new_k, new_v = cache.k, cache.v
         for i in range(cfg.num_layers):
+            if self.kv_quant is None:
+                kv = (new_k[i], new_v[i])
+            else:
+                ks, vs = cache.k_scale[i], cache.v_scale[i]
+                kv = (_kv_dequantize(new_k[i], ks, cfg.dtype),
+                      _kv_dequantize(new_v[i], vs, cfg.dtype))
             x, k_new, v_new = _block_with_cache(
                 params["blocks"][i], x, cos, sin, cfg,
-                (new_k[i], new_v[i]), pos, self._make_linear_fn(packed, i))
+                kv, pos, self._make_linear_fn(packed, i))
+            if self.kv_quant is not None:
+                k_new = _kv_quantize(k_new, cache.k_scale[i], self.kv_quant)
+                v_new = _kv_quantize(v_new, cache.v_scale[i], self.kv_quant)
             new_k = jax.lax.dynamic_update_slice(
                 new_k, k_new[None].astype(new_k.dtype), (i, 0, pos, 0, 0))
             new_v = jax.lax.dynamic_update_slice(
                 new_v, v_new[None].astype(new_v.dtype), (i, 0, pos, 0, 0))
         logits = llama.final_fwd(params, x, cfg)
-        return logits[:, 0], KVCache(new_k, new_v, pos + 1)
+        return logits[:, 0], KVCache(new_k, new_v, pos + 1,
+                                     cache.k_scale, cache.v_scale)
 
     def generate(self, input_ids: jax.Array, max_new_tokens: int = 32,
                  ) -> jax.Array:

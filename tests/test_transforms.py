@@ -1,0 +1,122 @@
+"""Transform tests: Hadamard R1 rotation (exact reparam) + AWQ smoothing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoround_tpu import AutoRound
+from autoround_tpu.models import llama
+from autoround_tpu.schemes import parse_scheme
+from autoround_tpu.transforms import (
+    apply_r1_rotation,
+    awq_smooth_block,
+    fuse_rms_gains,
+    hadamard_matrix,
+)
+
+CFG = llama.CONFIG_PRESETS["tiny"]  # hidden 64 = 2^6
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    # give the norms non-trivial gains so fusion is actually tested
+    new_blocks = []
+    for i, b in enumerate(params["blocks"]):
+        b = dict(b)
+        key = jax.random.PRNGKey(10 + i)
+        b["input_layernorm"] = 1.0 + 0.1 * jax.random.normal(
+            key, b["input_layernorm"].shape)
+        b["post_attention_layernorm"] = 1.0 + 0.1 * jax.random.normal(
+            jax.random.fold_in(key, 1), b["post_attention_layernorm"].shape)
+        new_blocks.append(b)
+    params["blocks"] = new_blocks
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0,
+                             CFG.vocab_size)
+    return params, ids
+
+
+class TestHadamard:
+    @pytest.mark.parametrize("n", [64, 128, 96])
+    def test_orthonormal(self, n):
+        h = hadamard_matrix(n)
+        np.testing.assert_allclose(h @ h.T, np.eye(n), atol=1e-10)
+
+    def test_random_diag_still_orthonormal(self):
+        h = hadamard_matrix(64, seed=3)
+        np.testing.assert_allclose(h @ h.T, np.eye(64), atol=1e-10)
+
+    def test_fuse_rms_gains_preserves_logits(self, setup):
+        params, ids = setup
+        fused = fuse_rms_gains(params, CFG)
+        l0 = llama.model_fwd(params, ids[:2], CFG)
+        l1 = llama.model_fwd(fused, ids[:2], CFG)
+        np.testing.assert_allclose(np.asarray(l1, np.float32),
+                                   np.asarray(l0, np.float32),
+                                   rtol=1e-4, atol=1e-4)
+        assert np.allclose(np.asarray(fused["blocks"][0]["input_layernorm"]),
+                           1.0)
+
+    def test_r1_rotation_preserves_logits(self, setup):
+        params, ids = setup
+        rotated = apply_r1_rotation(params, CFG, seed=0)
+        l0 = llama.model_fwd(params, ids[:2], CFG)
+        l1 = llama.model_fwd(rotated, ids[:2], CFG)
+        np.testing.assert_allclose(np.asarray(l1, np.float32),
+                                   np.asarray(l0, np.float32),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_rotation_changes_weights(self, setup):
+        params, _ = setup
+        rotated = apply_r1_rotation(params, CFG, seed=0)
+        assert not np.allclose(np.asarray(rotated["blocks"][0]["q_proj"]),
+                               np.asarray(params["blocks"][0]["q_proj"]))
+
+
+class TestAwq:
+    def test_smoothing_preserves_fp_output(self, setup):
+        params, ids = setup
+        block = params["blocks"][0]
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 8, CFG.hidden_size))
+        cos, sin = llama.rope_tables(CFG, 8)
+        fwd = lambda w, xx, linear_fn=None: llama.block_fwd(
+            w, xx, cos, sin, CFG, linear_fn=linear_fn)
+        schemes = {n: parse_scheme("W2A16G64")
+                   for n in llama.block_linear_names(CFG)}
+        smoothed, alphas = awq_smooth_block(block, fwd, x, schemes)
+        out0 = fwd(block, x)
+        out1 = fwd(smoothed, x)
+        np.testing.assert_allclose(np.asarray(out1, np.float32),
+                                   np.asarray(out0, np.float32),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_smoothing_not_worse_quantized(self, setup):
+        params, ids = setup
+        block = params["blocks"][0]
+        # craft an outlier channel to give AWQ something to fix
+        x = jax.random.normal(jax.random.PRNGKey(3), (4, 8, CFG.hidden_size))
+        x = x.at[..., 0].mul(30.0)
+        cos, sin = llama.rope_tables(CFG, 8)
+        fwd = lambda w, xx, linear_fn=None: llama.block_fwd(
+            w, xx, cos, sin, CFG, linear_fn=linear_fn)
+        schemes = {n: parse_scheme("W2A16G64")
+                   for n in llama.block_linear_names(CFG)}
+        from autoround_tpu.algorithms.rtn import rtn_quantize_layer
+
+        def qmse(b):
+            qb = dict(b)
+            for n, s in schemes.items():
+                qb[n] = rtn_quantize_layer(qb[n], s).qdq.astype(qb[n].dtype)
+            return float(jnp.mean((fwd(qb, x).astype(jnp.float32)
+                                   - fwd(b, x).astype(jnp.float32)) ** 2))
+
+        smoothed, _ = awq_smooth_block(block, fwd, x, schemes)
+        assert qmse(smoothed) <= qmse(block) * 1.001
+
+    def test_pipeline_with_awq_and_rotation(self, setup):
+        params, ids = setup
+        res = AutoRound((params, CFG), scheme="W2A16G64", iters=3,
+                        batch_size=4, enable_awq=True,
+                        enable_rotation=True).quantize(ids)
+        assert len(res.layers) == CFG.num_layers * 7
