@@ -62,6 +62,9 @@ class TuneConfig:
     # per-group init scale, widened clamp, outlier-masked loss for bits<4
     enable_alg_ext: bool = False
     outlier_mask_frac: float = 0.001
+    # "signsgd" (default) or "adam" (AdamRound — reference
+    # adam_round/adam.py:25: torch AdamW swap-in for SignSGD)
+    optimizer: str = "signsgd"
 
     def resolved_lr(self) -> float:
         return self.lr if self.lr is not None else 1.0 / max(self.iters, 1)
@@ -250,9 +253,20 @@ def tune_block(
     tune_params = init_tune_params(weights, schemes, cfg)
 
     lr_scale = cfg.resolved_minmax_lr() / max(cfg.resolved_lr(), 1e-12)
-    opt_init, opt_update = sign_sgd(
-        cfg.resolved_lr(), cfg.iters, momentum=cfg.momentum,
-        lr_scale_fn=lambda n: lr_scale if "scale" in n else 1.0)
+    if cfg.optimizer == "adam":
+        import optax
+        _adam = optax.chain(
+            optax.scale_by_adam(),
+            optax.scale_by_schedule(
+                lambda t: -cfg.resolved_lr()
+                * jnp.maximum(1.0 - t / max(cfg.iters, 1), 0.0)))
+        opt_init = _adam.init
+        def opt_update(grads, state, params=None):
+            return _adam.update(grads, state)
+    else:
+        opt_init, opt_update = sign_sgd(
+            cfg.resolved_lr(), cfg.iters, momentum=cfg.momentum,
+            lr_scale_fn=lambda n: lr_scale if "scale" in n else 1.0)
 
     def loss_fn(params, idx):
         qweights = make_qdq_weights(weights, params, schemes, cfg, extras)

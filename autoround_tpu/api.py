@@ -56,6 +56,7 @@ class AutoRound:
         enable_awq: bool = False,
         enable_rotation: bool = False,
         use_imatrix: bool = False,
+        optimizer: str = "signsgd",
         dynamic_max_gap: int = -1,
         gradient_accumulate_steps: int = 1,
         **kw,
@@ -96,6 +97,7 @@ class AutoRound:
             enable_alg_ext=enable_alg_ext,
             enable_awq=enable_awq,
             use_imatrix=use_imatrix,
+            optimizer=optimizer,
             dynamic_max_gap=dynamic_max_gap,
             gradient_accumulate_steps=gradient_accumulate_steps)
         self.result: Optional[QuantizeResult] = None

@@ -6,6 +6,7 @@ from .intq import QdqResult, opt_rtn_int_sym, qdq_int_asym, qdq_int_sym
 from .mxfp import MX_FORMATS, qdq_mx
 from .nvfp import nvfp4_global_scale, qdq_nvfp4
 from .registry import QUANT_FUNCS, get_quant_func, register_dtype
+from . import extra  # registers w4fp8 / float-zp dtypes
 from .ste import cast_ste, ceil_ste, clip_ste, floor_ste, round_ste
 
 __all__ = [

@@ -61,6 +61,7 @@ class QuantizeConfig:
     enable_alg_ext: bool = False
     use_imatrix: bool = False  # opt-RTN: imatrix-weighted scale search
     enable_awq: bool = False   # per-block AWQ smoothing before tuning
+    optimizer: str = "signsgd"  # or "adam" (AdamRound)
     # crash-resume directory (reference AR_RESUME_DIR).  Opt-in: each block
     # persists its payload + the chained caches (device→host copies — slow
     # over a TPU tunnel, cheap on a real host).
@@ -76,6 +77,7 @@ class QuantizeConfig:
             dynamic_max_gap=self.dynamic_max_gap,
             gradient_accumulate_steps=self.gradient_accumulate_steps,
             enable_alg_ext=self.enable_alg_ext,
+            optimizer=self.optimizer,
         )
 
 
@@ -319,15 +321,30 @@ def quantize_model(
     new_params = dict(params)
     new_params["blocks"] = new_blocks
 
-    # outside-block layers (lm_head) — RTN for now (reference tunes
-    # them via quantize_layer_outside_block; milestone for a later round)
+    # outside-block layers (lm_head): tuned against the final hidden
+    # states when iters > 0 (reference quantize_layer_outside_block,
+    # sign_round/quantizer.py:527-722), else RTN
     if "lm_head" in layer_schemes:
         head_name = "lm_head" if "lm_head" in params else "embed_tokens"
         w = params.get("lm_head", params["embed_tokens"])
-        r = rtn_quantize_layer(w, layer_schemes["lm_head"])
-        new_params[head_name] = r.qdq.astype(w.dtype)
-        layers["lm_head"] = QuantizedLayer(
-            name="lm_head", scheme=layer_schemes["lm_head"], qdq=r.qdq,
-            scale=r.scale, zp=r.zp)
+        scheme = layer_schemes["lm_head"]
+        if cfg.iters > 0:
+            h_src = x_q if x_q is not None else x_fp
+            normed = llama.rms_norm(h_src, params["norm"], model_cfg.rms_eps)
+            ref = jnp.einsum("bsi,oi->bso", normed.astype(jnp.float32),
+                             w.astype(jnp.float32)).astype(normed.dtype)
+            head_fwd = lambda ws, xb: jnp.einsum("bsi,oi->bso", xb, ws["head"])
+            best, info = tune_block(head_fwd, {"head": w}, normed, ref,
+                                    {"head": scheme}, tcfg, mask=mask)
+            logger.info("lm_head: loss iter0 %.6f -> best %.6f",
+                        info["first_loss"], info["best_loss"])
+            ql = _finalize_layer("lm_head", w, scheme, best, tcfg,
+                                 inner_name="head")
+        else:
+            r = rtn_quantize_layer(w, scheme)
+            ql = QuantizedLayer(name="lm_head", scheme=scheme, qdq=r.qdq,
+                                scale=r.scale, zp=r.zp)
+        new_params[head_name] = ql.qdq.astype(w.dtype)
+        layers["lm_head"] = ql
 
     return QuantizeResult(params=new_params, layers=layers, loss_traces=traces)
