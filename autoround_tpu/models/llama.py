@@ -168,8 +168,19 @@ def attention(q, k, v, mask: Optional[jax.Array], cfg: LlamaConfig):
 
     q: (B,S,nh,hd)  k,v: (B,T,nkv,hd).  Softmax in fp32 (TPU MXU feeds
     bf16 inputs; accumulation and normalization stay fp32).
+
+    Long causal sequences on TPU route through the Pallas flash kernel
+    (ops/flash_attention.py) — no (S, T) scores materialization.
     """
     B, S, nh, hd = q.shape
+    if (mask is None and hd == 128 and S >= 512 and S % 256 == 0
+            and k.shape[1] % 256 == 0
+            and jax.devices()[0].platform == "tpu"):
+        from ..ops.flash_attention import flash_attention
+        out = flash_attention(q.transpose(0, 2, 1, 3),
+                              k.transpose(0, 2, 1, 3),
+                              v.transpose(0, 2, 1, 3), causal=True)
+        return out.transpose(0, 2, 1, 3)
     T = k.shape[1]
     rep = nh // k.shape[2]
     if rep > 1:

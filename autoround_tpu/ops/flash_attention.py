@@ -1,0 +1,152 @@
+"""Flash attention (Pallas TPU): tiled online-softmax causal attention.
+
+The prefill/calibration attention path — replaces the materialized
+(S, S) scores of the naive path for long sequences (calibration default
+seqlen 2048).  Follows the canonical JAX Pallas TPU flash kernel
+structure (online softmax with running m/l/acc scratch, causal tile
+skipping, fp32 statistics); GQA is handled in the K/V index maps
+(kv_head = head // group) so K/V are never materialized repeated.
+
+Falls back to the naive XLA path off-TPU or for shapes below the tile
+minimums.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention", "flash_attention_ref"]
+
+_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+def flash_attention_ref(q, k, v, causal: bool = True):
+    """Naive reference: q (B,H,S,D), k/v (B,Hkv,T,D) → (B,H,S,D)."""
+    B, H, S, D = q.shape
+    Hkv, T = k.shape[1], k.shape[2]
+    rep = H // Hkv
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    s = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                   preferred_element_type=jnp.float32) / np.sqrt(D)
+    if causal:
+        mask = jnp.tril(jnp.ones((S, T), bool), k=T - S)
+        s = jnp.where(mask[None, None], s, _MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhst,bhtd->bhsd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+            sm_scale: float, causal: bool, block_q: int, block_k: int,
+            n_kv: int):
+    kv_idx = pl.program_id(3)
+    q_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        m_ref[:] = jnp.full(m_ref.shape, -jnp.inf, jnp.float32)
+        l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    # causal: skip KV tiles fully above the diagonal
+    should_run = True
+    if causal:
+        should_run = ((q_idx + 1) * block_q - 1) >= (kv_idx * block_k)
+
+    @pl.when(should_run)
+    def _():
+        q = q_ref[0, 0]                 # (block_q, D)
+        k = k_ref[0, 0]                 # (block_k, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+
+        if causal:
+            rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                    + q_idx * block_q)
+            cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    + kv_idx * block_k)
+            s = jnp.where(cols <= rows, s, _MASK_VALUE)
+
+        # stats live as (block_q, 128) lane-replicated rows (TPU min tile)
+        m_prev, l_prev = m_ref[:], l_ref[:]
+        m_curr = jnp.max(s, axis=1)[:, None]            # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_curr)            # (block_q, 128)
+        alpha = jnp.exp(m_prev - m_next)
+        reps = block_k // 128
+        m_tiled = jnp.concatenate([m_next] * reps, axis=1) if reps > 1 \
+            else m_next
+        p = jnp.exp(s - m_tiled)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        m_ref[:] = m_next
+        l_ref[:] = l_next
+
+        v = v_ref[0, 0]                 # (block_k, D)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _():
+        l = l_ref[:]
+        inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[:] * inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
+def flash_attention(q, k, v, causal: bool = True, block_q: int = 256,
+                    block_k: int = 256):
+    """q (B,H,S,D), k/v (B,Hkv,T,D) → (B,H,S,D).  S,T multiples of the
+    block sizes and D a lane multiple for the kernel path."""
+    B, H, S, D = q.shape
+    Hkv, T = k.shape[1], k.shape[2]
+    rep = H // Hkv
+
+    block_q = min(block_q, S)
+    block_k = min(block_k, T)
+    usable = (jax.devices()[0].platform == "tpu"
+              and S % block_q == 0 and T % block_k == 0
+              and block_q >= 8 and block_k >= 128 and D == 128)
+    if not usable:
+        return flash_attention_ref(q, k, v, causal)
+
+    sm_scale = 1.0 / float(np.sqrt(D))
+    grid = (B, H, S // block_q, T // block_k)
+    return pl.pallas_call(
+        functools.partial(_kernel, sm_scale=sm_scale, causal=causal,
+                          block_q=block_q, block_k=block_k,
+                          n_kv=T // block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, qi, ki: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, qi, ki, rep=rep: (b, h // rep, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, qi, ki, rep=rep: (b, h // rep, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D),
+                               lambda b, h, qi, ki: (b, h, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+    )(q, k, v)
