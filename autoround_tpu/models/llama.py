@@ -145,9 +145,14 @@ def _rotate_half(x):
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: (B, S, n, hd); cos/sin: (S, hd)."""
-    c = cos[None, :, None, :].astype(jnp.float32)
-    s = sin[None, :, None, :].astype(jnp.float32)
+    """x: (B, S, n, hd); cos/sin: (S, hd) shared, or (B, S, hd) per-batch
+    (continuous batching: each slot sits at its own position)."""
+    if cos.ndim == 2:
+        c = cos[None, :, None, :].astype(jnp.float32)
+        s = sin[None, :, None, :].astype(jnp.float32)
+    else:
+        c = cos[:, :, None, :].astype(jnp.float32)
+        s = sin[:, :, None, :].astype(jnp.float32)
     xf = x.astype(jnp.float32)
     return (xf * c + _rotate_half(xf) * s).astype(x.dtype)
 

@@ -1,0 +1,223 @@
+"""Continuous batching engine: slot-based scheduling over a shared KV cache.
+
+New capability (BASELINE.json north star; the reference has no serving
+engine at all): requests join and leave a fixed-size batch independently —
+a prefill fills a free slot's KV region while other slots keep decoding,
+and every decode step advances all active slots at their own positions.
+
+TPU-shaped design decisions:
+  * fixed max_batch / max_seq → exactly two compiled executables
+    (per prompt bucket + one decode step), no recompiles as requests churn;
+  * per-slot lengths are a traced (B,) vector — RoPE positions, causal
+    masks, and KV appends are all vectorized over slots (scatter on the
+    length index), so an idle slot costs a masked lane, not a branch;
+  * prompts pad to power-of-two buckets to bound prefill compilations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..utils.logger import logger
+from .engine import QuantizedLlama, _block_with_cache
+
+__all__ = ["ContinuousBatchingEngine", "Request"]
+
+
+@dataclass
+class Request:
+    rid: int
+    prompt: List[int]
+    max_new_tokens: int
+    slot: Optional[int] = None
+    generated: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+class _BatchCache(NamedTuple):
+    k: jax.Array        # (L, B, T, n_kv, hd)
+    v: jax.Array
+    lengths: jax.Array  # (B,) int32
+    last_token: jax.Array  # (B,) int32
+
+
+class ContinuousBatchingEngine:
+    """Wraps a ``QuantizedLlama`` with slot scheduling.
+
+    Usage::
+
+        eng = ContinuousBatchingEngine(qmodel, max_batch=8, max_seq=256)
+        rid = eng.submit([1, 2, 3], max_new_tokens=16)
+        while eng.pending():
+            for rid, tok in eng.step():
+                ...
+        tokens = eng.result(rid)
+    """
+
+    def __init__(self, model: QuantizedLlama, max_batch: int = 8,
+                 max_seq: int = 512,
+                 prompt_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256),
+                 eos_token: Optional[int] = None):
+        self.m = model
+        self.cfg = model.cfg
+        self.B = max_batch
+        self.T = max_seq
+        self.buckets = tuple(sorted(prompt_buckets))
+        self.eos = eos_token
+        cfg = self.cfg
+        self.cache = _BatchCache(
+            k=jnp.zeros((cfg.num_layers, self.B, self.T, cfg.num_kv_heads,
+                         cfg.hd), cfg.dtype),
+            v=jnp.zeros((cfg.num_layers, self.B, self.T, cfg.num_kv_heads,
+                         cfg.hd), cfg.dtype),
+            lengths=jnp.zeros((self.B,), jnp.int32),
+            last_token=jnp.zeros((self.B,), jnp.int32),
+        )
+        self._free = list(range(self.B))
+        self._slot_req: Dict[int, Request] = {}
+        self._requests: Dict[int, Request] = {}
+        self._next_rid = 0
+        self._prefill_c = jax.jit(self._prefill_impl,
+                                  static_argnames=("bucket",))
+        self._decode_c = jax.jit(self._decode_impl)
+
+    # ---------------------------------------------------------------- jitted
+    def _prefill_impl(self, params, packed, cache, tokens, true_len, slot,
+                      *, bucket):
+        """Run one prompt (1, bucket) and insert its KV at ``slot``."""
+        cfg = self.cfg
+        x = llama.embed_fwd(params, tokens, cfg)
+        cos, sin = llama.rope_tables(cfg, bucket)
+        new_k, new_v = cache.k, cache.v
+        for i in range(cfg.num_layers):
+            x, k_new, v_new = _block_with_cache(
+                params["blocks"][i], x, cos, sin, cfg, None, None,
+                QuantizedLlama._make_linear_fn(packed, i))
+            new_k = jax.lax.dynamic_update_slice(
+                new_k, k_new.astype(new_k.dtype)[None],
+                (i, slot, 0, 0, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                new_v, v_new.astype(new_v.dtype)[None],
+                (i, slot, 0, 0, 0))
+        # last valid token's logits
+        h_last = jax.lax.dynamic_slice_in_dim(x, true_len - 1, 1, axis=1)
+        logits = llama.final_fwd(params, h_last, cfg)[:, 0]
+        lengths = cache.lengths.at[slot].set(true_len)
+        tok = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+        return tok, _BatchCache(new_k, new_v, lengths,
+                                cache.last_token.at[slot].set(tok))
+
+    def _decode_impl(self, params, packed, cache, active):
+        """One decode step for every slot; inactive slots are frozen."""
+        cfg = self.cfg
+        B, T = self.B, self.T
+        tokens = cache.last_token                      # (B,)
+        pos = cache.lengths                            # (B,)
+        x = llama.embed_fwd(params, tokens[:, None], cfg)  # (B, 1, H)
+        cos, sin = llama.rope_tables(cfg, 1, positions=pos)
+        # rope_tables with positions (B,) gives (B, hd); lift to (B, 1, hd)
+        cos = cos[:, None, :]
+        sin = sin[:, None, :]
+        new_k, new_v = cache.k, cache.v
+        idx = jnp.arange(T)
+        bias = jnp.where(idx[None, :] <= pos[:, None], 0.0,
+                         -1e30)[:, None, None, :]       # (B,1,1,T)
+        for i in range(cfg.num_layers):
+            h = llama.rms_norm(x, params["blocks"][i]["input_layernorm"],
+                               cfg.rms_eps)
+            lf = QuantizedLlama._make_linear_fn(packed, i)
+            w = params["blocks"][i]
+            q = lf("q_proj", h, w["q_proj"], w.get("q_bias")).reshape(
+                B, 1, cfg.num_heads, cfg.hd)
+            k = lf("k_proj", h, w["k_proj"], w.get("k_bias")).reshape(
+                B, 1, cfg.num_kv_heads, cfg.hd)
+            v = lf("v_proj", h, w["v_proj"], w.get("v_bias")).reshape(
+                B, 1, cfg.num_kv_heads, cfg.hd)
+            q = llama.apply_rope(q, cos, sin)
+            k = llama.apply_rope(k, cos, sin)
+            # per-slot scatter of the new K/V at each slot's own position
+            bidx = jnp.arange(B)
+            k_full = new_k[i].at[bidx, pos].set(
+                k[:, 0].astype(new_k.dtype))
+            v_full = new_v[i].at[bidx, pos].set(
+                v[:, 0].astype(new_v.dtype))
+            attn = llama.attention(q, k_full, v_full, bias, cfg)
+            attn = attn.reshape(B, 1, -1)
+            x = x + lf("o_proj", attn, w["o_proj"])
+            h2 = llama.rms_norm(x, w["post_attention_layernorm"],
+                                cfg.rms_eps)
+            gate = jax.nn.silu(lf("gate_proj", h2, w["gate_proj"]))
+            up = lf("up_proj", h2, w["up_proj"])
+            x = x + lf("down_proj", gate * up, w["down_proj"])
+            new_k = new_k.at[i].set(k_full)
+            new_v = new_v.at[i].set(v_full)
+        logits = llama.final_fwd(params, x, cfg)[:, 0]   # (B, V)
+        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        act = active.astype(jnp.int32)
+        new_lengths = cache.lengths + act
+        new_last = jnp.where(active, toks, cache.last_token)
+        return toks, _BatchCache(new_k, new_v, new_lengths, new_last)
+
+    # ------------------------------------------------------------- scheduling
+    def submit(self, prompt, max_new_tokens: int = 32) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        req = Request(rid=rid, prompt=list(map(int, prompt)),
+                      max_new_tokens=max_new_tokens)
+        self._requests[rid] = req
+        if not self._free:
+            raise RuntimeError("no free slots (increase max_batch)")
+        slot = self._free.pop(0)
+        req.slot = slot
+        self._slot_req[slot] = req
+        bucket = next(b for b in self.buckets if b >= len(req.prompt))
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, : len(req.prompt)] = req.prompt
+        tok, self.cache = self._prefill_c(
+            self.m.params, self.m.packed, self.cache,
+            jnp.asarray(tokens), jnp.asarray(len(req.prompt), jnp.int32),
+            jnp.asarray(slot, jnp.int32), bucket=bucket)
+        req.generated.append(int(tok))
+        self._maybe_finish(req)
+        return rid
+
+    def _maybe_finish(self, req: Request) -> None:
+        if req.done:
+            return
+        if (len(req.generated) >= req.max_new_tokens
+                or (self.eos is not None and req.generated
+                    and req.generated[-1] == self.eos)):
+            req.done = True
+            self._free.append(req.slot)
+            del self._slot_req[req.slot]
+            req.slot = None
+
+    def pending(self) -> bool:
+        return bool(self._slot_req)
+
+    def step(self) -> List[Tuple[int, int]]:
+        """One decode step; returns [(rid, new_token)] for active slots."""
+        if not self._slot_req:
+            return []
+        active = np.zeros((self.B,), bool)
+        for slot in self._slot_req:
+            active[slot] = True
+        toks, self.cache = self._decode_c(
+            self.m.params, self.m.packed, self.cache, jnp.asarray(active))
+        toks = np.asarray(toks)
+        out = []
+        for slot, req in list(self._slot_req.items()):
+            t = int(toks[slot])
+            req.generated.append(t)
+            out.append((req.rid, t))
+            self._maybe_finish(req)
+        return out
+
+    def result(self, rid: int) -> List[int]:
+        return self._requests[rid].generated
