@@ -103,11 +103,20 @@ class AutoRound:
         self.result: Optional[QuantizeResult] = None
 
     def quantize(self, input_ids, mask=None) -> QuantizeResult:
-        input_ids = jnp.asarray(input_ids)
+        if isinstance(input_ids, dict):
+            input_ids = {k: jnp.asarray(v) for k, v in input_ids.items()}
+            ids_for_log = input_ids["input_ids"]
+        else:
+            input_ids = jnp.asarray(input_ids)
+            ids_for_log = input_ids
         if self.layer_schemes is None:
             # AutoScheme path (reference post_init phase 4 _gen_auto_scheme,
             # compressors/base.py:700)
             from .quantize.auto_scheme import gen_auto_scheme
+            if isinstance(input_ids, dict):
+                raise NotImplementedError(
+                    "AutoScheme search over multimodal batches is not "
+                    "supported yet; pass text-only calibration tokens")
             plan = gen_auto_scheme(self.params, self.model_cfg, self.scheme,
                                    input_ids)
             kw = self._auto_layer_kwargs
@@ -123,7 +132,7 @@ class AutoRound:
             "quantizing %d layers, scheme=%s, iters=%d, nsamples=%d seqlen=%d",
             len(self.layer_schemes),
             self.scheme.key() if hasattr(self.scheme, "key") else "auto",
-            self.cfg.iters, input_ids.shape[0], input_ids.shape[1])
+            self.cfg.iters, ids_for_log.shape[0], ids_for_log.shape[1])
         self.result = quantize_model(
             self.params, self.model_cfg, self.layer_schemes, input_ids,
             self.cfg, mask=mask)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from types import SimpleNamespace
 from typing import Any, Dict
 
-from . import llama, mixtral
+from . import llama, llava, mixtral
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -21,6 +21,16 @@ def get_model_fns(cfg) -> SimpleNamespace:
     Every family exposes: init_params, block_fwd, embed_fwd, final_fwd,
     rope_tables, model_fwd, block_linear_names.
     """
+    if isinstance(cfg, llava.LlavaConfig):
+        return SimpleNamespace(
+            init_params=llava.init_params,
+            block_fwd=llama.block_fwd,
+            embed_fwd=llava.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=llama.rope_tables,
+            model_fwd=llava.model_fwd,
+            block_linear_names=llava.block_linear_names,
+        )
     if isinstance(cfg, mixtral.MixtralConfig):
         return SimpleNamespace(
             init_params=mixtral.init_params,
@@ -47,3 +57,4 @@ def get_model_fns(cfg) -> SimpleNamespace:
 ALL_PRESETS: Dict[str, Any] = {}
 ALL_PRESETS.update(llama.CONFIG_PRESETS)
 ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
+ALL_PRESETS.update(llava.CONFIG_PRESETS)

@@ -156,3 +156,25 @@ def get_calib_batch(
         raise ValueError(
             f"unknown dataset {dataset!r}; known: {sorted(CALIB_DATASETS)}")
     raise TypeError(f"cannot build calib batch from {type(dataset)}")
+
+
+def get_mllm_calib_batch(model_cfg, nsamples: int = 16, seqlen: int = 64,
+                         seed: int = 42):
+    """Multimodal calibration batch (role of reference ``mllm/dataset.py``
+    ``get_mllm_dataloader``): each sample is a prompt whose first
+    ``num_patches`` positions are image tokens, plus pixel values.
+
+    Synthetic in this zero-egress container; real image datasets slot in
+    by producing the same {"input_ids", "pixel_values"} dict + mask.
+    """
+    rng = np.random.default_rng(seed)
+    P = model_cfg.num_patches
+    assert seqlen > P, f"seqlen {seqlen} must exceed num_patches {P}"
+    ids = rng.integers(2, model_cfg.vocab_size,
+                       (nsamples, seqlen)).astype(np.int32)
+    ids[:, :P] = model_cfg.image_token_id
+    pixels = rng.standard_normal(
+        (nsamples, model_cfg.image_size, model_cfg.image_size, 3)
+    ).astype(np.float32)
+    mask = np.ones((nsamples, seqlen), np.float32)
+    return {"input_ids": ids, "pixel_values": pixels}, mask

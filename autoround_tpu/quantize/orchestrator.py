@@ -160,7 +160,10 @@ def quantize_model(
     """
     from ..models.registry import get_model_fns
     mfns = get_model_fns(model_cfg)
-    nsamples, seqlen = input_ids.shape
+    # multimodal batches arrive as {"input_ids": ..., "pixel_values": ...}
+    ids = (input_ids["input_ids"] if isinstance(input_ids, dict)
+           else input_ids)
+    nsamples, seqlen = ids.shape
     cos, sin = mfns.rope_tables(model_cfg, seqlen)
     tcfg = cfg.tune_config()
 
@@ -190,7 +193,7 @@ def quantize_model(
     resume_dir = cfg.resume_dir or _os.environ.get("AR_RESUME_DIR")
     if resume_dir:
         from ..utils.resume import ResumeState, run_signature
-        sig = run_signature(model_cfg, layer_schemes, input_ids, cfg)
+        sig = run_signature(model_cfg, layer_schemes, ids, cfg)
         resume = ResumeState(resume_dir, sig)
         start_block = resume.next_block()
 
