@@ -105,7 +105,8 @@ class AutoRound:
     def quantize(self, input_ids, mask=None) -> QuantizeResult:
         if isinstance(input_ids, dict):
             input_ids = {k: jnp.asarray(v) for k, v in input_ids.items()}
-            ids_for_log = input_ids["input_ids"]
+            ids_for_log = input_ids.get(
+                "input_ids", next(iter(input_ids.values())))
         else:
             input_ids = jnp.asarray(input_ids)
             ids_for_log = input_ids

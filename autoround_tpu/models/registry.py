@@ -10,7 +10,7 @@ from __future__ import annotations
 from types import SimpleNamespace
 from typing import Any, Dict
 
-from . import llama, llava, mixtral
+from . import dit, llama, llava, mixtral
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -21,6 +21,16 @@ def get_model_fns(cfg) -> SimpleNamespace:
     Every family exposes: init_params, block_fwd, embed_fwd, final_fwd,
     rope_tables, model_fwd, block_linear_names.
     """
+    if isinstance(cfg, dit.DiTConfig):
+        return SimpleNamespace(
+            init_params=dit.init_params,
+            block_fwd=dit.block_fwd,
+            embed_fwd=dit.embed_fwd,
+            final_fwd=dit.final_fwd,
+            rope_tables=llama.rope_tables,  # unused by DiT blocks
+            model_fwd=dit.model_fwd,
+            block_linear_names=dit.block_linear_names,
+        )
     if isinstance(cfg, llava.LlavaConfig):
         return SimpleNamespace(
             init_params=llava.init_params,
@@ -58,3 +68,4 @@ ALL_PRESETS: Dict[str, Any] = {}
 ALL_PRESETS.update(llama.CONFIG_PRESETS)
 ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
+ALL_PRESETS.update(dit.CONFIG_PRESETS)

@@ -178,3 +178,18 @@ def get_mllm_calib_batch(model_cfg, nsamples: int = 16, seqlen: int = 64,
     ).astype(np.float32)
     mask = np.ones((nsamples, seqlen), np.float32)
     return {"input_ids": ids, "pixel_values": pixels}, mask
+
+
+def get_diffusion_calib_batch(model_cfg, nsamples: int = 16, seed: int = 42):
+    """Diffusion calibration batch (role of reference
+    ``diffusion/dataset.py``): latents + uniformly sampled denoise
+    timesteps + class labels — the inputs one denoise step sees."""
+    rng = np.random.default_rng(seed)
+    latents = rng.standard_normal(
+        (nsamples, model_cfg.image_size, model_cfg.image_size,
+         model_cfg.in_channels)).astype(np.float32)
+    timesteps = rng.integers(0, 1000, (nsamples,)).astype(np.int32)
+    labels = rng.integers(0, model_cfg.num_classes,
+                          (nsamples,)).astype(np.int32)
+    return {"pixel_values": latents, "timesteps": timesteps,
+            "labels": labels}

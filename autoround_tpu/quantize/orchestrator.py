@@ -160,10 +160,18 @@ def quantize_model(
     """
     from ..models.registry import get_model_fns
     mfns = get_model_fns(model_cfg)
-    # multimodal batches arrive as {"input_ids": ..., "pixel_values": ...}
-    ids = (input_ids["input_ids"] if isinstance(input_ids, dict)
-           else input_ids)
-    nsamples, seqlen = ids.shape
+    # multimodal / diffusion batches arrive as dicts ({"input_ids", ...}
+    # or {"pixel_values", "timesteps", ...})
+    if isinstance(input_ids, dict):
+        ids = input_ids.get("input_ids")
+        if ids is not None:
+            nsamples, seqlen = ids.shape
+        else:
+            nsamples = next(iter(input_ids.values())).shape[0]
+            seqlen = 1  # rope unused by non-LM families
+    else:
+        ids = input_ids
+        nsamples, seqlen = ids.shape
     cos, sin = mfns.rope_tables(model_cfg, seqlen)
     tcfg = cfg.tune_config()
 
@@ -193,7 +201,9 @@ def quantize_model(
     resume_dir = cfg.resume_dir or _os.environ.get("AR_RESUME_DIR")
     if resume_dir:
         from ..utils.resume import ResumeState, run_signature
-        sig = run_signature(model_cfg, layer_schemes, ids, cfg)
+        sig = run_signature(model_cfg, layer_schemes,
+                            ids if ids is not None
+                            else next(iter(input_ids.values())), cfg)
         resume = ResumeState(resume_dir, sig)
         start_block = resume.next_block()
 
