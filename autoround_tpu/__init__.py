@@ -8,8 +8,16 @@ pjit/shard_map parallelism over device meshes, and Pallas serving kernels.
 
 __version__ = "0.1.0"
 
-from .api import AutoRound
+from .api import (
+    AutoRound,
+    AutoRoundAdam,
+    AutoRoundDiffusion,
+    AutoRoundLLM,
+    AutoRoundMLLM,
+)
+from .quantize.auto_scheme import AutoScheme
 from .schemes import PRESET_SCHEMES, QuantizationScheme, parse_scheme
 
-__all__ = ["AutoRound", "QuantizationScheme", "PRESET_SCHEMES", "parse_scheme",
-           "__version__"]
+__all__ = ["AutoRound", "AutoRoundLLM", "AutoRoundMLLM", "AutoRoundDiffusion",
+           "AutoRoundAdam", "AutoScheme", "QuantizationScheme",
+           "PRESET_SCHEMES", "parse_scheme", "__version__"]

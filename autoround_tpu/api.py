@@ -25,7 +25,8 @@ from .quantize.orchestrator import (
 from .schemes import QuantizationScheme, parse_scheme
 from .utils.logger import logger
 
-__all__ = ["AutoRound"]
+__all__ = ["AutoRound", "AutoRoundLLM", "AutoRoundMLLM",
+           "AutoRoundDiffusion", "AutoRoundAdam"]
 
 
 class AutoRound:
@@ -149,3 +150,23 @@ class AutoRound:
                           format: str = "fake", mask=None) -> str:
         self.quantize(input_ids, mask=mask)
         return self.save_quantized(output_dir, format=format)
+
+
+# Legacy entry aliases (reference ``autoround.py:776-798``): the dispatcher
+# handles routing; these exist so reference-style call sites keep working.
+class AutoRoundLLM(AutoRound):
+    pass
+
+
+class AutoRoundMLLM(AutoRound):
+    pass
+
+
+class AutoRoundDiffusion(AutoRound):
+    pass
+
+
+class AutoRoundAdam(AutoRound):
+    def __init__(self, *args, **kw):
+        kw.setdefault("optimizer", "adam")
+        super().__init__(*args, **kw)
