@@ -145,6 +145,32 @@ def collect_act_stats(fwd: Callable, weights: Dict[str, Any],
     return stats_fn(weights, inputs)
 
 
+def collect_output_stats(fwd: Callable, weights: Dict[str, Any],
+                         inputs: jax.Array, layer_names
+                         ) -> Dict[str, jax.Array]:
+    """Per-layer OUTPUT amax — the q/k/v scale collection of the
+    reference's static-attention context (``experimental/attention.py:164``
+    hooks q/k/v for FP8 attention scales)."""
+    layer_names = set(layer_names)
+
+    @jax.jit
+    def stats_fn(w, x):
+        stats = {}
+
+        def tap(name, xx, ww, b=None):
+            y = jnp.einsum("...i,oi->...o", xx, ww)
+            if b is not None:
+                y = y + b
+            if name in layer_names:
+                stats[name] = jnp.max(jnp.abs(y.astype(jnp.float32)))
+            return y
+
+        fwd(w, x, tap)
+        return stats
+
+    return stats_fn(weights, inputs)
+
+
 def collect_imatrix(fwd: Callable, weights: Dict[str, Any],
                     inputs: jax.Array, layer_names) -> Dict[str, jax.Array]:
     """Per-layer importance matrix: mean of squared inputs per in-channel

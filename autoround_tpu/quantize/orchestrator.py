@@ -28,6 +28,7 @@ from ..algorithms.actquant import (
     build_static_act_scales,
     collect_act_stats,
     collect_imatrix,
+    collect_output_stats,
     make_act_quant_linear_fn,
 )
 from ..algorithms.rtn import rtn_quantize_layer
@@ -62,10 +63,19 @@ class QuantizeConfig:
     use_imatrix: bool = False  # opt-RTN: imatrix-weighted scale search
     enable_awq: bool = False   # per-block AWQ smoothing before tuning
     optimizer: str = "signsgd"  # or "adam" (AdamRound)
+    # static attention quantization: collect q/k/v output amax per block
+    # (reference experimental/attention.py FP8 attention scales)
+    quant_attention: bool = False
     # crash-resume directory (reference AR_RESUME_DIR).  Opt-in: each block
     # persists its payload + the chained caches (device→host copies — slow
     # over a TPU tunnel, cheap on a real host).
     resume_dir: Optional[str] = None
+    # immediate packing (reference immediate_pack + ShardWriter,
+    # compressors/utils.py:534): pack each block's int layers to the
+    # autoround layout and stream them to sharded safetensors as blocks
+    # finish, so peak memory never holds the packed model
+    immediate_save_dir: Optional[str] = None
+    shard_size_bytes: int = 4 << 30
 
     def tune_config(self) -> TuneConfig:
         return TuneConfig(
@@ -100,6 +110,8 @@ class QuantizeResult:
     params: Dict[str, Any]               # model params with qdq weights baked
     layers: Dict[str, QuantizedLayer]    # per-layer export payloads
     loss_traces: Dict[int, np.ndarray] = field(default_factory=dict)
+    # per-block FP8 attention scales {block: {"q_proj"/"k_proj"/"v_proj": s}}
+    attention_scales: Dict[int, Dict[str, Any]] = field(default_factory=dict)
 
 
 def _batched_block_apply(block_weights, x, cos, sin, cfg, batch: int,
@@ -189,10 +201,32 @@ def quantize_model(
     new_blocks: List[Dict[str, jax.Array]] = []
     layers: Dict[str, QuantizedLayer] = {}
     traces: Dict[int, np.ndarray] = {}
+    attention_scales: Dict[int, Dict[str, Any]] = {}
 
     from .. import envs
     from ..utils.memory import MemoryMonitor
     monitor = MemoryMonitor() if envs.AR_LOG_MEMORY else None
+
+    # immediate streaming pack (reference ShardWriter integration)
+    shard_writer = None
+    if cfg.immediate_save_dir:
+        from ..export import codes_from_qdq
+        from ..export.packing import pack_quantized
+        from ..export.shard_writer import ShardWriter
+        shard_writer = ShardWriter(cfg.immediate_save_dir,
+                                   shard_size_bytes=cfg.shard_size_bytes)
+
+        def _pack_layer(ql: QuantizedLayer):
+            s = ql.scheme
+            if s.data_type != "int" or isinstance(s.group_size, tuple):
+                return {ql.name: np.asarray(ql.qdq, np.float32)}
+            qdq = np.asarray(ql.qdq, np.float32)
+            scale = np.asarray(ql.scale, np.float32)
+            zp = None if ql.zp is None else np.asarray(ql.zp)
+            g = s.group_size if s.group_size > 0 else qdq.shape[1]
+            codes = codes_from_qdq(qdq, scale, zp, s.bits, g)
+            payload = pack_quantized(codes, scale, zp, s.bits)
+            return {f"{ql.name}.{k}": v for k, v in payload.items()}
 
     # crash-resume (reference AR_RESUME_DIR, utils/resume.py)
     import os as _os
@@ -242,6 +276,15 @@ def quantize_model(
                     bi, {"_empty": np.zeros((1,), np.int8)},
                     np.asarray(x_fp), None if x_q is None else np.asarray(x_q))
             continue
+
+        if cfg.quant_attention:
+            qkv_amax = collect_output_stats(
+                lambda w, xb, lf: mfns.block_fwd(w, xb, cos, sin, model_cfg,
+                                                 linear_fn=lf),
+                block, x_fp[: cfg.cache_batch],
+                ("q_proj", "k_proj", "v_proj"))
+            attention_scales[bi] = {
+                k: v / 448.0 for k, v in qkv_amax.items()}
 
         # AWQ smoothing (composer preprocessor step, reference
         # composer.py:393-413): exact reparameterization before tuning
@@ -318,6 +361,10 @@ def quantize_model(
                                        cfg.cache_batch, linear_fn=act_lf)
         if monitor is not None:
             monitor.log_summary(f"block {bi}")
+        if shard_writer is not None:
+            for lname in schemes:
+                shard_writer.add_many(
+                    _pack_layer(layers[f"blocks.{bi}.{lname}"]))
         if resume is not None:
             payload = {}
             for lname in schemes:
@@ -360,4 +407,18 @@ def quantize_model(
         new_params[head_name] = ql.qdq.astype(w.dtype)
         layers["lm_head"] = ql
 
-    return QuantizeResult(params=new_params, layers=layers, loss_traces=traces)
+    if shard_writer is not None:
+        # non-quantized leaves + (possibly tuned) head round out the shards
+        from ..export import _flatten_params
+        flat = _flatten_params(new_params)
+        quant_names = set(layers)
+        for k, v in flat.items():
+            if k not in quant_names:
+                shard_writer.add(k, np.asarray(v))
+        if "lm_head" in layers:
+            shard_writer.add_many(_pack_layer(layers["lm_head"]))
+        shard_writer.finalize()
+
+    return QuantizeResult(params=new_params, layers=layers,
+                          loss_traces=traces,
+                          attention_scales=attention_scales)
