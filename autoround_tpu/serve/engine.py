@@ -122,6 +122,71 @@ class QuantizedLlama:
         return cls(cfg=cfg, params=params, packed=packed, max_seq=max_seq,
                    kv_quant=kv_quant)
 
+    @classmethod
+    def from_pretrained(cls, path: str, max_seq: int = 2048,
+                        kv_quant: Optional[str] = None) -> "QuantizedLlama":
+        """Load an exported 'autoround'-format checkpoint directory
+        (role of the reference's ``convert_hf_model`` load path,
+        ``inference/convert_model.py:812`` — here the packed words repack
+        from the export layout into the serving nibble-plane layout)."""
+        import json
+        import os
+
+        from safetensors.numpy import load_file
+
+        from ..export import _unflatten_params, unpack_quantized
+        from ..models.llama import LlamaConfig
+        from ..ops.qmatmul import pack_w4_planes
+
+        with open(os.path.join(path, "quantization_config.json")) as f:
+            qcfg = json.load(f)
+        mc = qcfg["model_config"]
+        cfg = LlamaConfig(**{k: v for k, v in mc.items()
+                             if k in LlamaConfig.__dataclass_fields__
+                             and k != "dtype"})
+        flat = load_file(os.path.join(path, "model.safetensors"))
+        import dataclasses as _dc
+        emb = flat.get("embed_tokens")
+        if emb is not None:
+            cfg = _dc.replace(cfg, dtype=jnp.dtype(emb.dtype))
+
+        packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
+        dense = {}
+        for k, v in flat.items():
+            if k.endswith((".qweight", ".qzeros", ".scales")):
+                continue
+            dense[k] = jnp.asarray(v)
+        params = _unflatten_params(dense)
+        for name, meta in qcfg["layers"].items():
+            g = meta["group_size"]
+            eligible = (meta["data_type"] == "int" and meta["bits"] == 4
+                        and meta["sym"] and isinstance(g, int) and g >= 128)
+            payload = {s: flat.get(f"{name}.{s}")
+                       for s in ("qweight", "qzeros", "scales")}
+            if payload["qweight"] is None:
+                continue  # qdq-dense layer (fake format)
+            # infer O, I from the packed shapes: qweight (I*bits/32, O)
+            O = payload["qweight"].shape[1]
+            I = payload["qweight"].shape[0] * 32 // meta["bits"]
+            codes, scales, zp = unpack_quantized(payload, meta["bits"], O, I)
+            if eligible and I % (8 * g) == 0:
+                qw = pack_w4_planes(jnp.asarray(codes.astype(np.int32)), g)
+                packed[name] = (qw, jnp.asarray(scales.astype(np.float32)))
+                dq = None
+            else:
+                import numpy as _np
+                s = _np.repeat(scales, g if g > 0 else I, axis=1)[:, :I]
+                z = _np.repeat(zp, g if g > 0 else I, axis=1)[:, :I]
+                dq = ((codes.astype(_np.float32) - z) * s)
+            from ..utils.pytree import set_by_path
+            leaf = (jnp.asarray(dq, cfg.dtype) if dq is not None
+                    else jnp.zeros((O, I), cfg.dtype))
+            params = set_by_path(params, name, leaf)
+        logger.info("from_pretrained: %d packed layers, %d total quantized",
+                    len(packed), len(qcfg["layers"]))
+        return cls(cfg=cfg, params=params, packed=packed, max_seq=max_seq,
+                   kv_quant=kv_quant)
+
     # -- linear interceptor: packed kernel or dense fallback --
     @staticmethod
     def _make_linear_fn(packed, block_idx: int):

@@ -39,7 +39,9 @@ def set_by_path(tree: Any, path: str, value: Any) -> Any:
             new[idx] = rec(node[idx], i + 1)
             return tuple(new)
         new = dict(node)
-        new[p] = rec(node[p], i + 1)
+        # a missing FINAL key is created (loading packed checkpoints whose
+        # dense copies were dropped); missing intermediates stay errors
+        new[p] = rec(node.get(p) if i == len(parts) - 1 else node[p], i + 1)
         return new
 
     return rec(tree, 0)
