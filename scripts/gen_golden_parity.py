@@ -1,0 +1,72 @@
+"""Generate golden parity fixtures by RUNNING the reference's own quant
+functions (torch CPU) on fixed inputs.
+
+Usage (requires /root/reference mounted):
+    python scripts/gen_golden_parity.py tests/goldens/reference_qdq.npz
+
+The goldens are committed so tests/test_reference_parity.py can assert
+our JAX simulators reproduce the reference numerics without importing
+torch at test time.  No reference code is copied — only its outputs.
+"""
+
+import sys
+import types
+
+import numpy as np
+
+
+def main(out_path: str) -> None:
+    # stub optional deps the reference imports at module load
+    cpuinfo = types.ModuleType("cpuinfo")
+    cpuinfo.get_cpu_info = lambda: {"brand_raw": "stub"}
+    sys.modules.setdefault("cpuinfo", cpuinfo)
+    sys.path.insert(0, "/root/reference")
+
+    import torch
+    from auto_round.data_type.int import quant_tensor_asym, quant_tensor_sym
+    from auto_round.data_type.mxfp import quant_mx, quant_mx_rceil
+    from auto_round.data_type.nvfp import nv_fp4
+
+    rng = np.random.default_rng(1234)
+    w = rng.standard_normal((16, 256)).astype(np.float32) * 0.1
+    t = torch.from_numpy(w)
+    goldens = {"input": w}
+
+    for bits in (2, 4, 8):
+        for g in (32, 128):
+            qdq, scale, _ = quant_tensor_sym(
+                t.clone(), bits=bits, group_size=g,
+                scale_dtype=torch.float32)
+            goldens[f"int_sym_b{bits}_g{g}"] = qdq.numpy()
+            qdq, scale, zp = quant_tensor_asym(
+                t.clone(), bits=bits, group_size=g,
+                scale_dtype=torch.float32)
+            goldens[f"int_asym_b{bits}_g{g}"] = qdq.numpy()
+
+    # tuned-path inputs: nonzero v and clip scales
+    v = torch.from_numpy(
+        rng.uniform(-0.4, 0.4, (16 * 256 // 128, 128)).astype(np.float32))
+    ms = torch.from_numpy(
+        rng.uniform(0.7, 1.0, (16 * 256 // 128,)).astype(np.float32))
+    qdq, _, _ = quant_tensor_sym(t.clone(), bits=4, group_size=128, v=v,
+                                 min_scale=ms, max_scale=ms,
+                                 scale_dtype=torch.float32)
+    goldens["int_sym_b4_g128_tuned"] = qdq.numpy()
+    goldens["tuned_v"] = v.numpy()
+    goldens["tuned_ms"] = ms.numpy()
+
+    for name, fn in (("mx_floor", quant_mx), ("mx_rceil", quant_mx_rceil)):
+        for dt, bits in (("mx_fp4", 4), ("mx_fp8", 8)):
+            qdq, _, _ = fn(t.clone(), bits=bits, group_size=32, data_type=dt)
+            goldens[f"{name}_{dt}"] = qdq.numpy()
+
+    qdq, _, _ = nv_fp4(t.clone(), bits=4, group_size=16)
+    goldens["nvfp4"] = qdq.numpy()
+
+    np.savez_compressed(out_path, **goldens)
+    print(f"wrote {len(goldens)} goldens -> {out_path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else
+         "tests/goldens/reference_qdq.npz")
