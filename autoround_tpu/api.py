@@ -58,6 +58,7 @@ class AutoRound:
         enable_rotation: bool = False,
         use_imatrix: bool = False,
         optimizer: str = "signsgd",
+        nblocks: int = 1,
         dynamic_max_gap: int = -1,
         gradient_accumulate_steps: int = 1,
         **kw,
@@ -99,6 +100,7 @@ class AutoRound:
             enable_awq=enable_awq,
             use_imatrix=use_imatrix,
             optimizer=optimizer,
+            nblocks=nblocks,
             dynamic_max_gap=dynamic_max_gap,
             gradient_accumulate_steps=gradient_accumulate_steps)
         self.result: Optional[QuantizeResult] = None
@@ -141,10 +143,20 @@ class AutoRound:
         return self.result
 
     def save_quantized(self, output_dir: str, format: str = "fake") -> str:
+        """format may be a comma-separated list (reference resolve_formats):
+        each lands in its own subdirectory when more than one is given."""
         if self.result is None:
             raise RuntimeError("call quantize() first")
         from .export import save_quantized
-        return save_quantized(self.result, self.model_cfg, output_dir, format)
+        fmts = [f.strip() for f in format.split(",") if f.strip()]
+        if len(fmts) == 1:
+            return save_quantized(self.result, self.model_cfg, output_dir,
+                                  fmts[0])
+        import os
+        for f in fmts:
+            sub = os.path.join(output_dir, f.replace(":", "_"))
+            save_quantized(self.result, self.model_cfg, sub, f)
+        return output_dir
 
     def quantize_and_save(self, input_ids, output_dir: str,
                           format: str = "fake", mask=None) -> str:

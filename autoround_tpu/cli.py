@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-ppl", action="store_true",
                    help="report perplexity delta FP vs quantized on the "
                         "calibration batch")
+    p.add_argument("--nblocks", type=int, default=1,
+                   help="tune N consecutive blocks jointly")
+    p.add_argument("--model-free", action="store_true",
+                   help="streaming shard RTN without model instantiation")
     p.add_argument("--seed", type=int, default=42)
     return p
 
@@ -71,6 +75,13 @@ def main(argv=None) -> int:
     from . import AutoRound
     from .models import llama
     from .quantize.calib_data import get_calib_batch
+
+    if args.model_free:
+        from .quantize.model_free import model_free_quantize
+        out = model_free_quantize(args.model, args.output,
+                                  scheme=args.scheme)
+        print(json.dumps({"output": out, "mode": "model-free"}))
+        return 0
 
     recipe = dict(RECIPES[args.recipe])
     if recipe.pop("imatrix", False):
@@ -116,7 +127,7 @@ def main(argv=None) -> int:
                                           or ("W2A16", "W4A16", "W8A16")))
 
     ar = AutoRound((params, cfg), scheme=scheme,
-                   minmax_lr=args.minmax_lr,
+                   minmax_lr=args.minmax_lr, nblocks=args.nblocks,
                    quant_lm_head=args.quant_lm_head,
                    ignore_layers=args.ignore_layers,
                    seed=args.seed, **recipe)

@@ -66,6 +66,10 @@ class QuantizeConfig:
     # static attention quantization: collect q/k/v output amax per block
     # (reference experimental/attention.py FP8 attention scales)
     quant_attention: bool = False
+    # tune N consecutive blocks jointly (reference nblocks /
+    # WrapperMultiblock, wrapper.py:748): larger receptive field for the
+    # loss at the cost of a bigger tuning problem
+    nblocks: int = 1
     # crash-resume directory (reference AR_RESUME_DIR).  Opt-in: each block
     # persists its payload + the chained caches (device→host copies — slow
     # over a TPU tunnel, cheap on a real host).
@@ -154,6 +158,81 @@ def _finalize_layer(name, w, scheme, tune_params, tcfg,
                           zp=r.zp)
 
 
+def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
+                      sin, tcfg, cfg, mask, layers, traces, layer_schemes,
+                      attention_scales) -> "QuantizeResult":
+    """nblocks>1: tune N consecutive blocks jointly (reference
+    WrapperMultiblock, ``wrapper.py:748``).  The tuning pytree is
+    {"blocks": [block_i, ..., block_{i+N-1}]} with dotted scheme paths, and
+    the forward chains the group — everything else reuses tune_block."""
+    n = len(params["blocks"])
+    new_blocks: List[Dict[str, Any]] = []
+
+    def group_fwd(weights, xb):
+        for b in weights["blocks"]:
+            xb = mfns.block_fwd(b, xb, cos, sin, model_cfg)
+        return xb
+
+    for gstart in range(0, n, cfg.nblocks):
+        group = params["blocks"][gstart: gstart + cfg.nblocks]
+        schemes = {}
+        for j in range(len(group)):
+            for lname, s in per_block.get(gstart + j, {}).items():
+                schemes[f"blocks.{j}.{lname}"] = s
+
+        ref = x_fp
+        for b in group:
+            ref = _batched_block_apply(b, ref, cos, sin, model_cfg,
+                                       cfg.cache_batch)
+        if not schemes:
+            new_blocks.extend(group)
+            if x_q is not None:
+                for b in group:
+                    x_q = _batched_block_apply(b, x_q, cos, sin, model_cfg,
+                                               cfg.cache_batch)
+            x_fp = ref
+            continue
+
+        tune_in = x_q if x_q is not None else x_fp
+        best, info = tune_block(group_fwd, {"blocks": list(group)}, tune_in,
+                                ref, schemes, tcfg, mask=mask)
+        traces[gstart] = info["loss_trace"]
+        logger.info("blocks %d-%d: loss iter0 %.6f -> best %.6f", gstart,
+                    gstart + len(group) - 1, info["first_loss"],
+                    info["best_loss"])
+
+        qdq_group = list(group)
+        for path, scheme in schemes.items():
+            j = int(path.split(".")[1])
+            lname = path.split(".", 2)[2]
+            w_orig = get_by_path(group[j], lname)
+            ql = _finalize_layer(f"blocks.{gstart + j}.{lname}", w_orig,
+                                 scheme, best, tcfg, inner_name=path)
+            qdq_group[j] = set_by_path(qdq_group[j], lname,
+                                       ql.qdq.astype(w_orig.dtype))
+            layers[ql.name] = ql
+        new_blocks.extend(qdq_group)
+        x_fp = ref
+        if x_q is not None:
+            for b in qdq_group:
+                x_q = _batched_block_apply(b, x_q, cos, sin, model_cfg,
+                                           cfg.cache_batch)
+
+    new_params = dict(params)
+    new_params["blocks"] = new_blocks
+    if "lm_head" in layer_schemes:
+        head_name = "lm_head" if "lm_head" in params else "embed_tokens"
+        w = params.get("lm_head", params["embed_tokens"])
+        r = rtn_quantize_layer(w, layer_schemes["lm_head"])
+        new_params[head_name] = r.qdq.astype(w.dtype)
+        layers["lm_head"] = QuantizedLayer(
+            name="lm_head", scheme=layer_schemes["lm_head"], qdq=r.qdq,
+            scale=r.scale, zp=r.zp)
+    return QuantizeResult(params=new_params, layers=layers,
+                          loss_traces=traces,
+                          attention_scales=attention_scales)
+
+
 def quantize_model(
     params: Dict[str, Any],
     model_cfg: llama.LlamaConfig,
@@ -240,6 +319,14 @@ def quantize_model(
                             else next(iter(input_ids.values())), cfg)
         resume = ResumeState(resume_dir, sig)
         start_block = resume.next_block()
+
+    if cfg.nblocks > 1 and cfg.iters > 0:
+        if resume is not None or cfg.enable_awq or shard_writer is not None:
+            logger.warning("nblocks>1 ignores resume/awq/immediate-save "
+                           "in this milestone")
+        return _quantize_grouped(params, model_cfg, mfns, per_block, x_fp,
+                                 x_q, cos, sin, tcfg, cfg, mask, layers,
+                                 traces, layer_schemes, attention_scales)
 
     for bi, block in enumerate(params["blocks"]):
         schemes = per_block.get(bi, {})
