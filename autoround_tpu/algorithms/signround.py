@@ -218,12 +218,15 @@ def tune_block(
     cfg: TuneConfig,
     mask: Optional[jax.Array] = None,
     extras: Optional[Dict[str, Dict[str, Any]]] = None,
+    lfq_fn: Optional[Callable] = None,
 ) -> Tuple[Dict[str, Dict[str, jax.Array]], Dict[str, np.ndarray]]:
     """Tune one block's rounding params.  Returns (best_params, info).
 
     inputs: pytree whose leaves are batched along axis 0 with nsamples
     (cached block inputs); ref_outputs: (nsamples, ...) FP block outputs.
     mask: optional (nsamples, seqlen) validity mask.
+    lfq_fn: optional ``(block_output, idx) -> scalar`` replacing the MSE
+    loss (reference last-block LM cross-entropy, ``quantizer.py:253-295``).
     """
     if cfg.enable_alg_ext and cfg.clip_hi <= 1.0:
         import dataclasses as _dc
@@ -274,6 +277,8 @@ def tune_block(
         batch_ref = jnp.take(ref_outputs, idx, axis=0)
         batch_mask = None if mask is None else jnp.take(mask, idx, axis=0)
         out = block_fwd(qweights, batch_in)
+        if lfq_fn is not None:
+            return lfq_fn(out, idx)
         if mask_outliers:
             diff2 = jax.lax.stop_gradient(
                 (out.astype(jnp.float32) - batch_ref.astype(jnp.float32)) ** 2)

@@ -59,6 +59,7 @@ class AutoRound:
         use_imatrix: bool = False,
         optimizer: str = "signsgd",
         nblocks: int = 1,
+        enable_lfq: bool = False,
         dynamic_max_gap: int = -1,
         gradient_accumulate_steps: int = 1,
         **kw,
@@ -101,6 +102,7 @@ class AutoRound:
             use_imatrix=use_imatrix,
             optimizer=optimizer,
             nblocks=nblocks,
+            enable_lfq=enable_lfq,
             dynamic_max_gap=dynamic_max_gap,
             gradient_accumulate_steps=gradient_accumulate_steps)
         self.result: Optional[QuantizeResult] = None

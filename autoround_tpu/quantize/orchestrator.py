@@ -70,6 +70,9 @@ class QuantizeConfig:
     # WrapperMultiblock, wrapper.py:748): larger receptive field for the
     # loss at the cost of a bigger tuning problem
     nblocks: int = 1
+    # last-block LM cross-entropy loss instead of MSE (reference
+    # enable_lfq, sign_round/quantizer.py:461-465)
+    enable_lfq: bool = False
     # crash-resume directory (reference AR_RESUME_DIR).  Opt-in: each block
     # persists its payload + the chained caches (device→host copies — slow
     # over a TPU tunnel, cheap on a real host).
@@ -403,8 +406,28 @@ def quantize_model(
             tune_in = x_q if x_q is not None else x_fp
             block_fn = lambda w, xb: mfns.block_fwd(
                 w, xb, cos, sin, model_cfg, linear_fn=act_lf)
+            lfq_fn = None
+            if (cfg.enable_lfq and ids is not None
+                    and bi == len(params["blocks"]) - 1):
+                head_w = params.get("lm_head", params["embed_tokens"])
+                norm_g = params["norm"]
+
+                def lfq_fn(pred, idx):
+                    h = llama.rms_norm(pred, norm_g, model_cfg.rms_eps)
+                    logits = jnp.einsum(
+                        "bsi,oi->bso", h.astype(jnp.float32),
+                        head_w.astype(jnp.float32))
+                    labels = jnp.take(ids, idx, axis=0)
+                    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+                    nll = -jnp.take_along_axis(
+                        logp, labels[:, 1:, None], axis=-1)[..., 0]
+                    m = (jnp.take(mask, idx, axis=0)[:, 1:]
+                         if mask is not None else jnp.ones_like(nll))
+                    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
             best, info = tune_block(
-                block_fn, block, tune_in, ref_out, schemes, tcfg, mask=mask)
+                block_fn, block, tune_in, ref_out, schemes, tcfg, mask=mask,
+                lfq_fn=lfq_fn)
             traces[bi] = info["loss_trace"]
             logger.info(
                 "block %d: loss iter0 %.6f -> best %.6f",
