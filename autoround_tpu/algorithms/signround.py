@@ -65,6 +65,9 @@ class TuneConfig:
     # "signsgd" (default) or "adam" (AdamRound — reference
     # adam_round/adam.py:25: torch AdamW swap-in for SignSGD)
     optimizer: str = "signsgd"
+    # rematerialize the block forward in the backward pass (the TPU
+    # answer to the reference's low_gpu_mem_usage: trade FLOPs for HBM)
+    use_remat: bool = False
 
     def resolved_lr(self) -> float:
         return self.lr if self.lr is not None else 1.0 / max(self.iters, 1)
@@ -231,6 +234,8 @@ def tune_block(
     if cfg.enable_alg_ext and cfg.clip_hi <= 1.0:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, clip_lo=0.0, clip_hi=2.0)
+    if cfg.use_remat:
+        block_fwd = jax.checkpoint(block_fwd)
     # outlier-suppressed loss applies for aggressive schemes (reference
     # masks the top 0.1% |pred-ref| elements when bits<4 or act_bits<=4,
     # sign_roundv2/quantizer.py:355-392)

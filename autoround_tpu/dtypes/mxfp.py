@@ -135,3 +135,36 @@ def rtn_mx(w, data_type="mx_fp4", group_size=32, rounding="rceil", **kw):
 def qdq_mx_rceil(w, data_type="mx_fp4", group_size=32, **kw):
     return qdq_mx(w, data_type=data_type, group_size=group_size,
                   rounding="rceil", **kw)
+
+
+def opt_rtn_mx(w, data_type="mx_fp4", group_size=32,
+               imatrix: Optional[jax.Array] = None, **_):
+    """Exponent-offset search per group (role of the reference's
+    ``quant_mx_opt_rtn``, ``mxfp.py:102-230``: candidate amax multipliers
+    spanning a shared-exponent offset in [0.5, 2.0], weighted err pick)."""
+    fmt = MX_FORMATS[data_type]
+    O, I = w.shape
+    f32 = jnp.float32
+    wg, pad = to_groups(w.astype(f32), group_size)
+
+    if imatrix is None:
+        weight = jnp.ones_like(wg)
+    else:
+        im = jnp.broadcast_to(imatrix.astype(f32).reshape(1, -1), (O, I))
+        weight, _ = to_groups(im, group_size)
+
+    amax = jnp.maximum(jnp.max(jnp.abs(wg), axis=-1, keepdims=True), 1e-30)
+    base_exp = jnp.floor(jnp.log2(amax)) - fmt.emax
+    cands = jnp.asarray([-1.0, 0.0, 1.0], f32)  # exponent offsets 0.5x..2x
+
+    def err_for(off):
+        scale = jnp.exp2(jnp.clip(base_exp + off, _E8M0_MIN, _E8M0_MAX))
+        q = quant_fp_elements(wg / scale, fmt) * scale
+        return jnp.sum(weight * (wg - q) ** 2, axis=-1)
+
+    errs = jax.vmap(err_for)(cands)
+    best = cands[jnp.argmin(errs, axis=0)][:, None]
+    scale = jnp.exp2(jnp.clip(base_exp + best, _E8M0_MIN, _E8M0_MAX))
+    qdq = quant_fp_elements(wg / scale, fmt) * scale
+    qdq = from_groups(qdq, (O, I), pad).astype(w.dtype)
+    return QdqResult(qdq, scale.reshape(O, -1), None)

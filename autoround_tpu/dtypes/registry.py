@@ -70,6 +70,19 @@ for _name in ["mx_fp4", "mx_fp6_e2m3", "mx_fp6_e3m2", "mx_fp8", "mx_fp8_e5m2",
     _reg(_name, _mx("floor")(_name))
     _reg("rtn_" + _name, _mx("rceil")(_name))
 
+for _name in ["mx_fp4", "mx_fp6_e2m3", "mx_fp6_e3m2", "mx_fp8",
+              "mx_fp8_e5m2", "mx_int2", "mx_int4", "mx_int8"]:
+    _reg("opt_rtn_" + _name,
+         (lambda name: lambda w, bits, group_size, **kw: mxfp.opt_rtn_mx(
+             w, data_type=name, group_size=group_size,
+             imatrix=kw.get("imatrix")))(_name))
+_reg("opt_rtn_mx_fp", lambda w, bits, group_size, **kw: mxfp.opt_rtn_mx(
+    w, data_type={4: "mx_fp4", 6: "mx_fp6_e2m3", 8: "mx_fp8"}[bits],
+    group_size=group_size, imatrix=kw.get("imatrix")))
+_reg("opt_rtn_mx_int", lambda w, bits, group_size, **kw: mxfp.opt_rtn_mx(
+    w, data_type=f"mx_int{bits}", group_size=group_size,
+    imatrix=kw.get("imatrix")))
+
 # generic names resolved by bits: "mx_fp" + bits
 _reg("mx_fp", lambda w, bits, group_size, **kw: mxfp.qdq_mx(
     w, data_type={4: "mx_fp4", 6: "mx_fp6_e2m3", 8: "mx_fp8"}[bits],
