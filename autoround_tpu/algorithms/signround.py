@@ -211,6 +211,110 @@ def _masked_mse(pred, ref, mask):
     denom = jnp.maximum(jnp.sum(m) * (diff.size / m.size), 1.0)
     return jnp.sum(diff * m) / denom
 
+_RUN_CACHE: Dict[Any, Callable] = {}
+
+
+def _build_run(block_fwd, schemes, cfg: TuneConfig, has_mask: bool,
+               has_extras: bool, lfq_fn, mask_outliers: bool):
+    """Build the jitted scan-over-steps runner.
+
+    All per-block data (weights, caches, masks, extras, init carry, batch
+    indices) flow in as traced ARGUMENTS so one compiled executable serves
+    every block with the same shapes/config — jax.jit caches on function
+    identity, and per-block closures would recompile the whole tuning scan
+    for each block (minutes apiece under remote TPU compilation).
+    """
+    lr_scale = cfg.resolved_minmax_lr() / max(cfg.resolved_lr(), 1e-12)
+    if cfg.optimizer == "adam":
+        import optax
+        _adam = optax.chain(
+            optax.scale_by_adam(),
+            optax.scale_by_schedule(
+                lambda t: -cfg.resolved_lr()
+                * jnp.maximum(1.0 - t / max(cfg.iters, 1), 0.0)))
+        opt_init = _adam.init
+        def opt_update(grads, state, params=None):
+            return _adam.update(grads, state)
+    else:
+        opt_init, opt_update = sign_sgd(
+            cfg.resolved_lr(), cfg.iters, momentum=cfg.momentum,
+            lr_scale_fn=lambda n: lr_scale if "scale" in n else 1.0)
+
+    def run_impl(weights, inputs, ref_outputs, mask, extras, carry,
+                 batch_idx):
+        def loss_fn(params, idx):
+            qweights = make_qdq_weights(weights, params, schemes, cfg,
+                                        extras)
+            batch_in = jax.tree.map(lambda a: jnp.take(a, idx, axis=0),
+                                    inputs)
+            batch_ref = jnp.take(ref_outputs, idx, axis=0)
+            batch_mask = (None if mask is None
+                          else jnp.take(mask, idx, axis=0))
+            out = block_fwd(qweights, batch_in)
+            if lfq_fn is not None:
+                return lfq_fn(out, idx)
+            if mask_outliers:
+                diff2 = jax.lax.stop_gradient(
+                    (out.astype(jnp.float32)
+                     - batch_ref.astype(jnp.float32)) ** 2)
+                thr = jnp.quantile(diff2.reshape(-1),
+                                   1.0 - cfg.outlier_mask_frac)
+                keep = (diff2 <= thr).astype(jnp.float32)
+                d = ((out.astype(jnp.float32)
+                      - batch_ref.astype(jnp.float32)) ** 2) * keep
+                if batch_mask is not None:
+                    m = batch_mask.astype(jnp.float32)
+                    while m.ndim < d.ndim:
+                        m = m[..., None]
+                    d = d * m
+                    denom = jnp.maximum(jnp.sum(keep * m), 1.0)
+                else:
+                    denom = jnp.maximum(jnp.sum(keep), 1.0)
+                return jnp.sum(d) / denom * cfg.loss_scale
+            return _masked_mse(out, batch_ref, batch_mask) * cfg.loss_scale
+
+        def grad_accum(params, idx_groups):
+            # accum == 1 must NOT go through a loop: a fori_loop body is a
+            # separate XLA while-computation, blocking fusion/aliasing of
+            # the whole gradient step
+            if cfg.gradient_accumulate_steps == 1:
+                return jax.value_and_grad(loss_fn)(params, idx_groups[0])
+            def one(i, acc):
+                l, g = jax.value_and_grad(loss_fn)(params, idx_groups[i])
+                acc_l, acc_g = acc
+                return (acc_l + l, jax.tree.map(jnp.add, acc_g, g))
+            zero = (jnp.zeros(()), jax.tree.map(jnp.zeros_like, params))
+            tot_l, tot_g = jax.lax.fori_loop(
+                0, cfg.gradient_accumulate_steps, one, zero)
+            k = float(cfg.gradient_accumulate_steps)
+            return tot_l / k, jax.tree.map(lambda x: x / k, tot_g)
+
+        def step(c, idx_groups):
+            params, opt_state, best_params, best_loss, since_best = c
+            loss, grads = grad_accum(params, idx_groups)
+
+            is_best = loss < best_loss
+            new_best_params = jax.tree.map(
+                lambda b, cc: jnp.where(is_best, cc, b), best_params, params)
+            new_best_loss = jnp.minimum(best_loss, loss)
+            since_best = jnp.where(is_best, 0, since_best + 1)
+
+            updates, new_opt_state = opt_update(grads, opt_state)
+            if cfg.dynamic_max_gap > 0:
+                frozen = since_best >= cfg.dynamic_max_gap
+                new_params = jax.tree.map(
+                    lambda pp, u: jnp.where(frozen, pp, pp + u), params,
+                    updates)
+            else:
+                new_params = jax.tree.map(lambda pp, u: pp + u, params,
+                                          updates)
+            return ((new_params, new_opt_state, new_best_params,
+                     new_best_loss, since_best), loss)
+
+        return jax.lax.scan(step, carry, batch_idx)
+
+    return jax.jit(run_impl), opt_init
+
 
 def tune_block(
     block_fwd: Callable[[Dict[str, Any], Any], jax.Array],
@@ -230,15 +334,15 @@ def tune_block(
     mask: optional (nsamples, seqlen) validity mask.
     lfq_fn: optional ``(block_output, idx) -> scalar`` replacing the MSE
     loss (reference last-block LM cross-entropy, ``quantizer.py:253-295``).
+
+    Pass the SAME ``block_fwd`` callable for every block of a model — the
+    compiled tuning scan is cached on its identity.
     """
     if cfg.enable_alg_ext and cfg.clip_hi <= 1.0:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, clip_lo=0.0, clip_hi=2.0)
     if cfg.use_remat:
         block_fwd = jax.checkpoint(block_fwd)
-    # outlier-suppressed loss applies for aggressive schemes (reference
-    # masks the top 0.1% |pred-ref| elements when bits<4 or act_bits<=4,
-    # sign_roundv2/quantizer.py:355-392)
     mask_outliers = cfg.enable_alg_ext and any(
         s.bits < 4 or (s.act_bits <= 4 and s.is_act_quantized)
         for s in schemes.values())
@@ -260,79 +364,19 @@ def tune_block(
 
     tune_params = init_tune_params(weights, schemes, cfg)
 
-    lr_scale = cfg.resolved_minmax_lr() / max(cfg.resolved_lr(), 1e-12)
-    if cfg.optimizer == "adam":
-        import optax
-        _adam = optax.chain(
-            optax.scale_by_adam(),
-            optax.scale_by_schedule(
-                lambda t: -cfg.resolved_lr()
-                * jnp.maximum(1.0 - t / max(cfg.iters, 1), 0.0)))
-        opt_init = _adam.init
-        def opt_update(grads, state, params=None):
-            return _adam.update(grads, state)
-    else:
-        opt_init, opt_update = sign_sgd(
-            cfg.resolved_lr(), cfg.iters, momentum=cfg.momentum,
-            lr_scale_fn=lambda n: lr_scale if "scale" in n else 1.0)
-
-    def loss_fn(params, idx):
-        qweights = make_qdq_weights(weights, params, schemes, cfg, extras)
-        batch_in = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), inputs)
-        batch_ref = jnp.take(ref_outputs, idx, axis=0)
-        batch_mask = None if mask is None else jnp.take(mask, idx, axis=0)
-        out = block_fwd(qweights, batch_in)
-        if lfq_fn is not None:
-            return lfq_fn(out, idx)
-        if mask_outliers:
-            diff2 = jax.lax.stop_gradient(
-                (out.astype(jnp.float32) - batch_ref.astype(jnp.float32)) ** 2)
-            thr = jnp.quantile(diff2.reshape(-1),
-                               1.0 - cfg.outlier_mask_frac)
-            keep = (diff2 <= thr).astype(jnp.float32)
-            d = ((out.astype(jnp.float32) - batch_ref.astype(jnp.float32))
-                 ** 2) * keep
-            if batch_mask is not None:
-                m = batch_mask.astype(jnp.float32)
-                while m.ndim < d.ndim:
-                    m = m[..., None]
-                d = d * m
-                denom = jnp.maximum(jnp.sum(keep * m), 1.0)
-            else:
-                denom = jnp.maximum(jnp.sum(keep), 1.0)
-            return jnp.sum(d) / denom * cfg.loss_scale
-        return _masked_mse(out, batch_ref, batch_mask) * cfg.loss_scale
-
-    def grad_accum(params, idx_groups):
-        def one(i, acc):
-            l, g = jax.value_and_grad(loss_fn)(params, idx_groups[i])
-            acc_l, acc_g = acc
-            return (acc_l + l, jax.tree.map(jnp.add, acc_g, g))
-        zero = (jnp.zeros(()),
-                jax.tree.map(jnp.zeros_like, params))
-        tot_l, tot_g = jax.lax.fori_loop(
-            0, cfg.gradient_accumulate_steps, one, zero)
-        k = float(cfg.gradient_accumulate_steps)
-        return tot_l / k, jax.tree.map(lambda x: x / k, tot_g)
-
-    def step(carry, idx_groups):
-        params, opt_state, best_params, best_loss, since_best = carry
-        loss, grads = grad_accum(params, idx_groups)
-
-        is_best = loss < best_loss
-        new_best_params = jax.tree.map(
-            lambda b, c: jnp.where(is_best, c, b), best_params, params)
-        new_best_loss = jnp.minimum(best_loss, loss)
-        since_best = jnp.where(is_best, 0, since_best + 1)
-
-        # dynamic_max_gap: freeze updates once stale (can't break a scan)
-        frozen = jnp.logical_and(
-            cfg.dynamic_max_gap > 0, since_best >= cfg.dynamic_max_gap)
-        updates, opt_state = opt_update(grads, opt_state)
-        new_params = jax.tree.map(
-            lambda p, u: jnp.where(frozen, p, p + u), params, updates)
-        return ((new_params, opt_state, new_best_params, new_best_loss,
-                 since_best), loss)
+    cache_key = (
+        block_fwd, lfq_fn, cfg,
+        tuple(sorted((k, repr(v)) for k, v in schemes.items())),
+        mask is None, extras is None, mask_outliers,
+    )
+    cached = _RUN_CACHE.get(cache_key)
+    if cached is None:
+        cached = _build_run(block_fwd, dict(schemes), cfg, mask is not None,
+                            extras is not None, lfq_fn, mask_outliers)
+        _RUN_CACHE[cache_key] = cached
+        if len(_RUN_CACHE) > 64:
+            _RUN_CACHE.pop(next(iter(_RUN_CACHE)))
+    run, opt_init = cached
 
     init_carry = (
         tune_params,
@@ -342,12 +386,8 @@ def tune_block(
         jnp.zeros((), jnp.int32),
     )
 
-    @jax.jit
-    def run(carry, batch_idx):
-        return jax.lax.scan(step, carry, batch_idx)
-
     (final_params, _, best_params, best_loss, _), losses = run(
-        init_carry, batch_idx)
+        weights, inputs, ref_outputs, mask, extras, init_carry, batch_idx)
 
     if not cfg.use_best_params:
         best_params = final_params

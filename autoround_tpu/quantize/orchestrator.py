@@ -121,14 +121,30 @@ class QuantizeResult:
     attention_scales: Dict[int, Dict[str, Any]] = field(default_factory=dict)
 
 
+_APPLY_CACHE: Dict[Any, Callable] = {}
+
+
 def _batched_block_apply(block_weights, x, cos, sin, cfg, batch: int,
                          linear_fn=None):
-    """Advance a cache through one block in jitted batches (static shapes)."""
+    """Advance a cache through one block in jitted batches (static shapes).
+
+    The jitted callable is cached on (family block_fwd, cfg, linear_fn) so
+    every block of a model reuses one compiled executable per shape —
+    fresh closures would recompile per block (minutes each on a
+    remote-compile TPU)."""
     from ..models.registry import get_model_fns
     block_fwd = get_model_fns(cfg).block_fwd
     n = x.shape[0]
-    fn = jax.jit(lambda w, xb: block_fwd(w, xb, cos, sin, cfg,
-                                         linear_fn=linear_fn))
+    key = (block_fwd, cfg, linear_fn)
+    fn0 = _APPLY_CACHE.get(key)
+    if fn0 is None:
+        def apply_impl(w, xb, c, s):
+            return block_fwd(w, xb, c, s, cfg, linear_fn=linear_fn)
+        fn0 = jax.jit(apply_impl)
+        _APPLY_CACHE[key] = fn0
+        if len(_APPLY_CACHE) > 64:
+            _APPLY_CACHE.pop(next(iter(_APPLY_CACHE)))
+    fn = lambda w, xb: fn0(w, xb, cos, sin)
     outs = []
     for s in range(0, n, batch):
         e = min(s + batch, n)
@@ -280,6 +296,11 @@ def quantize_model(
     x_fp = mfns.embed_fwd(params, input_ids, model_cfg)
     x_q = x_fp if (cfg.enable_quanted_input and cfg.iters > 0) else None
 
+    # ONE stable tuning forward for all blocks (tune_block caches its
+    # compiled scan on this callable's identity)
+    def base_block_fn(w, xb):
+        return mfns.block_fwd(w, xb, cos, sin, model_cfg)
+
     new_blocks: List[Dict[str, jax.Array]] = []
     layers: Dict[str, QuantizedLayer] = {}
     traces: Dict[int, np.ndarray] = {}
@@ -404,8 +425,11 @@ def quantize_model(
 
         if cfg.iters > 0:
             tune_in = x_q if x_q is not None else x_fp
-            block_fn = lambda w, xb: mfns.block_fwd(
-                w, xb, cos, sin, model_cfg, linear_fn=act_lf)
+            if act_lf is None:
+                block_fn = base_block_fn  # stable → one tuning compile
+            else:
+                block_fn = lambda w, xb: mfns.block_fwd(
+                    w, xb, cos, sin, model_cfg, linear_fn=act_lf)
             lfq_fn = None
             if (cfg.enable_lfq and ids is not None
                     and bi == len(params["blocks"]) - 1):
