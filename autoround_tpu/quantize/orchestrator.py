@@ -352,7 +352,9 @@ def quantize_model(
                                  x_q, cos, sin, tcfg, cfg, mask, layers,
                                  traces, layer_schemes, attention_scales)
 
+    import time as _time
     for bi, block in enumerate(params["blocks"]):
+        _t_block = _time.time()
         schemes = per_block.get(bi, {})
         if resume is not None and bi < start_block:
             payload = resume.load_block(bi)
@@ -454,8 +456,9 @@ def quantize_model(
                 lfq_fn=lfq_fn)
             traces[bi] = info["loss_trace"]
             logger.info(
-                "block %d: loss iter0 %.6f -> best %.6f",
-                bi, info["first_loss"], info["best_loss"])
+                "block %d: loss iter0 %.6f -> best %.6f (%.1fs)",
+                bi, info["first_loss"], info["best_loss"],
+                _time.time() - _t_block)
             qdq_block = block
             for lname, scheme in schemes.items():
                 w_orig = get_by_path(block, lname)
