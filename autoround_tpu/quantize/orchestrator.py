@@ -301,6 +301,19 @@ def quantize_model(
     def base_block_fn(w, xb):
         return mfns.block_fwd(w, xb, cos, sin, model_cfg)
 
+    # act-quant variant: per-block static/global act scales ride INSIDE the
+    # weights pytree under a reserved key, so they are traced arguments and
+    # this callable (hence the compiled tuning scan) stays block-invariant
+    _act_schemes_cache = {}
+
+    def act_block_fn(w, xb):
+        scales = w["_act_scales"]
+        lf = make_act_quant_linear_fn(
+            _act_schemes_cache["schemes"], scales.get("static") or None,
+            scales.get("global") or None)
+        inner = {k: v for k, v in w.items() if k != "_act_scales"}
+        return mfns.block_fwd(inner, xb, cos, sin, model_cfg, linear_fn=lf)
+
     new_blocks: List[Dict[str, jax.Array]] = []
     layers: Dict[str, QuantizedLayer] = {}
     traces: Dict[int, np.ndarray] = {}
@@ -427,11 +440,15 @@ def quantize_model(
 
         if cfg.iters > 0:
             tune_in = x_q if x_q is not None else x_fp
+            tune_weights = block
             if act_lf is None:
                 block_fn = base_block_fn  # stable → one tuning compile
             else:
-                block_fn = lambda w, xb: mfns.block_fwd(
-                    w, xb, cos, sin, model_cfg, linear_fn=act_lf)
+                _act_schemes_cache["schemes"] = schemes
+                tune_weights = dict(block)
+                tune_weights["_act_scales"] = {"static": static_scales,
+                                               "global": global_scales}
+                block_fn = act_block_fn
             lfq_fn = None
             if (cfg.enable_lfq and ids is not None
                     and bi == len(params["blocks"]) - 1):
@@ -452,8 +469,8 @@ def quantize_model(
                     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
             best, info = tune_block(
-                block_fn, block, tune_in, ref_out, schemes, tcfg, mask=mask,
-                lfq_fn=lfq_fn)
+                block_fn, tune_weights, tune_in, ref_out, schemes, tcfg,
+                mask=mask, lfq_fn=lfq_fn)
             traces[bi] = info["loss_trace"]
             logger.info(
                 "block %d: loss iter0 %.6f -> best %.6f (%.1fs)",
