@@ -307,7 +307,7 @@ DEQUANTIZERS = {GGMLType.Q8_0: dequant_q8_0, GGMLType.Q4_0: dequant_q4_0,
 
 # ------------------------------------------------------------- container
 _GGUF_MAGIC = 0x46554747
-_T_U32, _T_F32, _T_STR, _T_U64 = 4, 6, 8, 10
+_T_U32, _T_I32, _T_F32, _T_STR, _T_ARR, _T_U64 = 4, 5, 6, 8, 9, 10
 
 
 def _w_str(f, s: str):
@@ -316,11 +316,11 @@ def _w_str(f, s: str):
     f.write(b)
 
 
-def _w_kv(f, key: str, vtype: int, value):
-    _w_str(f, key)
-    f.write(struct.pack("<I", vtype))
+def _w_scalar(f, vtype: int, value):
     if vtype == _T_U32:
         f.write(struct.pack("<I", value))
+    elif vtype == _T_I32:
+        f.write(struct.pack("<i", value))
     elif vtype == _T_F32:
         f.write(struct.pack("<f", value))
     elif vtype == _T_U64:
@@ -329,6 +329,18 @@ def _w_kv(f, key: str, vtype: int, value):
         _w_str(f, value)
     else:
         raise ValueError(vtype)
+
+
+def _w_kv(f, key: str, vtype: int, value):
+    _w_str(f, key)
+    f.write(struct.pack("<I", vtype))
+    if vtype == _T_ARR:
+        elem_type, items = value  # (scalar type, list)
+        f.write(struct.pack("<IQ", elem_type, len(items)))
+        for it in items:
+            _w_scalar(f, elem_type, it)
+    else:
+        _w_scalar(f, vtype, value)
 
 
 def write_gguf(path: str, metadata: List[Tuple[str, int, Any]],
@@ -401,9 +413,34 @@ _GGUF_BLOCK_NAME = {
 }
 
 
+def tokenizer_metadata(tok: Dict[str, Any]) -> List[Tuple[str, int, Any]]:
+    """Build tokenizer KV entries from a payload dict:
+    {"model": "llama"|"gpt2", "tokens": [str], "scores": [float]?,
+     "token_type": [int]?, "merges": [str]?, "bos": int?, "eos": int?}."""
+    kvs: List[Tuple[str, int, Any]] = [
+        ("tokenizer.ggml.model", _T_STR, tok.get("model", "llama")),
+        ("tokenizer.ggml.tokens", _T_ARR, (_T_STR, list(tok["tokens"]))),
+    ]
+    if "scores" in tok:
+        kvs.append(("tokenizer.ggml.scores", _T_ARR,
+                    (_T_F32, [float(s) for s in tok["scores"]])))
+    if "token_type" in tok:
+        kvs.append(("tokenizer.ggml.token_type", _T_ARR,
+                    (_T_I32, [int(t) for t in tok["token_type"]])))
+    if "merges" in tok:
+        kvs.append(("tokenizer.ggml.merges", _T_ARR,
+                    (_T_STR, list(tok["merges"]))))
+    for name, key in (("bos", "tokenizer.ggml.bos_token_id"),
+                      ("eos", "tokenizer.ggml.eos_token_id")):
+        if name in tok:
+            kvs.append((key, _T_U32, int(tok[name])))
+    return kvs
+
+
 def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
                          path: str, base_type: int = GGMLType.Q4_K,
-                         mixed: bool = True) -> str:
+                         mixed: bool = True,
+                         tokenizer: Optional[Dict[str, Any]] = None) -> str:
     """Write a llama-family params pytree as a .gguf file.
 
     Weights are (re)quantized by the ggml packers (qdq-tuned weights sit on
@@ -459,6 +496,8 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
          float(model_cfg.rms_eps)),
         ("llama.vocab_size", _T_U32, model_cfg.vocab_size),
     ]
+    if tokenizer is not None:
+        metadata.extend(tokenizer_metadata(tokenizer))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     write_gguf(path, metadata, tensors)
     logger.info("wrote GGUF (%d tensors, base %s) -> %s", len(tensors),
