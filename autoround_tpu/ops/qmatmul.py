@@ -79,9 +79,12 @@ def _kernel(x_ref, w_ref, st_ref, o_ref, acc_ref, *, group_size: int):
     of the dot: acc += (x_g @ (codes-8)^T) * s_row.  This keeps the MXU
     inputs exact small ints in bf16 (no pre-scaled rounding) and turns the
     scale into one (B, TO) row broadcast instead of a (TO, g) multiply.
+
+    Grid is (batch tiles, O tiles, K tiles) — batch tiling keeps prefill
+    calls (B = prompts x seq rows) within VMEM.
     """
-    k = pl.program_id(1)
-    nk = pl.num_programs(1)
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
 
     @pl.when(k == 0)
     def _():
@@ -137,31 +140,34 @@ def w4a16_matmul(
     while O % TO:
         TO //= 2
 
-    Bp = max(16, -(-B // 16) * 16)
+    # batch tiling: decode batches fit one tile; prefill (B = prompts x
+    # seq) tiles at 256 rows to stay inside VMEM
+    TB = min(max(16, -(-B // 16) * 16), 256)
+    Bp = -(-B // TB) * TB
     if Bp != B:
         x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
 
     # scales transposed to (K//g, O): plane-row layout for the kernel
     scales_t = scales.astype(jnp.float32).T
 
-    grid = (O // TO, K // TK)
+    grid = (Bp // TB, O // TO, K // TK)
     out = pl.pallas_call(
         functools.partial(_kernel, group_size=group_size),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Bp, TK), lambda o, k: (0, k),
+            pl.BlockSpec((TB, TK), lambda b, o, k: (b, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TO, group_size), lambda o, k: (o, k),
+            pl.BlockSpec((TO, group_size), lambda b, o, k: (o, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PLANES, TO), lambda o, k: (k, o),
+            pl.BlockSpec((PLANES, TO), lambda b, o, k: (k, o),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Bp, TO), lambda o, k: (0, o),
+        out_specs=pl.BlockSpec((TB, TO), lambda b, o, k: (b, o),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, O), x.dtype),
-        scratch_shapes=[pltpu.VMEM((Bp, TO), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TB, TO), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * O * K,
