@@ -259,7 +259,6 @@ def quantize_model(
     input_ids: jax.Array,
     cfg: QuantizeConfig = QuantizeConfig(),
     mask: Optional[jax.Array] = None,
-    imatrix: bool = False,
 ) -> QuantizeResult:
     """Quantize a llama-family model block-by-block.
 
