@@ -145,6 +145,33 @@ def get_calib_batch(
             mask[i, : len(t)] = 1.0
         return batch, mask
     if isinstance(dataset, str):
+        if "," in dataset:
+            # mixing syntax "name1:frac,name2" (reference calib_dataset.py)
+            parts = []
+            for spec in dataset.split(","):
+                if ":" in spec and not spec.startswith("local:"):
+                    name, frac = spec.rsplit(":", 1)
+                    parts.append((name.strip(), float(frac)))
+                else:
+                    parts.append((spec.strip(), None))
+            n_unspec = sum(1 for _, f in parts if f is None)
+            rem = 1.0 - sum(f for _, f in parts if f is not None)
+            counts = []
+            for name, f in parts:
+                share = f if f is not None else rem / max(n_unspec, 1)
+                counts.append((name, max(1, int(round(nsamples * share)))))
+            ids_list, mask_list = [], []
+            for i, (name, n) in enumerate(counts):
+                a, m = get_calib_batch(name, nsamples=n, seqlen=seqlen,
+                                       tokenizer=tokenizer,
+                                       vocab_size=vocab_size,
+                                       seed=seed + i, **kw)
+                ids_list.append(a)
+                mask_list.append(m)
+            ids = np.concatenate(ids_list)[:nsamples]
+            mask = np.concatenate(mask_list)[:nsamples]
+            order = np.random.default_rng(seed).permutation(len(ids))
+            return ids[order], mask[order]
         if dataset.startswith("local:"):
             return CALIB_DATASETS["local"](
                 nsamples, seqlen, tokenizer=tokenizer,

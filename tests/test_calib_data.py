@@ -56,3 +56,18 @@ class TestCalibData:
     def test_hub_dataset_unavailable_is_actionable(self):
         with pytest.raises(RuntimeError, match="unavailable"):
             CALIB_DATASETS["pile-10k"](2, 8, tokenizer=FakeTokenizer())
+
+
+class TestMixing:
+    def test_mixed_synthetic(self):
+        ids, mask = get_calib_batch("synthetic:0.5,synthetic",
+                                    nsamples=8, seqlen=16, vocab_size=50)
+        assert ids.shape == (8, 16) and ids.max() < 50
+
+    def test_mixed_with_local(self, tmp_path):
+        p = tmp_path / "t.txt"
+        p.write_text("\n".join(["hello world " * 10] * 20))
+        ids, mask = get_calib_batch(
+            f"synthetic:0.5,local:{p}", nsamples=8, seqlen=32,
+            tokenizer=FakeTokenizer(), vocab_size=250)
+        assert ids.shape == (8, 32)
