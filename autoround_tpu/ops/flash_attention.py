@@ -101,11 +101,37 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         o_ref[0, 0] = (acc_ref[:] * inv).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(q, k, v, causal: bool = True, block_q: int = 256,
                     block_k: int = 256):
     """q (B,H,S,D), k/v (B,Hkv,T,D) → (B,H,S,D).  S,T multiples of the
-    block sizes and D a lane multiple for the kernel path."""
+    block sizes and D a lane multiple for the kernel path.
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    differentiates the reference formulation (recomputed — correct and
+    simple; a fused flash backward kernel is a later optimization).
+    """
+    return _flash_attention_impl(q, k, v, causal, block_q, block_k)
+
+
+def _flash_fwd(q, k, v, causal, block_q, block_k):
+    return _flash_attention_impl(q, k, v, causal, block_q, block_k), (q, k, v)
+
+
+def _flash_bwd(causal, block_q, block_k, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: flash_attention_ref(q_, k_, v_,
+                                                            causal),
+                     q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
+def _flash_attention_impl(q, k, v, causal: bool = True, block_q: int = 256,
+                          block_k: int = 256):
     B, H, S, D = q.shape
     Hkv, T = k.shape[1], k.shape[2]
     rep = H // Hkv
