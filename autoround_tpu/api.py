@@ -60,6 +60,7 @@ class AutoRound:
         optimizer: str = "signsgd",
         nblocks: int = 1,
         enable_lfq: bool = False,
+        donate_params: bool = False,
         dynamic_max_gap: int = -1,
         gradient_accumulate_steps: int = 1,
         **kw,
@@ -103,6 +104,7 @@ class AutoRound:
             optimizer=optimizer,
             nblocks=nblocks,
             enable_lfq=enable_lfq,
+            donate_params=donate_params,
             dynamic_max_gap=dynamic_max_gap,
             gradient_accumulate_steps=gradient_accumulate_steps)
         self.result: Optional[QuantizeResult] = None

@@ -83,6 +83,12 @@ class QuantizeConfig:
     # finish, so peak memory never holds the packed model
     immediate_save_dir: Optional[str] = None
     shard_size_bytes: int = 4 << 30
+    # free each original block's HBM as soon as its qdq replacement exists
+    # (the role of the reference's offload/low_gpu_mem_usage for the
+    # "both copies do not fit" regime).  MUTATES the caller's
+    # params["blocks"] entries to None — opt in only when the FP params
+    # are not needed afterwards.
+    donate_params: bool = False
 
     def tune_config(self) -> TuneConfig:
         return TuneConfig(
@@ -506,6 +512,9 @@ def quantize_model(
             ql.act_global_scale = global_scales.get(lname)
 
         new_blocks.append(qdq_block)
+        if cfg.donate_params:
+            params["blocks"][bi] = None  # free original block HBM
+            block = None
         # advance chains (q-chain keeps act quant active, like the
         # reference's persistent WrapperWALayer)
         x_fp = ref_out
