@@ -63,6 +63,22 @@ def main(out_path: str) -> None:
     qdq, _, _ = nv_fp4(t.clone(), bits=4, group_size=16)
     goldens["nvfp4"] = qdq.numpy()
 
+    # GGUF block-packer bytes (reference export_to_gguf/packing.py) — the
+    # committed bytes validate our ggml-layout decoders.  NOTE: these
+    # packers mutate their input in place; always pass clones.
+    from auto_round.export.export_to_gguf import packing as gp
+    wg = torch.from_numpy(w[:, :256].copy())
+    # the reference packers take input pre-reshaped into format blocks:
+    # 32 elems for q8_0/q4_0, 256 for the k-quants
+    for name, fn, blk in (("q8_0", gp.q8_0_quant_block, 32),
+                          ("q4_0", gp.q4_0_quant_block, 32),
+                          ("q4_k", gp.q4_k_quant_block, 256),
+                          ("q6_k", gp.q6_k_quant_block, 256),
+                          ("q2_k", gp.q2_k_quant_block, 256)):
+        raw = np.asarray(fn(wg.clone().reshape(-1, blk)))
+        goldens[f"gguf_bytes_{name}"] = raw.astype(np.uint8)
+    goldens["gguf_input"] = wg.numpy()
+
     np.savez_compressed(out_path, **goldens)
     print(f"wrote {len(goldens)} goldens -> {out_path}")
 
