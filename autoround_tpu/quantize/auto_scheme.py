@@ -106,6 +106,55 @@ def gen_auto_scheme(
 
     grads_blocks = jax.grad(loss_of_blocks)(params["blocks"])
 
+    # activation-side damage (reference mix_score = weight_score +
+    # act_score, delta_loss.py:100-160): capture each quantized linear's
+    # input x and dL/dx via zero probes injected through the linear
+    # interceptor, then score |dL/dx * (x - qdq_act(x))| per option.
+    act_options = [o for o in options
+                   if o.effective_act().is_act_quantized]
+    act_x, act_g = {}, {}
+    if act_options:
+        from ..algorithms.actquant import qdq_act
+        from ..models.registry import get_model_fns as _gmf
+        mfns = _gmf(model_cfg)
+        from ..models import llama as _ll
+        inner = {n.split(".", 2)[2] for n in layer_names}
+        cos, sin = mfns.rope_tables(model_cfg, ids.shape[1] - 1)
+
+        def fwd_with_probes(probes):
+            x = mfns.embed_fwd(params, ids[:, :-1], model_cfg)
+            captured = {}
+
+            for bi, b in enumerate(params["blocks"]):
+                def lf(name, xx, ww, bias=None, bi=bi):
+                    key = f"blocks.{bi}.{name}"
+                    if key in probes:
+                        xx = xx + probes[key]
+                        captured[key] = xx
+                    y = jnp.einsum("...i,oi->...o", xx, ww)
+                    if bias is not None:
+                        y = y + bias
+                    return y
+
+                x = mfns.block_fwd(b, x, cos, sin, model_cfg, linear_fn=lf)
+            logits = mfns.final_fwd(params, x, model_cfg).astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)
+            return jnp.mean(nll), captured
+
+        # probe shapes: one per quantized layer input
+        probe_shapes = {}
+        x0 = mfns.embed_fwd(params, ids[:1, :-1], model_cfg)
+        from ..utils.pytree import get_by_path as _gbp
+        for flat in layer_names:
+            w = _gbp(params["blocks"], flat.split(".", 1)[1])
+            probe_shapes[flat] = (ids.shape[0], ids.shape[1] - 1, w.shape[1])
+        probes = {k: jnp.zeros(s, x0.dtype) for k, s in probe_shapes.items()}
+        (loss_val, act_x), g = jax.jit(
+            lambda p: jax.value_and_grad(fwd_with_probes, has_aux=True)(p)
+        )(probes)
+        act_g = g
+
     from ..utils.pytree import get_by_path
 
     def get_leaf(tree, flat):
@@ -135,12 +184,33 @@ def gen_auto_scheme(
             return s
         score_fns.append(make())
 
+    if act_options:
+        from ..algorithms.actquant import qdq_act
+
+        act_score_fns = {}
+        for oi, opt in enumerate(options):
+            if not opt.effective_act().is_act_quantized:
+                continue
+
+            def make(opt=opt):
+                @jax.jit
+                def s(x, gx):
+                    dq = qdq_act(x, opt)
+                    return jnp.sum(jnp.abs(
+                        gx.astype(jnp.float32)
+                        * (x.astype(jnp.float32) - dq.astype(jnp.float32))))
+                return s
+            act_score_fns[oi] = make()
+
     for li, flat in enumerate(layer_names):
         w = get_leaf(params["blocks"], flat)
         g = get_leaf(grads_blocks, flat)
         nparams[li] = w.size
         for oi, opt in enumerate(options):
             scores[li, oi] = float(score_fns[oi](w, g))
+            if act_options and oi in act_score_fns and flat in act_x:
+                scores[li, oi] += float(
+                    act_score_fns[oi](act_x[flat], act_g[flat]))
             bits_cost[li, oi] = scheme_storage_bits(opt, w.shape)
 
     budget = auto_scheme.avg_bits * nparams.sum()

@@ -88,3 +88,15 @@ class TestSearch:
                        iters=2, batch_size=4)
         res = ar.quantize(self.ids)
         assert len(res.layers) == CFG.num_layers * 7
+
+
+class TestActScore:
+    def test_act_quantized_options_score_and_mix(self):
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 CFG.vocab_size)
+        spec = AutoScheme(avg_bits=5.0, options=("W4A8", "W8A16"),
+                          nsamples=4)
+        plan = gen_auto_scheme(params, CFG, spec, ids)
+        bits = {s.bits for s in plan.values()}
+        assert bits == {4, 8}  # both options used under the budget
