@@ -291,6 +291,34 @@ class QuantizedLlama:
             out.append(tok)
         return jnp.stack(out, axis=1)
 
+    def generate_scan(self, input_ids: jax.Array,
+                      max_new_tokens: int = 32) -> jax.Array:
+        """Greedy generation with the decode loop as one on-device
+        ``lax.scan`` — no per-token host dispatch (the TPU-idiomatic
+        serving loop; matters most over high-latency links)."""
+        key = ("gen_scan", int(max_new_tokens))
+        fn = getattr(self, "_gen_scan_cache", {}).get(key)
+        if fn is None:
+            def impl(params, packed, ids):
+                logits, cache = self._prefill_impl(params, packed, ids)
+                tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+                def step(carry, _):
+                    tok, cache = carry
+                    lg, cache = self._decode_impl(params, packed, tok, cache)
+                    nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                    return (nxt, cache), nxt
+
+                (_, _), toks = jax.lax.scan(
+                    step, (tok0, cache), None, length=max_new_tokens - 1)
+                return jnp.concatenate([tok0[:, None], toks.T], axis=1)
+
+            fn = jax.jit(impl)
+            if not hasattr(self, "_gen_scan_cache"):
+                self._gen_scan_cache = {}
+            self._gen_scan_cache[key] = fn
+        return fn(self.params, self.packed, jnp.asarray(input_ids))
+
 
 def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf):
     """Decoder block returning (out, k_new, v_new); kv=(k_all, v_all) with

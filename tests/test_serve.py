@@ -75,3 +75,13 @@ class TestEngine:
         assert len(eng.packed) == 0  # falls back to qdq-dense serving
         logits, cache = eng.prefill(ids[:1])
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestGenerateScan:
+    def test_scan_matches_loop(self, quantized):
+        cfg, params, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=64)
+        ids = jax.random.randint(jax.random.PRNGKey(9), (2, 4), 0, 128)
+        loop = eng.generate(ids, max_new_tokens=6)
+        scan = eng.generate_scan(ids, max_new_tokens=6)
+        np.testing.assert_array_equal(np.asarray(loop), np.asarray(scan))
