@@ -65,6 +65,17 @@ def quant_fp_elements(x: jax.Array, fmt: MxFormat,
         step = 2.0 ** (-fmt.mbits)
         q = round_ste(x / step + vv) * step
         return jnp.clip(q, -fmt.max_norm, fmt.max_norm)
+    if (fmt.ebits, fmt.mbits) == (2, 1):
+        # E2M1 fast path: the grid {0,±.5,±1,±1.5,±2,±3,±4,±6} is three
+        # uniform regions — a branchless select instead of log2/exp2,
+        # which compiles and differentiates far cheaper (MX act-quant
+        # tuning scans went from pathological to ordinary compile times)
+        ax = jnp.abs(x)
+        lo = round_ste(2.0 * x + vv) * 0.5            # |x| < 2, step .5
+        mid = round_ste(x + vv)                       # 2 <= |x| < 4, step 1
+        hi = round_ste(0.5 * x + vv) * 2.0            # |x| >= 4, step 2
+        q = jnp.where(ax < 2.0, lo, jnp.where(ax < 4.0, mid, hi))
+        return jnp.clip(q, -fmt.max_norm, fmt.max_norm)
     # min normal exponent of a format with bias 2^(ebits-1)-1 and no inf/nan
     # reserved (e2m1-style): emin = 2 - 2^(ebits-1) ... for e2m1 this is 0.
     emin = -(2 ** (fmt.ebits - 1) - 2)
