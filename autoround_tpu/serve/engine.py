@@ -187,6 +187,16 @@ class QuantizedLlama:
         return cls(cfg=cfg, params=params, packed=packed, max_seq=max_seq,
                    kv_quant=kv_quant)
 
+    @classmethod
+    def from_gptq(cls, path: str, max_seq: int = 2048,
+                  kv_quant: Optional[str] = None) -> "QuantizedLlama":
+        """Load an HF-layout GPTQ checkpoint (the CUDA-ecosystem format
+        the reference exports) straight into the serving engine."""
+        from .gptq_loader import load_gptq_checkpoint
+        params, cfg, packed = load_gptq_checkpoint(path)
+        return cls(cfg=cfg, params=params, packed=packed, max_seq=max_seq,
+                   kv_quant=kv_quant)
+
     # -- linear interceptor: packed kernel or dense fallback --
     @staticmethod
     def _make_linear_fn(packed, block_idx: int):
