@@ -70,6 +70,32 @@ def _kv_dequantize(x, scale, dtype):
     return (x.astype(jnp.float32) * scale).astype(dtype)
 
 
+_FUSE_GROUPS = (("qkv", ("q_proj", "k_proj", "v_proj")),
+                ("gate_up", ("gate_proj", "up_proj")))
+
+
+def _fuse_packed(packed: Dict[str, Tuple[jax.Array, jax.Array]], cfg):
+    """Concatenate q/k/v and gate/up packed weights along O so one fused
+    kernel call replaces three/two (fewer launches per decode step; the
+    shared activation is read once).  Returns (packed', splits) where
+    ``splits`` is a STATIC side table (split sizes must not ride in the
+    traced pytree or output slicing becomes dynamic)."""
+    out = dict(packed)
+    splits_table: Dict[str, Tuple[int, ...]] = {}
+    for bi in range(cfg.num_layers):
+        for fused_name, members in _FUSE_GROUPS:
+            keys = [f"blocks.{bi}.{m}" for m in members]
+            if not all(k in packed for k in keys):
+                continue
+            qws = [packed[k][0] for k in keys]
+            scs = [packed[k][1] for k in keys]
+            key = f"blocks.{bi}.{fused_name}"
+            out[key] = (jnp.concatenate(qws, axis=0),
+                        jnp.concatenate(scs, axis=0))
+            splits_table[key] = tuple(int(q.shape[0]) for q in qws)
+    return out, splits_table
+
+
 @dataclass(eq=False)
 class QuantizedLlama:
     """Serving-side model: packed quantized layers + bf16 residue.
@@ -83,6 +109,8 @@ class QuantizedLlama:
     packed: Dict[str, Tuple[jax.Array, jax.Array]]  # name -> (qweight, scales)
     max_seq: int = 2048
     kv_quant: Optional[str] = None         # None | "int8" | "fp8"
+    # static split sizes for fused projection entries (NOT traced)
+    fused_splits: Optional[Dict[str, Tuple[int, ...]]] = None
 
     def __post_init__(self):
         # jitted entry points close over static config; weights flow in as
@@ -119,8 +147,9 @@ class QuantizedLlama:
         n_packed = len(packed)
         logger.info("serving engine: %d layers packed int4, rest dense",
                     n_packed)
-        return cls(cfg=cfg, params=params, packed=packed, max_seq=max_seq,
-                   kv_quant=kv_quant)
+        fused, splits = _fuse_packed(packed, cfg)
+        return cls(cfg=cfg, params=params, packed=fused,
+                   max_seq=max_seq, kv_quant=kv_quant, fused_splits=splits)
 
     @classmethod
     def from_pretrained(cls, path: str, max_seq: int = 2048,
@@ -184,8 +213,9 @@ class QuantizedLlama:
             params = set_by_path(params, name, leaf)
         logger.info("from_pretrained: %d packed layers, %d total quantized",
                     len(packed), len(qcfg["layers"]))
-        return cls(cfg=cfg, params=params, packed=packed, max_seq=max_seq,
-                   kv_quant=kv_quant)
+        fused, splits = _fuse_packed(packed, cfg)
+        return cls(cfg=cfg, params=params, packed=fused,
+                   max_seq=max_seq, kv_quant=kv_quant, fused_splits=splits)
 
     @classmethod
     def from_gptq(cls, path: str, max_seq: int = 2048,
@@ -194,8 +224,9 @@ class QuantizedLlama:
         the reference exports) straight into the serving engine."""
         from .gptq_loader import load_gptq_checkpoint
         params, cfg, packed = load_gptq_checkpoint(path)
-        return cls(cfg=cfg, params=params, packed=packed, max_seq=max_seq,
-                   kv_quant=kv_quant)
+        fused, splits = _fuse_packed(packed, cfg)
+        return cls(cfg=cfg, params=params, packed=fused,
+                   max_seq=max_seq, kv_quant=kv_quant, fused_splits=splits)
 
     # -- linear interceptor: packed kernel or dense fallback --
     @staticmethod
@@ -203,7 +234,7 @@ class QuantizedLlama:
         def lf(name, x, w, b=None):
             key = f"blocks.{block_idx}.{name}"
             if key in packed:
-                qw, scales = packed[key]
+                qw, scales = packed[key][:2]
                 group_size = (qw.shape[1] * 8) // scales.shape[1]
                 y = w4a16_matmul(x, qw, scales, group_size)
             else:
@@ -213,6 +244,25 @@ class QuantizedLlama:
             return y
 
         return lf
+
+    @staticmethod
+    def _fused_call(packed, splits_table, block_idx: int, fused_name: str,
+                    x):
+        """Run a fused projection group if available; returns list of
+        member outputs or None.  ``splits_table`` is static."""
+        key = f"blocks.{block_idx}.{fused_name}"
+        entry = packed.get(key)
+        if entry is None or splits_table is None or key not in splits_table:
+            return None
+        qw, scales = entry
+        group_size = (qw.shape[1] * 8) // scales.shape[1]
+        y = w4a16_matmul(x, qw, scales, group_size)
+        outs = []
+        off = 0
+        for s in splits_table[key]:
+            outs.append(y[..., off:off + s])
+            off += s
+        return outs
 
     def prefill(self, input_ids: jax.Array) -> Tuple[jax.Array, KVCache]:
         """Run the prompt, return (logits_last, cache)."""
@@ -277,7 +327,8 @@ class QuantizedLlama:
                       _kv_dequantize(new_v[i], vs, cfg.dtype))
             x, k_new, v_new = _block_with_cache(
                 params["blocks"][i], x, cos, sin, cfg,
-                kv, pos, self._make_linear_fn(packed, i))
+                kv, pos, self._make_linear_fn(packed, i), packed=packed,
+                block_idx=i, splits_table=self.fused_splits)
             if self.kv_quant is not None:
                 k_new = _kv_quantize(k_new, cache.k_scale[i], self.kv_quant)
                 v_new = _kv_quantize(v_new, cache.v_scale[i], self.kv_quant)
@@ -330,15 +381,28 @@ class QuantizedLlama:
         return fn(self.params, self.packed, jnp.asarray(input_ids))
 
 
-def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf):
+def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
+                      packed=None, block_idx=None, splits_table=None):
     """Decoder block returning (out, k_new, v_new); kv=(k_all, v_all) with
-    valid length ``pos`` enables decode attention over the cache."""
+    valid length ``pos`` enables decode attention over the cache.
+    When ``packed``/``block_idx`` are given, fused qkv / gate_up packed
+    projections are used where available (fewer kernel launches)."""
     B, S, H = x.shape
     hd = cfg.hd
     h = llama.rms_norm(x, weights["input_layernorm"], cfg.rms_eps)
-    q = lf("q_proj", h, weights["q_proj"], weights.get("q_bias"))
-    k = lf("k_proj", h, weights["k_proj"], weights.get("k_bias"))
-    v = lf("v_proj", h, weights["v_proj"], weights.get("v_bias"))
+    fused_qkv = (QuantizedLlama._fused_call(packed, splits_table,
+                                            block_idx, "qkv", h)
+                 if packed is not None else None)
+    if fused_qkv is not None:
+        q, k, v = fused_qkv
+        if weights.get("q_bias") is not None:
+            q = q + weights["q_bias"]
+            k = k + weights["k_bias"]
+            v = v + weights["v_bias"]
+    else:
+        q = lf("q_proj", h, weights["q_proj"], weights.get("q_bias"))
+        k = lf("k_proj", h, weights["k_proj"], weights.get("k_bias"))
+        v = lf("v_proj", h, weights["v_proj"], weights.get("v_bias"))
     q = q.reshape(B, S, cfg.num_heads, hd)
     k = k.reshape(B, S, cfg.num_kv_heads, hd)
     v = v.reshape(B, S, cfg.num_kv_heads, hd)
@@ -365,7 +429,13 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf):
     x = x + lf("o_proj", attn, weights["o_proj"])
 
     h = llama.rms_norm(x, weights["post_attention_layernorm"], cfg.rms_eps)
-    gate = jax.nn.silu(lf("gate_proj", h, weights["gate_proj"]))
-    up = lf("up_proj", h, weights["up_proj"])
+    fused_gu = (QuantizedLlama._fused_call(packed, splits_table,
+                                           block_idx, "gate_up", h)
+                if packed is not None else None)
+    if fused_gu is not None:
+        gate, up = jax.nn.silu(fused_gu[0]), fused_gu[1]
+    else:
+        gate = jax.nn.silu(lf("gate_proj", h, weights["gate_proj"]))
+        up = lf("up_proj", h, weights["up_proj"])
     x = x + lf("down_proj", gate * up, weights["down_proj"])
     return x, k_new, v_new
