@@ -1,5 +1,6 @@
 """Quantized serving engine (new capability — SURVEY.md §7)."""
 
 from .engine import KVCache, QuantizedLlama
+from .tp_engine import TPQuantizedLlama
 
-__all__ = ["QuantizedLlama", "KVCache"]
+__all__ = ["QuantizedLlama", "KVCache", "TPQuantizedLlama"]

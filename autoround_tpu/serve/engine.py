@@ -270,42 +270,9 @@ class QuantizedLlama:
                                jnp.asarray(input_ids))
 
     def _prefill_impl(self, params, packed, input_ids):
-        cfg = self.cfg
-        B, S = input_ids.shape
-        cache = _init_cache(cfg, B, self.max_seq, cfg.num_layers,
-                            self.kv_quant)
-        x = llama.embed_fwd(params, input_ids, cfg)
-        cos, sin = llama.rope_tables(cfg, S)
-        ks, vs = [], []
-        for i in range(cfg.num_layers):
-            x, k_new, v_new = _block_with_cache(
-                params["blocks"][i], x, cos, sin, cfg,
-                None, None, self._make_linear_fn(packed, i))
-            ks.append(k_new)
-            vs.append(v_new)
-        k_stack = jnp.stack(ks)  # (L, B, S, n_kv, hd)
-        v_stack = jnp.stack(vs)
-        k_scale = v_scale = None
-        if self.kv_quant is not None:
-            # static per-(layer, head) scales calibrated on the prompt
-            qmax = _KV_QMAX[self.kv_quant]
-            amax = lambda t: jnp.maximum(
-                jnp.max(jnp.abs(t.astype(jnp.float32)), axis=(1, 2, 4),
-                        keepdims=True), 1e-6)
-            k_scale = amax(k_stack) / qmax
-            v_scale = amax(v_stack) / qmax
-            k_stack = _kv_quantize(k_stack, k_scale, self.kv_quant)
-            v_stack = _kv_quantize(v_stack, v_scale, self.kv_quant)
-        cache = KVCache(
-            k=jax.lax.dynamic_update_slice(
-                cache.k, k_stack.astype(cache.k.dtype), (0, 0, 0, 0, 0)),
-            v=jax.lax.dynamic_update_slice(
-                cache.v, v_stack.astype(cache.v.dtype), (0, 0, 0, 0, 0)),
-            length=jnp.asarray(S, jnp.int32),
-            k_scale=k_scale, v_scale=v_scale,
-        )
-        logits = llama.final_fwd(params, x[:, -1:], cfg)
-        return logits[:, 0], cache
+        return _prefill_core(params, packed, input_ids, cfg=self.cfg,
+                             max_seq=self.max_seq, kv_quant=self.kv_quant,
+                             lf_maker=self._make_linear_fn)
 
     def decode_step(self, token: jax.Array, cache: KVCache
                     ) -> Tuple[jax.Array, KVCache]:
@@ -313,32 +280,11 @@ class QuantizedLlama:
         return self._decode_c(self.params, self.packed, token, cache)
 
     def _decode_impl(self, params, packed, token, cache):
-        cfg = self.cfg
-        pos = cache.length
-        x = llama.embed_fwd(params, token[:, None], cfg)
-        cos, sin = llama.rope_tables(cfg, 1, positions=pos[None])
-        new_k, new_v = cache.k, cache.v
-        for i in range(cfg.num_layers):
-            if self.kv_quant is None:
-                kv = (new_k[i], new_v[i])
-            else:
-                ks, vs = cache.k_scale[i], cache.v_scale[i]
-                kv = (_kv_dequantize(new_k[i], ks, cfg.dtype),
-                      _kv_dequantize(new_v[i], vs, cfg.dtype))
-            x, k_new, v_new = _block_with_cache(
-                params["blocks"][i], x, cos, sin, cfg,
-                kv, pos, self._make_linear_fn(packed, i), packed=packed,
-                block_idx=i, splits_table=self.fused_splits)
-            if self.kv_quant is not None:
-                k_new = _kv_quantize(k_new, cache.k_scale[i], self.kv_quant)
-                v_new = _kv_quantize(v_new, cache.v_scale[i], self.kv_quant)
-            new_k = jax.lax.dynamic_update_slice(
-                new_k, k_new[None].astype(new_k.dtype), (i, 0, pos, 0, 0))
-            new_v = jax.lax.dynamic_update_slice(
-                new_v, v_new[None].astype(new_v.dtype), (i, 0, pos, 0, 0))
-        logits = llama.final_fwd(params, x, cfg)
-        return logits[:, 0], KVCache(new_k, new_v, pos + 1,
-                                     cache.k_scale, cache.v_scale)
+        return _decode_core(params, packed, token, cache, cfg=self.cfg,
+                            kv_quant=self.kv_quant,
+                            lf_maker=self._make_linear_fn,
+                            fused_packed=packed,
+                            splits_table=self.fused_splits)
 
     def generate(self, input_ids: jax.Array, max_new_tokens: int = 32,
                  ) -> jax.Array:
@@ -379,6 +325,84 @@ class QuantizedLlama:
                 self._gen_scan_cache = {}
             self._gen_scan_cache[key] = fn
         return fn(self.params, self.packed, jnp.asarray(input_ids))
+
+
+def _prefill_core(params, packed, input_ids, *, cfg, max_seq, kv_quant,
+                  lf_maker):
+    """Prompt pass shared by the single-chip and TP engines.
+
+    ``cfg`` may carry per-shard head counts (TP path: heads divided by tp,
+    hidden sizes global) — the math below only reads head counts where
+    per-shard values are correct.
+    """
+    B, S = input_ids.shape
+    cache = _init_cache(cfg, B, max_seq, cfg.num_layers, kv_quant)
+    x = llama.embed_fwd(params, input_ids, cfg)
+    cos, sin = llama.rope_tables(cfg, S)
+    ks, vs = [], []
+    for i in range(cfg.num_layers):
+        x, k_new, v_new = _block_with_cache(
+            params["blocks"][i], x, cos, sin, cfg,
+            None, None, lf_maker(packed, i))
+        ks.append(k_new)
+        vs.append(v_new)
+    k_stack = jnp.stack(ks)  # (L, B, S, n_kv, hd)
+    v_stack = jnp.stack(vs)
+    k_scale = v_scale = None
+    if kv_quant is not None:
+        # static per-(layer, head) scales calibrated on the prompt
+        qmax = _KV_QMAX[kv_quant]
+        amax = lambda t: jnp.maximum(
+            jnp.max(jnp.abs(t.astype(jnp.float32)), axis=(1, 2, 4),
+                    keepdims=True), 1e-6)
+        k_scale = amax(k_stack) / qmax
+        v_scale = amax(v_stack) / qmax
+        k_stack = _kv_quantize(k_stack, k_scale, kv_quant)
+        v_stack = _kv_quantize(v_stack, v_scale, kv_quant)
+    cache = KVCache(
+        k=jax.lax.dynamic_update_slice(
+            cache.k, k_stack.astype(cache.k.dtype), (0, 0, 0, 0, 0)),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, v_stack.astype(cache.v.dtype), (0, 0, 0, 0, 0)),
+        length=jnp.asarray(S, jnp.int32),
+        k_scale=k_scale, v_scale=v_scale,
+    )
+    logits = llama.final_fwd(params, x[:, -1:], cfg)
+    return logits[:, 0], cache
+
+
+def _decode_core(params, packed, token, cache, *, cfg, kv_quant, lf_maker,
+                 fused_packed=None, splits_table=None):
+    """One decode step shared by the single-chip and TP engines.
+
+    ``fused_packed``/``splits_table`` enable the fused qkv / gate_up path
+    (single-chip only — fused entries concatenate along O, which would
+    split q/k/v unevenly under a tp shard)."""
+    pos = cache.length
+    x = llama.embed_fwd(params, token[:, None], cfg)
+    cos, sin = llama.rope_tables(cfg, 1, positions=pos[None])
+    new_k, new_v = cache.k, cache.v
+    for i in range(cfg.num_layers):
+        if kv_quant is None:
+            kv = (new_k[i], new_v[i])
+        else:
+            ks, vs = cache.k_scale[i], cache.v_scale[i]
+            kv = (_kv_dequantize(new_k[i], ks, cfg.dtype),
+                  _kv_dequantize(new_v[i], vs, cfg.dtype))
+        x, k_new, v_new = _block_with_cache(
+            params["blocks"][i], x, cos, sin, cfg,
+            kv, pos, lf_maker(packed, i), packed=fused_packed,
+            block_idx=i, splits_table=splits_table)
+        if kv_quant is not None:
+            k_new = _kv_quantize(k_new, cache.k_scale[i], kv_quant)
+            v_new = _kv_quantize(v_new, cache.v_scale[i], kv_quant)
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k_new[None].astype(new_k.dtype), (i, 0, pos, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v_new[None].astype(new_v.dtype), (i, 0, pos, 0, 0))
+    logits = llama.final_fwd(params, x, cfg)
+    return logits[:, 0], KVCache(new_k, new_v, pos + 1,
+                                 cache.k_scale, cache.v_scale)
 
 
 def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,

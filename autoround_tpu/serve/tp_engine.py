@@ -1,0 +1,248 @@
+"""Tensor+data-parallel serving engine over a ``jax.sharding.Mesh``.
+
+New capability vs the reference (its serving story hands QuantLinear
+kernels to HF/vLLM and has no multi-device engine of its own — SURVEY.md
+§2.4): here the packed-int4 decode loop itself is laid out on a (dp, tp)
+mesh the Megatron way and run under ``shard_map`` so the Pallas kernel
+sees concrete per-shard shapes (``pallas_call`` does not partition under
+GSPMD):
+
+  * ``tp`` — column-parallel q/k/v/gate/up (qweight+scales sharded on O),
+    row-parallel o/down (sharded on K) with one explicit ``psum`` per
+    attention/MLP pair; the KV cache shards over kv-heads so attention is
+    fully local and rides ICI only through the two psums per block.
+  * ``dp`` — batch-shards prompts and the KV cache; no collectives in the
+    forward path.
+
+Fused qkv/gate_up entries are NOT used here: they concatenate along O, so
+an even tp split would cut across the q/k/v boundary.  The unfused packed
+entries (kept by ``_fuse_packed``) shard cleanly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import llama
+from ..ops.qmatmul import pack_w4_planes, unpack_w4_planes, w4a16_matmul
+from ..utils.logger import logger
+from .engine import (KVCache, QuantizedLlama, _decode_core, _prefill_core)
+
+__all__ = ["TPQuantizedLlama"]
+
+_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_ROW = ("o_proj", "down_proj")
+_BIAS = ("q_bias", "k_bias", "v_bias")
+
+
+def _weight_spec(name: str, leaf) -> Optional[P]:
+    if leaf is None:
+        return None
+    if name in _COL:
+        return P("tp", None)
+    if name in _ROW:
+        return P(None, "tp")
+    if name in _BIAS:
+        return P("tp")
+    return P()  # norms / anything else replicated
+
+
+def _params_specs(params) -> Dict[str, Any]:
+    specs: Dict[str, Any] = {}
+    for k, v in params.items():
+        if k == "blocks":
+            specs[k] = [{n: _weight_spec(n, w) for n, w in blk.items()}
+                        for blk in v]
+        else:
+            specs[k] = None if v is None else P()
+    return specs
+
+
+def _packed_specs(packed) -> Dict[str, Tuple[P, P]]:
+    specs = {}
+    for key in packed:
+        lname = key.split(".")[-1]
+        if lname in _COL:
+            specs[key] = (P("tp", None), P("tp", None))
+        elif lname in _ROW:
+            specs[key] = (P(None, "tp"), P(None, "tp"))
+        else:  # lm_head-style col-parallel would go here; replicate for now
+            specs[key] = (P(), P())
+    return specs
+
+
+def _cache_spec(kv_quant: Optional[str]) -> KVCache:
+    sc = P(None, None, None, "tp", None) if kv_quant is not None else None
+    return KVCache(k=P(None, "dp", None, "tp", None),
+                   v=P(None, "dp", None, "tp", None),
+                   length=P(), k_scale=sc, v_scale=sc)
+
+
+def _make_tp_linear_fn(packed, block_idx: int):
+    """Per-shard linear: packed kernel or dense einsum; row-parallel
+    layers complete their contraction with a psum over ``tp``."""
+
+    def lf(name, x, w, b=None):
+        key = f"blocks.{block_idx}.{name}"
+        if key in packed:
+            qw, scales = packed[key][:2]
+            group_size = (qw.shape[1] * 8) // scales.shape[1]
+            y = w4a16_matmul(x, qw, scales, group_size)
+        else:
+            y = jnp.einsum("...i,oi->...o", x, w)
+        if name in _ROW:
+            y = jax.lax.psum(y, "tp")
+        if b is not None:
+            y = y + b
+        return y
+
+    return lf
+
+
+def _validate_shardable(cfg, packed, params, tp: int):
+    assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
+    assert cfg.num_kv_heads % tp == 0, (cfg.num_kv_heads, tp)
+    assert cfg.intermediate_size % tp == 0, (cfg.intermediate_size, tp)
+    for key, (qw, s) in packed.items():
+        lname = key.split(".")[-1]
+        if lname in _COL:
+            assert qw.shape[0] % tp == 0 and s.shape[0] % tp == 0, key
+
+
+def _reshard_row_layers(packed, params, cfg, tp: int):
+    """Make row-parallel packed layers shardable along K.
+
+    The nibble-plane layout interleaves the 8 groups of a K-tile inside
+    each int32 word, so a contiguous dim-1 split of qweight is only a
+    contiguous K split at whole-tile granularity.  Where the local K is a
+    tile multiple we repack each shard's K chunk as its own valid
+    nibble-plane block (the concatenation shards into per-device
+    packings); otherwise the layer dequantizes to dense and serves
+    through the einsum path (correct, 4x weight bytes for that layer).
+    """
+    for key in list(packed):
+        lname = key.split(".")[-1]
+        if lname not in _ROW:
+            continue
+        qw, s = packed[key]
+        K, groups = qw.shape[1] * 8, s.shape[1]
+        g = K // groups
+        codes = unpack_w4_planes(qw, g)  # (O, K)
+        if (K // tp) % (8 * g) == 0 and groups % tp == 0:
+            chunks = jnp.split(codes, tp, axis=1)
+            packed[key] = (jnp.concatenate(
+                [pack_w4_planes(c, g) for c in chunks], axis=1), s)
+        else:
+            srep = jnp.repeat(s.astype(jnp.float32), g, axis=1)[:, :K]
+            w = ((codes - 8).astype(jnp.float32) * srep).astype(cfg.dtype)
+            parts = key.split(".")
+            params["blocks"][int(parts[1])][parts[2]] = w
+            del packed[key]
+            logger.info("tp engine: %s K=%d not tile-shardable at tp=%d; "
+                        "serving dense", key, K, tp)
+    return packed, params
+
+
+@dataclasses.dataclass(eq=False)
+class TPQuantizedLlama:
+    """Mesh-sharded :class:`QuantizedLlama`.  Build with
+    :meth:`from_engine`; batch size must divide the ``dp`` axis."""
+
+    cfg: llama.LlamaConfig
+    cfg_local: llama.LlamaConfig   # heads divided by tp; hidden dims global
+    params: Dict[str, Any]
+    packed: Dict[str, Tuple[jax.Array, jax.Array]]
+    mesh: Mesh
+    max_seq: int = 2048
+    kv_quant: Optional[str] = None
+
+    def __post_init__(self):
+        pspec = _params_specs(self.params)
+        kspec = _packed_specs(self.packed)
+        cspec = _cache_spec(self.kv_quant)
+        mesh, cfg_l = self.mesh, self.cfg_local
+
+        def prefill_impl(params, packed, input_ids):
+            return _prefill_core(
+                params, packed, input_ids, cfg=cfg_l, max_seq=self.max_seq,
+                kv_quant=self.kv_quant, lf_maker=_make_tp_linear_fn)
+
+        def decode_impl(params, packed, token, cache):
+            return _decode_core(
+                params, packed, token, cache, cfg=cfg_l,
+                kv_quant=self.kv_quant, lf_maker=_make_tp_linear_fn)
+
+        self._prefill_c = jax.jit(shard_map(
+            prefill_impl, mesh=mesh,
+            in_specs=(pspec, kspec, P("dp", None)),
+            out_specs=(P("dp", None), cspec), check_rep=False))
+        self._decode_c = jax.jit(shard_map(
+            decode_impl, mesh=mesh,
+            in_specs=(pspec, kspec, P("dp"), cspec),
+            out_specs=(P("dp", None), cspec), check_rep=False))
+
+    @classmethod
+    def from_engine(cls, engine: QuantizedLlama, mesh: Mesh,
+                    ) -> "TPQuantizedLlama":
+        """Shard a single-chip engine's weights over ``mesh`` (axes
+        ``dp``/``tp``) and return the mesh-parallel engine."""
+        tp = mesh.shape["tp"]
+        cfg = engine.cfg
+        packed = {k: v for k, v in engine.packed.items()
+                  if not k.endswith(("qkv", "gate_up"))}
+        _validate_shardable(cfg, packed, engine.params, tp)
+        eparams = jax.tree.map(lambda x: x, engine.params)  # container copy
+        packed, eparams = _reshard_row_layers(packed, eparams, cfg, tp)
+        # pin head_dim: cfg.hd derives from hidden/num_heads, which would
+        # change when heads are divided by tp
+        cfg_local = dataclasses.replace(
+            cfg, num_heads=cfg.num_heads // tp,
+            num_kv_heads=cfg.num_kv_heads // tp, head_dim=cfg.hd)
+
+        pspec, kspec = _params_specs(eparams), _packed_specs(packed)
+        params = jax.tree.map(
+            lambda leaf, sp: jax.device_put(leaf, NamedSharding(mesh, sp)),
+            eparams, pspec)
+        packed = jax.tree.map(
+            lambda leaf, sp: jax.device_put(leaf, NamedSharding(mesh, sp)),
+            packed, kspec)
+        logger.info("tp engine: %d packed layers sharded over tp=%d dp=%d",
+                    len(packed), tp, mesh.shape["dp"])
+        return cls(cfg=cfg, cfg_local=cfg_local, params=params,
+                   packed=packed, mesh=mesh, max_seq=engine.max_seq,
+                   kv_quant=engine.kv_quant)
+
+    def prefill(self, input_ids: jax.Array) -> Tuple[jax.Array, KVCache]:
+        input_ids = jnp.asarray(input_ids)
+        dp = self.mesh.shape["dp"]
+        assert input_ids.shape[0] % dp == 0, (
+            f"batch {input_ids.shape[0]} must divide dp={dp}")
+        return self._prefill_c(self.params, self.packed, input_ids)
+
+    def decode_step(self, token: jax.Array, cache: KVCache
+                    ) -> Tuple[jax.Array, KVCache]:
+        out = self._decode_c(self.params, self.packed,
+                             jnp.asarray(token), cache)
+        if self.mesh.devices.flat[0].platform == "cpu":
+            # XLA:CPU in-process collectives deadlock when several decode
+            # executions are in flight (rendezvous threads from different
+            # run_ids starve each other); serialize on the CPU backend.
+            jax.block_until_ready(out)
+        return out
+
+    def generate(self, input_ids: jax.Array, max_new_tokens: int = 32,
+                 ) -> jax.Array:
+        logits, cache = self.prefill(input_ids)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        out = [tok]
+        for _ in range(max_new_tokens - 1):
+            logits, cache = self.decode_step(tok, cache)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            out.append(tok)
+        return jnp.stack(out, axis=1)
