@@ -118,31 +118,56 @@ def make_act_quant_linear_fn(
     return linear_fn
 
 
-def collect_act_stats(fwd: Callable, weights: Dict[str, Any],
-                      inputs: jax.Array, layer_names) -> Dict[str, jax.Array]:
-    """One explicit jitted pass returning per-layer input amax (role of the
-    reference's act_max hooks, ``composer.py:221-277``).
+# jit caches on callable identity: keyed on (fwd, kind, names) so every
+# block of a model reuses ONE compiled stats pass (same fix as the tuning
+# loop's _RUN_CACHE — a fresh closure per block would recompile each time,
+# ~10-100 s apiece over the remote TPU compiler).
+_STATS_CACHE: Dict[Any, Callable] = {}
 
-    ``fwd(weights, x, linear_fn)`` applies the block with the interceptor.
-    """
-    layer_names = set(layer_names)
+
+def _stats_pass(fwd: Callable, kind: str, layer_names) -> Callable:
+    names = tuple(sorted(layer_names))
+    key = (fwd, kind, names)
+    fn = _STATS_CACHE.get(key)
+    if fn is not None:
+        return fn
+    nameset = set(names)
 
     @jax.jit
     def stats_fn(w, x):
         stats = {}
 
         def tap(name, xx, ww, b=None):
-            if name in layer_names:
+            if kind == "in_amax" and name in nameset:
                 stats[name] = jnp.max(jnp.abs(xx.astype(jnp.float32)))
+            if kind == "imatrix" and name in nameset:
+                flat = xx.astype(jnp.float32).reshape(-1, xx.shape[-1])
+                stats[name] = jnp.mean(flat * flat, axis=0)
             y = jnp.einsum("...i,oi->...o", xx, ww)
             if b is not None:
                 y = y + b
+            if kind == "out_amax" and name in nameset:
+                stats[name] = jnp.max(jnp.abs(y.astype(jnp.float32)))
             return y
 
         fwd(w, x, tap)
         return stats
 
-    return stats_fn(weights, inputs)
+    if len(_STATS_CACHE) >= 64:  # fwd closures pin device buffers
+        _STATS_CACHE.pop(next(iter(_STATS_CACHE)))
+    _STATS_CACHE[key] = stats_fn
+    return stats_fn
+
+
+def collect_act_stats(fwd: Callable, weights: Dict[str, Any],
+                      inputs: jax.Array, layer_names) -> Dict[str, jax.Array]:
+    """One explicit jitted pass returning per-layer input amax (role of the
+    reference's act_max hooks, ``composer.py:221-277``).
+
+    ``fwd(weights, x, linear_fn)`` applies the block with the interceptor.
+    Pass a STABLE ``fwd`` (same object per model) to reuse the compile.
+    """
+    return _stats_pass(fwd, "in_amax", layer_names)(weights, inputs)
 
 
 def collect_output_stats(fwd: Callable, weights: Dict[str, Any],
@@ -151,49 +176,14 @@ def collect_output_stats(fwd: Callable, weights: Dict[str, Any],
     """Per-layer OUTPUT amax — the q/k/v scale collection of the
     reference's static-attention context (``experimental/attention.py:164``
     hooks q/k/v for FP8 attention scales)."""
-    layer_names = set(layer_names)
-
-    @jax.jit
-    def stats_fn(w, x):
-        stats = {}
-
-        def tap(name, xx, ww, b=None):
-            y = jnp.einsum("...i,oi->...o", xx, ww)
-            if b is not None:
-                y = y + b
-            if name in layer_names:
-                stats[name] = jnp.max(jnp.abs(y.astype(jnp.float32)))
-            return y
-
-        fwd(w, x, tap)
-        return stats
-
-    return stats_fn(weights, inputs)
+    return _stats_pass(fwd, "out_amax", layer_names)(weights, inputs)
 
 
 def collect_imatrix(fwd: Callable, weights: Dict[str, Any],
                     inputs: jax.Array, layer_names) -> Dict[str, jax.Array]:
     """Per-layer importance matrix: mean of squared inputs per in-channel
     (role of the reference's imatrix hooks, ``rtn/quantizer.py:85-104``)."""
-    layer_names = set(layer_names)
-
-    @jax.jit
-    def imatrix_fn(w, x):
-        stats = {}
-
-        def tap(name, xx, ww, b=None):
-            if name in layer_names:
-                flat = xx.astype(jnp.float32).reshape(-1, xx.shape[-1])
-                stats[name] = jnp.mean(flat * flat, axis=0)
-            y = jnp.einsum("...i,oi->...o", xx, ww)
-            if b is not None:
-                y = y + b
-            return y
-
-        fwd(w, x, tap)
-        return stats
-
-    return imatrix_fn(weights, inputs)
+    return _stats_pass(fwd, "imatrix", layer_names)(weights, inputs)
 
 
 def build_static_act_scales(schemes: Dict[str, QuantizationScheme],

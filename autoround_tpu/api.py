@@ -94,6 +94,14 @@ class AutoRound:
                 cfg.num_layers, self._mfns.block_linear_names(cfg),
                 self.scheme, layer_config=layer_config,
                 ignore_layers=ignore_layers, quant_lm_head=quant_lm_head)
+        # extra kwargs naming QuantizeConfig fields pass through (e.g.
+        # quant_attention, resume_dir, immediate_save_dir, cache_batch);
+        # anything unrecognized is a loud warning, not a silent no-op
+        cfg_fields = QuantizeConfig.__dataclass_fields__
+        extra = {k: v for k, v in kw.items() if k in cfg_fields}
+        for k in kw:
+            if k not in cfg_fields:
+                logger.warning("AutoRound: ignoring unknown kwarg %r", k)
         self.cfg = QuantizeConfig(
             iters=iters, lr=lr, minmax_lr=minmax_lr, batch_size=batch_size,
             seed=seed, enable_quanted_input=enable_quanted_input,
@@ -106,7 +114,8 @@ class AutoRound:
             enable_lfq=enable_lfq,
             donate_params=donate_params,
             dynamic_max_gap=dynamic_max_gap,
-            gradient_accumulate_steps=gradient_accumulate_steps)
+            gradient_accumulate_steps=gradient_accumulate_steps,
+            **extra)
         self.result: Optional[QuantizeResult] = None
 
     def quantize(self, input_ids, mask=None) -> QuantizeResult:

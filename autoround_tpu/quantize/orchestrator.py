@@ -309,6 +309,11 @@ def quantize_model(
     # act-quant variant: per-block static/global act scales ride INSIDE the
     # weights pytree under a reserved key, so they are traced arguments and
     # this callable (hence the compiled tuning scan) stays block-invariant
+    # ONE stable interceptor forward for all stats passes (the collectors
+    # cache their compiled pass on this callable's identity)
+    def stats_block_fn(w, xb, lf):
+        return mfns.block_fwd(w, xb, cos, sin, model_cfg, linear_fn=lf)
+
     _act_schemes_cache = {}
 
     def act_block_fn(w, xb):
@@ -410,9 +415,7 @@ def quantize_model(
 
         if cfg.quant_attention:
             qkv_amax = collect_output_stats(
-                lambda w, xb, lf: mfns.block_fwd(w, xb, cos, sin, model_cfg,
-                                                 linear_fn=lf),
-                block, x_fp[: cfg.cache_batch],
+                stats_block_fn, block, x_fp[: cfg.cache_batch],
                 ("q_proj", "k_proj", "v_proj"))
             attention_scales[bi] = {
                 k: v / 448.0 for k, v in qkv_amax.items()}
@@ -435,9 +438,7 @@ def quantize_model(
         global_scales: Dict[str, jax.Array] = {}
         if any(s.effective_act().is_act_quantized for s in schemes.values()):
             amax = collect_act_stats(
-                lambda w, xb, lf: mfns.block_fwd(w, xb, cos, sin, model_cfg,
-                                                 linear_fn=lf),
-                block, x_fp[: cfg.cache_batch], set(schemes))
+                stats_block_fn, block, x_fp[: cfg.cache_batch], set(schemes))
             static_scales, global_scales = build_static_act_scales(
                 schemes, amax)
             act_lf = make_act_quant_linear_fn(schemes, static_scales,
@@ -493,9 +494,8 @@ def quantize_model(
             im: Dict[str, jax.Array] = {}
             if cfg.use_imatrix:
                 im = collect_imatrix(
-                    lambda w, xb, lf: mfns.block_fwd(
-                        w, xb, cos, sin, model_cfg, linear_fn=lf),
-                    block, x_fp[: cfg.cache_batch], set(schemes))
+                    stats_block_fn, block, x_fp[: cfg.cache_batch],
+                    set(schemes))
             qdq_block = block
             for lname, scheme in schemes.items():
                 w_orig = get_by_path(block, lname)
