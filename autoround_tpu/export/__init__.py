@@ -131,6 +131,9 @@ def save_quantized(result, model_cfg, output_dir: str,
         save_file(tensors, os.path.join(output_dir, "model.safetensors"))
         if format == "llm_compressor":
             qcfg["compressed_tensors"] = llmcompressor_config(result)
+    elif format == "mlx":
+        from .mlx import save_quantized_as_mlx
+        save_quantized_as_mlx(result, model_cfg, output_dir)
     elif format.startswith("gguf"):
         # "gguf:q4_k_m" etc. — requantizes the qdq weights with the ggml
         # packers (tuned weights already sit on the k-quant grid)
