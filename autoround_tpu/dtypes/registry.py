@@ -108,6 +108,23 @@ _reg("rtn_nv_fp", lambda w, bits, group_size, **kw: nvfp.rtn_nvfp4(
     w, group_size=group_size, global_scale=kw.get("global_scale")))
 _reg("rtn_nv_fp4", QUANT_FUNCS["rtn_nv_fp"])
 
+# fp4_v2: E2M1 elements with UNSIGNED E5M3 group scales (reference
+# ``data_type/nvfp.py:215-236`` fp4_v2 / fp4_v2_with_global_scale)
+_reg("fp4_v2", lambda w, bits, group_size, **kw: nvfp.qdq_fp4_v2(
+    w, group_size=group_size, v=kw.get("v"), max_scale=kw.get("max_scale"),
+    global_scale=kw.get("global_scale")))
+_reg("rtn_fp4_v2", lambda w, bits, group_size, **kw: nvfp.qdq_fp4_v2(
+    w, group_size=group_size, global_scale=kw.get("global_scale")))
+_reg("fp4_v2_with_global_scale",
+     lambda w, bits, group_size, **kw: nvfp.qdq_fp4_v2(
+         w, group_size=group_size, v=kw.get("v"),
+         max_scale=kw.get("max_scale"),
+         global_scale=kw.get("global_scale"), use_global_scale=True))
+_reg("rtn_fp4_v2_with_global_scale",
+     lambda w, bits, group_size, **kw: nvfp.qdq_fp4_v2(
+         w, group_size=group_size, global_scale=kw.get("global_scale"),
+         use_global_scale=True))
+
 # --- fp8 ---
 _reg("fp8", lambda w, bits, group_size, **kw: (
     fp8.qdq_fp8_block(w, block=group_size)

@@ -63,6 +63,15 @@ def main(out_path: str) -> None:
     qdq, _, _ = nv_fp4(t.clone(), bits=4, group_size=16)
     goldens["nvfp4"] = qdq.numpy()
 
+    from auto_round.data_type.nvfp import (fp4_v2,
+                                           fp4_v2_with_global_scale)
+    for g in (16, 32):
+        qdq, _, _ = fp4_v2(t.clone(), bits=4, group_size=g)
+        goldens[f"fp4_v2_g{g}"] = qdq.numpy()
+        qdq, _, _ = fp4_v2_with_global_scale(t.clone(), bits=4,
+                                             group_size=g)
+        goldens[f"fp4_v2_gs_g{g}"] = qdq.numpy()
+
     # GGUF block-packer bytes (reference export_to_gguf/packing.py) — the
     # committed bytes validate our ggml-layout decoders.  NOTE: these
     # packers mutate their input in place; always pass clones.
