@@ -89,6 +89,15 @@ class QuantizeConfig:
     # params["blocks"] entries to None — opt in only when the FP params
     # are not needed afterwards.
     donate_params: bool = False
+    # host-offload the params pytree: FP blocks live in host RAM, each
+    # block transfers to HBM transiently for its tuning window, and the
+    # qdq result returns to host immediately.  Peak HBM = one block +
+    # the activation caches + compiled buffers, which is what unlocks
+    # 8B-class models on a 16 GB chip (the role of the reference's
+    # accelerate CPU-offload / low_gpu_mem_usage, done as explicit
+    # host<->device placement instead of module hooks).  Requires fast
+    # host<->device DMA — do not enable over a tunneled dev chip.
+    offload_params: bool = False
 
     def tune_config(self) -> TuneConfig:
         return TuneConfig(
@@ -300,6 +309,14 @@ def quantize_model(
 
     x_fp = mfns.embed_fwd(params, input_ids, model_cfg)
     x_q = x_fp if (cfg.enable_quanted_input and cfg.iters > 0) else None
+
+    if cfg.offload_params:
+        # FP blocks live on host; the loop below transfers one block to
+        # HBM per tuning window and sends its qdq replacement back
+        params = dict(params)
+        params["blocks"] = [
+            jax.tree.map(lambda t: np.asarray(t), b)
+            for b in params["blocks"]]
 
     # ONE stable tuning forward for all blocks (tune_block caches its
     # compiled scan on this callable's identity)
@@ -521,6 +538,16 @@ def quantize_model(
         if x_q is not None:
             x_q = _batched_block_apply(qdq_block, x_q, cos, sin, model_cfg,
                                        cfg.cache_batch, linear_fn=act_lf)
+        if cfg.offload_params:
+            # qdq result returns to host; only the caches stay in HBM
+            qdq_block = jax.tree.map(lambda t: np.asarray(t), qdq_block)
+            new_blocks[-1] = qdq_block
+            for lname in schemes:
+                ql = layers[f"blocks.{bi}.{lname}"]
+                ql.qdq = np.asarray(ql.qdq)
+                ql.scale = np.asarray(ql.scale)
+                if ql.zp is not None:
+                    ql.zp = np.asarray(ql.zp)
         if monitor is not None:
             monitor.log_summary(f"block {bi}")
         if shard_writer is not None:

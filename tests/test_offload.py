@@ -1,0 +1,61 @@
+"""Host-offload quantization: params stay in host RAM, one block in HBM."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoround_tpu import AutoRound
+from autoround_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig(vocab_size=64, hidden_size=256,
+                            intermediate_size=256, num_layers=3,
+                            num_heads=4, num_kv_heads=2, rope_theta=1e4,
+                            dtype=jnp.float32)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 64)
+    return cfg, params, ids
+
+
+class TestOffloadParams:
+    def test_matches_on_device_run(self, setup):
+        cfg, params, ids = setup
+        r0 = AutoRound((params, cfg), scheme="W4A16G32", iters=3,
+                       seed=7).quantize(ids)
+        r1 = AutoRound((params, cfg), scheme="W4A16G32", iters=3,
+                       seed=7, offload_params=True).quantize(ids)
+        for name in r0.layers:
+            np.testing.assert_allclose(
+                np.asarray(r0.layers[name].qdq, np.float32),
+                np.asarray(r1.layers[name].qdq, np.float32),
+                rtol=1e-6, atol=1e-6, err_msg=name)
+
+    def test_result_blocks_are_host_arrays(self, setup):
+        cfg, params, ids = setup
+        r = AutoRound((params, cfg), scheme="W4A16G32", iters=0,
+                      offload_params=True).quantize(ids)
+        leaf = r.params["blocks"][0]["q_proj"]
+        assert isinstance(leaf, np.ndarray)
+        assert isinstance(r.layers["blocks.0.q_proj"].qdq, np.ndarray)
+
+    def test_save_and_serve_from_offloaded_result(self, setup, tmp_path):
+        cfg, params, ids = setup
+        ar = AutoRound((params, cfg), scheme="W4A16", iters=0,
+                       offload_params=True)
+        res = ar.quantize(ids)
+        ar.save_quantized(str(tmp_path / "m"), format="fake")
+        # forward on the mixed host/device pytree still runs
+        logits = llama.model_fwd(res.params, ids[:1, :4], cfg)
+        assert jnp.isfinite(logits).all()
+
+    def test_caller_params_not_mutated(self, setup):
+        cfg, params, ids = setup
+        before = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+        AutoRound((params, cfg), scheme="W4A16G32", iters=0,
+                  offload_params=True).quantize(ids)
+        after = jax.tree.map(lambda x: np.asarray(x), params)
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+            np.testing.assert_array_equal(a, b)
