@@ -41,6 +41,17 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     tie_embeddings: bool = False
     attn_bias: bool = False          # Qwen2-style q/k/v bias
+    # per-arch quirks (role of the reference's special-model handlers —
+    # config flags on one functional decoder instead of per-arch classes)
+    qk_norm: bool = False            # Qwen3: per-head RMSNorm on q/k
+    norm_offset: float = 0.0         # Gemma: RMSNorm weight is (offset + g)
+    hidden_act: str = "silu"         # "gelu_tanh" for Gemma GeGLU
+    embed_scale: bool = False        # Gemma: embeddings * sqrt(hidden)
+    sandwich_norms: bool = False     # Gemma2: post-attn/ffw norms + pre-ffw
+    attn_logit_softcap: float = 0.0  # Gemma2: tanh soft capping on scores
+    final_logit_softcap: float = 0.0
+    attn_scale: Optional[float] = None  # score divisor override (Gemma2
+    #                                      query_pre_attn_scalar ** 0.5)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -66,6 +77,33 @@ CONFIG_PRESETS: Dict[str, LlamaConfig] = {
                               intermediate_size=18944, num_layers=28,
                               num_heads=28, num_kv_heads=4, attn_bias=True,
                               rope_theta=1000000.0, rms_eps=1e-6),
+    "qwen3-4b": LlamaConfig(vocab_size=151936, hidden_size=2560,
+                            intermediate_size=9728, num_layers=36,
+                            num_heads=32, num_kv_heads=8, head_dim=128,
+                            qk_norm=True, rope_theta=1000000.0,
+                            rms_eps=1e-6, tie_embeddings=True),
+    "gemma2-2b": LlamaConfig(vocab_size=256000, hidden_size=2304,
+                             intermediate_size=9216, num_layers=26,
+                             num_heads=8, num_kv_heads=4, head_dim=256,
+                             rope_theta=10000.0, rms_eps=1e-6,
+                             tie_embeddings=True, norm_offset=1.0,
+                             hidden_act="gelu_tanh", embed_scale=True,
+                             sandwich_norms=True, attn_logit_softcap=50.0,
+                             final_logit_softcap=30.0,
+                             attn_scale=256.0 ** 0.5),
+    "tiny-qwen3": LlamaConfig(vocab_size=256, hidden_size=64,
+                              intermediate_size=128, num_layers=2,
+                              num_heads=4, num_kv_heads=2, qk_norm=True,
+                              rope_theta=10000.0, dtype=jnp.float32),
+    "tiny-gemma2": LlamaConfig(vocab_size=256, hidden_size=64,
+                               intermediate_size=128, num_layers=2,
+                               num_heads=4, num_kv_heads=2,
+                               rope_theta=10000.0, rms_eps=1e-6,
+                               norm_offset=1.0, hidden_act="gelu_tanh",
+                               embed_scale=True, sandwich_norms=True,
+                               attn_logit_softcap=50.0,
+                               final_logit_softcap=30.0,
+                               dtype=jnp.float32),
 }
 
 # The 2-D linear kernels inside one decoder block, in (O, I) layout —
@@ -99,8 +137,17 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict[str, Any]:
                    * (0.02 if name != "down_proj" else 0.02 / np.sqrt(2 * cfg.num_layers)))
             for (name, shp), k in zip(shapes.items(), bkeys)
         }
-        b["input_layernorm"] = jnp.ones((H,), cfg.dtype)
-        b["post_attention_layernorm"] = jnp.ones((H,), cfg.dtype)
+        # norm gains init at identity: 1 for plain RMSNorm, 0 when the
+        # arch folds a +offset into the weight (Gemma)
+        gain0 = jnp.full((H,), 1.0 - cfg.norm_offset, cfg.dtype)
+        b["input_layernorm"] = gain0
+        b["post_attention_layernorm"] = gain0
+        if cfg.sandwich_norms:
+            b["pre_feedforward_layernorm"] = gain0
+            b["post_feedforward_layernorm"] = gain0
+        if cfg.qk_norm:
+            b["q_norm"] = jnp.ones((hd,), cfg.dtype)
+            b["k_norm"] = jnp.ones((hd,), cfg.dtype)
         if cfg.attn_bias:
             b["q_bias"] = jnp.zeros((qd,), cfg.dtype)
             b["k_bias"] = jnp.zeros((kvd,), cfg.dtype)
@@ -118,11 +165,23 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict[str, Any]:
     return params
 
 
-def rms_norm(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
+def rms_norm(x: jax.Array, g: jax.Array, eps: float,
+             offset: float = 0.0) -> jax.Array:
+    """RMSNorm; ``offset`` is the Gemma-style (offset + g) weight fold."""
     dt = x.dtype
     x = x.astype(jnp.float32)
     x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
-    return (x * g.astype(jnp.float32)).astype(dt)
+    return (x * (offset + g.astype(jnp.float32))).astype(dt)
+
+
+def _act(name: str):
+    if name == "gelu_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    return jax.nn.silu
+
+
+def _softcap(x, cap: float):
+    return jnp.tanh(x / cap) * cap
 
 
 def rope_tables(cfg: LlamaConfig, seqlen: int,
@@ -179,7 +238,8 @@ def attention(q, k, v, mask: Optional[jax.Array], cfg: LlamaConfig):
     """
     B, S, nh, hd = q.shape
     if (mask is None and hd == 128 and S >= 512 and S % 256 == 0
-            and k.shape[1] % 256 == 0
+            and k.shape[1] % 256 == 0 and cfg.attn_logit_softcap == 0.0
+            and cfg.attn_scale is None
             and jax.devices()[0].platform == "tpu"):
         from ..ops.flash_attention import flash_attention
         out = flash_attention(q.transpose(0, 2, 1, 3),
@@ -193,7 +253,10 @@ def attention(q, k, v, mask: Optional[jax.Array], cfg: LlamaConfig):
         v = jnp.repeat(v, rep, axis=2)
     scores = jnp.einsum("bsnh,btnh->bnst", q, k,
                         preferred_element_type=jnp.float32)
-    scores = scores / np.sqrt(hd)
+    scores = scores / (cfg.attn_scale if cfg.attn_scale is not None
+                       else np.sqrt(hd))
+    if cfg.attn_logit_softcap:
+        scores = _softcap(scores, cfg.attn_logit_softcap)
     if mask is None:
         causal = jnp.tril(jnp.ones((S, T), bool), k=T - S)
         scores = jnp.where(causal[None, None], scores, -1e30)
@@ -222,36 +285,58 @@ def block_fwd(weights: Dict[str, jax.Array], x: jax.Array,
     lf = linear_fn or _plain_linear
     B, S, H = x.shape
     hd = cfg.hd
-    h = rms_norm(x, weights["input_layernorm"], cfg.rms_eps)
+    off = cfg.norm_offset
+    h = rms_norm(x, weights["input_layernorm"], cfg.rms_eps, off)
     q = lf("q_proj", h, weights["q_proj"], weights.get("q_bias"))
     k = lf("k_proj", h, weights["k_proj"], weights.get("k_bias"))
     v = lf("v_proj", h, weights["v_proj"], weights.get("v_bias"))
     q = q.reshape(B, S, cfg.num_heads, hd)
     k = k.reshape(B, S, cfg.num_kv_heads, hd)
     v = v.reshape(B, S, cfg.num_kv_heads, hd)
+    if cfg.qk_norm:  # Qwen3: per-head RMS before rope
+        q = rms_norm(q, weights["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, weights["k_norm"], cfg.rms_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     attn = attention(q, k, v, mask, cfg).reshape(B, S, -1)
-    x = x + lf("o_proj", attn, weights["o_proj"])
-
-    h = rms_norm(x, weights["post_attention_layernorm"], cfg.rms_eps)
-    gate = jax.nn.silu(lf("gate_proj", h, weights["gate_proj"]))
+    attn_out = lf("o_proj", attn, weights["o_proj"])
+    if cfg.sandwich_norms:  # Gemma2: norm the residual branch outputs
+        attn_out = rms_norm(attn_out, weights["post_attention_layernorm"],
+                            cfg.rms_eps, off)
+        x = x + attn_out
+        h = rms_norm(x, weights["pre_feedforward_layernorm"],
+                     cfg.rms_eps, off)
+    else:
+        x = x + attn_out
+        h = rms_norm(x, weights["post_attention_layernorm"],
+                     cfg.rms_eps, off)
+    gate = _act(cfg.hidden_act)(lf("gate_proj", h, weights["gate_proj"]))
     up = lf("up_proj", h, weights["up_proj"])
-    x = x + lf("down_proj", gate * up, weights["down_proj"])
-    return x
+    mlp_out = lf("down_proj", gate * up, weights["down_proj"])
+    if cfg.sandwich_norms:
+        mlp_out = rms_norm(mlp_out, weights["post_feedforward_layernorm"],
+                           cfg.rms_eps, off)
+    return x + mlp_out
 
 
 def embed_fwd(params: Dict[str, Any], input_ids: jax.Array,
               cfg: LlamaConfig) -> jax.Array:
-    return jnp.take(params["embed_tokens"], input_ids, axis=0)
+    x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    if cfg.embed_scale:  # Gemma normalizer
+        x = (x.astype(jnp.float32) * np.sqrt(cfg.hidden_size)).astype(x.dtype)
+    return x
 
 
 def final_fwd(params: Dict[str, Any], x: jax.Array,
               cfg: LlamaConfig) -> jax.Array:
     """Final norm + lm_head → logits."""
-    x = rms_norm(x, params["norm"], cfg.rms_eps)
+    x = rms_norm(x, params["norm"], cfg.rms_eps, cfg.norm_offset)
     head = params.get("lm_head", params["embed_tokens"])
-    return _linear(x, head)
+    logits = _linear(x, head)
+    if cfg.final_logit_softcap:
+        logits = _softcap(logits.astype(jnp.float32),
+                          cfg.final_logit_softcap).astype(logits.dtype)
+    return logits
 
 
 def model_fwd(params: Dict[str, Any], input_ids: jax.Array,

@@ -413,7 +413,8 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
     projections are used where available (fewer kernel launches)."""
     B, S, H = x.shape
     hd = cfg.hd
-    h = llama.rms_norm(x, weights["input_layernorm"], cfg.rms_eps)
+    off = cfg.norm_offset
+    h = llama.rms_norm(x, weights["input_layernorm"], cfg.rms_eps, off)
     fused_qkv = (QuantizedLlama._fused_call(packed, splits_table,
                                             block_idx, "qkv", h)
                  if packed is not None else None)
@@ -430,6 +431,9 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
     q = q.reshape(B, S, cfg.num_heads, hd)
     k = k.reshape(B, S, cfg.num_kv_heads, hd)
     v = v.reshape(B, S, cfg.num_kv_heads, hd)
+    if cfg.qk_norm:  # Qwen3
+        q = llama.rms_norm(q, weights["q_norm"], cfg.rms_eps)
+        k = llama.rms_norm(k, weights["k_norm"], cfg.rms_eps)
     q = llama.apply_rope(q, cos, sin)
     k = llama.apply_rope(k, cos, sin)
     k_new, v_new = k, v
@@ -450,16 +454,30 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
         # attention() expects mask broadcastable to (B, nh, S, T)
         attn = llama.attention(q, k_full, v_full, bias, cfg)
     attn = attn.reshape(B, S, -1)
-    x = x + lf("o_proj", attn, weights["o_proj"])
-
-    h = llama.rms_norm(x, weights["post_attention_layernorm"], cfg.rms_eps)
+    attn_out = lf("o_proj", attn, weights["o_proj"])
+    if cfg.sandwich_norms:  # Gemma2
+        attn_out = llama.rms_norm(attn_out,
+                                  weights["post_attention_layernorm"],
+                                  cfg.rms_eps, off)
+        x = x + attn_out
+        h = llama.rms_norm(x, weights["pre_feedforward_layernorm"],
+                           cfg.rms_eps, off)
+    else:
+        x = x + attn_out
+        h = llama.rms_norm(x, weights["post_attention_layernorm"],
+                           cfg.rms_eps, off)
+    act = llama._act(cfg.hidden_act)
     fused_gu = (QuantizedLlama._fused_call(packed, splits_table,
                                            block_idx, "gate_up", h)
                 if packed is not None else None)
     if fused_gu is not None:
-        gate, up = jax.nn.silu(fused_gu[0]), fused_gu[1]
+        gate, up = act(fused_gu[0]), fused_gu[1]
     else:
-        gate = jax.nn.silu(lf("gate_proj", h, weights["gate_proj"]))
+        gate = act(lf("gate_proj", h, weights["gate_proj"]))
         up = lf("up_proj", h, weights["up_proj"])
-    x = x + lf("down_proj", gate * up, weights["down_proj"])
-    return x, k_new, v_new
+    mlp_out = lf("down_proj", gate * up, weights["down_proj"])
+    if cfg.sandwich_norms:
+        mlp_out = llama.rms_norm(mlp_out,
+                                 weights["post_feedforward_layernorm"],
+                                 cfg.rms_eps, off)
+    return x + mlp_out, k_new, v_new

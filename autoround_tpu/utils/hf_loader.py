@@ -38,6 +38,12 @@ _BLOCK_MAP = {
     "mlp.down_proj.weight": "down_proj",
     "input_layernorm.weight": "input_layernorm",
     "post_attention_layernorm.weight": "post_attention_layernorm",
+    # Qwen3 per-head qk-norm gains
+    "self_attn.q_norm.weight": "q_norm",
+    "self_attn.k_norm.weight": "k_norm",
+    # Gemma2 sandwich norms
+    "pre_feedforward_layernorm.weight": "pre_feedforward_layernorm",
+    "post_feedforward_layernorm.weight": "post_feedforward_layernorm",
 }
 _TOP_MAP = {
     "model.embed_tokens.weight": "embed_tokens",
@@ -47,7 +53,10 @@ _TOP_MAP = {
 
 
 def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
-    """HF config.json dict → LlamaConfig."""
+    """HF config.json dict → LlamaConfig (per-arch quirks by model_type)."""
+    mt = cfg.get("model_type", "llama")
+    gemma = mt.startswith("gemma")
+    qpas = cfg.get("query_pre_attn_scalar")
     return LlamaConfig(
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
@@ -59,9 +68,19 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
         head_dim=cfg.get("head_dim"),
         rope_theta=cfg.get("rope_theta", 10000.0),
         rms_eps=cfg.get("rms_norm_eps", 1e-5),
-        tie_embeddings=cfg.get("tie_word_embeddings", False),
-        attn_bias=cfg.get("attention_bias",
-                          cfg.get("model_type") == "qwen2"),
+        tie_embeddings=cfg.get("tie_word_embeddings", gemma),
+        attn_bias=cfg.get("attention_bias", mt == "qwen2"),
+        qk_norm=mt == "qwen3",
+        norm_offset=1.0 if gemma else 0.0,
+        # Gemma2 names the field hidden_activation; others hidden_act
+        hidden_act=("gelu_tanh" if cfg.get(
+            "hidden_activation", cfg.get("hidden_act", "silu"))
+            in ("gelu_pytorch_tanh", "gelu_tanh") else "silu"),
+        embed_scale=gemma,
+        sandwich_norms=mt == "gemma2",
+        attn_logit_softcap=cfg.get("attn_logit_softcapping") or 0.0,
+        final_logit_softcap=cfg.get("final_logit_softcapping") or 0.0,
+        attn_scale=(float(qpas) ** 0.5 if qpas else None),
         dtype=dtype,
     )
 

@@ -1,0 +1,144 @@
+"""Gemma2 / Qwen3 family support: parity vs transformers + quantization.
+
+The strongest zoo check available in-container: build the SAME tiny model
+in HuggingFace transformers (torch CPU) and in our functional zoo, copy
+the weights across, and require logit agreement.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from autoround_tpu import AutoRound
+from autoround_tpu.models import llama
+from autoround_tpu.utils.hf_loader import (_BLOCK_MAP, _TOP_MAP,
+                                           config_from_hf)
+
+
+def _hf_to_pytree(model, cfg):
+    sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+    blocks = []
+    for li in range(cfg.num_layers):
+        b = {}
+        for hf_sub, ours in _BLOCK_MAP.items():
+            key = f"model.layers.{li}.{hf_sub}"
+            if key in sd:
+                b[ours] = jnp.asarray(sd[key], cfg.dtype)
+        blocks.append(b)
+    params = {"blocks": blocks}
+    for hf_key, ours in _TOP_MAP.items():
+        if hf_key in sd:
+            params[ours] = jnp.asarray(sd[hf_key], cfg.dtype)
+    return params
+
+
+@pytest.fixture(scope="module")
+def ids():
+    return np.random.default_rng(0).integers(0, 256, (2, 8))
+
+
+class TestGemma2Parity:
+    def test_logits_match_transformers(self, ids):
+        from transformers.models.gemma2 import (Gemma2Config,
+                                                Gemma2ForCausalLM)
+
+        hf_cfg = Gemma2Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16,
+            attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+            query_pre_attn_scalar=16, rms_norm_eps=1e-6,
+            rope_theta=10000.0)
+        torch.manual_seed(0)
+        hf = Gemma2ForCausalLM(hf_cfg).eval().float()
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).logits.numpy()
+
+        cfg = config_from_hf(hf_cfg.to_dict(), dtype=jnp.float32)
+        assert cfg.sandwich_norms and cfg.norm_offset == 1.0
+        assert cfg.attn_logit_softcap == 50.0 and cfg.embed_scale
+        params = _hf_to_pytree(hf, cfg)
+        assert "pre_feedforward_layernorm" in params["blocks"][0]
+        ours = np.asarray(llama.model_fwd(params, jnp.asarray(ids), cfg),
+                          np.float32)
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+class TestQwen3Parity:
+    def test_logits_match_transformers(self, ids):
+        from transformers.models.qwen3 import Qwen3Config, Qwen3ForCausalLM
+
+        hf_cfg = Qwen3Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, rms_norm_eps=1e-6,
+            rope_theta=10000.0, tie_word_embeddings=False)
+        torch.manual_seed(1)
+        hf = Qwen3ForCausalLM(hf_cfg).eval().float()
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).logits.numpy()
+
+        cfg = config_from_hf(hf_cfg.to_dict(), dtype=jnp.float32)
+        assert cfg.qk_norm
+        params = _hf_to_pytree(hf, cfg)
+        assert "q_norm" in params["blocks"][0]
+        ours = np.asarray(llama.model_fwd(params, jnp.asarray(ids), cfg),
+                          np.float32)
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+class TestFamilyQuantization:
+    @pytest.mark.parametrize("preset", ["tiny-qwen3", "tiny-gemma2"])
+    def test_tune_runs_and_improves(self, preset):
+        cfg = llama.CONFIG_PRESETS[preset]
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16G32",
+                        iters=20).quantize(ids)
+        for t in res.loss_traces.values():
+            assert np.isfinite(t).all()
+            assert t.min() <= t[0]
+
+    def test_qwen3_serving_engine(self):
+        from autoround_tpu.serve import QuantizedLlama
+
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=1024,
+                                intermediate_size=1024, num_layers=2,
+                                num_heads=4, num_kv_heads=2, qk_norm=True,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 64)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        logits, _ = eng.prefill(ids)
+        full = llama.model_fwd(res.params, ids, cfg)
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(full[:, -1], np.float32),
+                                   rtol=5e-2, atol=5e-2)
+        toks = eng.generate(ids, max_new_tokens=4)
+        assert toks.shape == (2, 4)
+
+    def test_gemma2_serving_engine(self):
+        from autoround_tpu.serve import QuantizedLlama
+
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=1024,
+                                intermediate_size=1024, num_layers=2,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, rms_eps=1e-6,
+                                norm_offset=1.0, hidden_act="gelu_tanh",
+                                embed_scale=True, sandwich_norms=True,
+                                attn_logit_softcap=50.0,
+                                final_logit_softcap=30.0,
+                                dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 64)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        logits, _ = eng.prefill(ids)
+        full = llama.model_fwd(res.params, ids, cfg)
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(full[:, -1], np.float32),
+                                   rtol=5e-2, atol=5e-2)
