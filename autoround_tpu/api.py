@@ -74,9 +74,22 @@ class AutoRound:
             params, cfg = model
         self._mfns = get_model_fns(cfg)
         if enable_rotation:
-            # reference post_init phase 4.5 _apply_rotations
-            from .transforms.hadamard import apply_r1_rotation
-            params = apply_r1_rotation(params, cfg, seed=seed)
+            # reference post_init phase 4.5 _apply_rotations.
+            # True → R1; or a string combining modes: "r1,r4" (r4 =
+            # QuaRot online block-Hadamard on the down_proj input)
+            modes = (("r1",) if enable_rotation is True
+                     else tuple(m.strip() for m in
+                                str(enable_rotation).lower().split(",")))
+            from .transforms.hadamard import (apply_r1_rotation,
+                                              apply_r4_rotation)
+            if "r1" in modes:
+                params = apply_r1_rotation(params, cfg, seed=seed)
+            if "r4" in modes:
+                params, cfg = apply_r4_rotation(params, cfg)
+            unknown = set(modes) - {"r1", "r4"}
+            if unknown:
+                raise ValueError(f"unknown rotation modes {sorted(unknown)};"
+                                 " supported: r1, r4")
         self.params = params
         self.model_cfg = cfg
         from .quantize.auto_scheme import AutoScheme as _AutoScheme

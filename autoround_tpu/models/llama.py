@@ -19,6 +19,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,6 +54,13 @@ class LlamaConfig:
     final_logit_softcap: float = 0.0
     attn_scale: Optional[float] = None  # score divisor override (Gemma2
     #                                      query_pre_attn_scalar ** 0.5)
+    # QuaRot-style online R4: rotate the down_proj input at runtime with a
+    # block-diagonal Hadamard (weights pre-rotated by transforms.hadamard.
+    # apply_r4_rotation).  Block-diag (128) instead of a full FWHT: one
+    # (128, 128) MXU matmul that fuses into the surrounding ops, vs
+    # log2(I) HBM-bound butterfly passes.
+    online_r4: bool = False
+    r4_block: int = 128
     dtype: Any = jnp.bfloat16
 
     @property
@@ -178,6 +187,23 @@ def _act(name: str):
     if name == "gelu_tanh":
         return lambda x: jax.nn.gelu(x, approximate=True)
     return jax.nn.silu
+
+
+@functools.lru_cache(maxsize=4)
+def _hadamard_block(n: int):
+    h = np.ones((1, 1), np.float32)
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    assert h.shape[0] == n, f"r4_block={n} must be a power of 2"
+    return jnp.asarray(h / np.sqrt(n), jnp.float32)
+
+
+def r4_rotate(x: jax.Array, block: int = 128) -> jax.Array:
+    """Online block-diagonal Hadamard rotation of the trailing axis."""
+    shp = x.shape
+    h = _hadamard_block(block).astype(x.dtype)
+    y = x.reshape(*shp[:-1], shp[-1] // block, block) @ h
+    return y.reshape(shp)
 
 
 def _softcap(x, cap: float):
@@ -312,7 +338,10 @@ def block_fwd(weights: Dict[str, jax.Array], x: jax.Array,
                      cfg.rms_eps, off)
     gate = _act(cfg.hidden_act)(lf("gate_proj", h, weights["gate_proj"]))
     up = lf("up_proj", h, weights["up_proj"])
-    mlp_out = lf("down_proj", gate * up, weights["down_proj"])
+    mlp_in = gate * up
+    if cfg.online_r4:
+        mlp_in = r4_rotate(mlp_in, cfg.r4_block)
+    mlp_out = lf("down_proj", mlp_in, weights["down_proj"])
     if cfg.sandwich_norms:
         mlp_out = rms_norm(mlp_out, weights["post_feedforward_layernorm"],
                            cfg.rms_eps, off)

@@ -475,7 +475,10 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
     else:
         gate = act(lf("gate_proj", h, weights["gate_proj"]))
         up = lf("up_proj", h, weights["up_proj"])
-    mlp_out = lf("down_proj", gate * up, weights["down_proj"])
+    mlp_in = gate * up
+    if cfg.online_r4:
+        mlp_in = llama.r4_rotate(mlp_in, cfg.r4_block)
+    mlp_out = lf("down_proj", mlp_in, weights["down_proj"])
     if cfg.sandwich_norms:
         mlp_out = llama.rms_norm(mlp_out,
                                  weights["post_feedforward_layernorm"],

@@ -30,7 +30,8 @@ import numpy as np
 from ..models import llama
 from ..utils.logger import logger
 
-__all__ = ["hadamard_matrix", "fuse_rms_gains", "apply_r1_rotation"]
+__all__ = ["hadamard_matrix", "fuse_rms_gains", "apply_r1_rotation",
+           "apply_r4_rotation"]
 
 
 def _sylvester(k: int) -> np.ndarray:
@@ -135,3 +136,34 @@ def apply_r1_rotation(params: Dict[str, Any], cfg: llama.LlamaConfig,
     logger.info("applied R1 Hadamard rotation (hidden=%d, seed=%s)",
                 cfg.hidden_size, seed)
     return p
+
+
+def apply_r4_rotation(params: Dict[str, Any], cfg: llama.LlamaConfig,
+                      block: int = 128):
+    """QuaRot online R4: pre-rotate down_proj weights so the runtime
+    block-Hadamard on its input (``llama.r4_rotate``, enabled with
+    ``cfg.online_r4``) is an exact reparameterization.
+
+    y = x W^T becomes (x H) (W H)^T with H block-diag orthogonal, so the
+    stored weight is W' = W H and the activation quantizer now sees
+    Hadamard-spread (outlier-free) down_proj inputs.  Returns
+    (new_params, new_cfg) — the cfg carries the runtime flag.
+    """
+    import dataclasses
+
+    from ..models.llama import _hadamard_block
+
+    H = _hadamard_block(block)
+
+    def rot(w):  # (O, I): rotate the input side in blocks of `block`
+        O, I = w.shape
+        w3 = w.astype(jnp.float32).reshape(O, I // block, block)
+        return jnp.einsum("oib,bc->oic", w3, H).reshape(O, I).astype(w.dtype)
+
+    p = dict(params)
+    p["blocks"] = [dict(b, down_proj=rot(b["down_proj"]))
+                   for b in params["blocks"]]
+    new_cfg = dataclasses.replace(cfg, online_r4=True, r4_block=block)
+    logger.info("applied online R4 rotation (block=%d) to %d down_proj",
+                block, len(p["blocks"]))
+    return p, new_cfg

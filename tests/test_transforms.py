@@ -74,6 +74,56 @@ class TestHadamard:
                                np.asarray(params["blocks"][0]["q_proj"]))
 
 
+class TestR4Rotation:
+    def test_exact_reparam(self, setup):
+        """Rotated weights + runtime activation rotation = same logits."""
+        from autoround_tpu.transforms import apply_r4_rotation
+
+        params, ids = setup
+        l0 = llama.model_fwd(params, ids, CFG)
+        p4, cfg4 = apply_r4_rotation(params, CFG, block=128)
+        assert cfg4.online_r4
+        l1 = llama.model_fwd(p4, ids, cfg4)
+        np.testing.assert_allclose(np.asarray(l1, np.float32),
+                                   np.asarray(l0, np.float32),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_spreads_outliers(self):
+        """A single huge channel becomes 128 moderate ones."""
+        x = jnp.zeros((1, 1, 128)).at[0, 0, 7].set(100.0)
+        y = llama.r4_rotate(x, 128)
+        assert float(jnp.max(jnp.abs(y))) == pytest.approx(
+            100.0 / np.sqrt(128), rel=1e-5)
+
+    def test_quantize_and_serve_with_r4(self):
+        from autoround_tpu.serve import QuantizedLlama
+
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=1024,
+                                intermediate_size=1024, num_layers=2,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 64)
+        ar = AutoRound((params, cfg), scheme="W4A8", iters=2,
+                       enable_rotation="r4")
+        res = ar.quantize(ids)
+        assert ar.model_cfg.online_r4
+        for t in res.loss_traces.values():
+            assert np.isfinite(t).all()
+        eng = QuantizedLlama.from_quantize_result(res, ar.model_cfg,
+                                                  max_seq=32)
+        logits, _ = eng.prefill(ids)
+        full = llama.model_fwd(res.params, ids, ar.model_cfg)
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(full[:, -1], np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+    def test_unknown_rotation_mode(self):
+        with pytest.raises(ValueError, match="unknown rotation"):
+            AutoRound((llama.init_params(CFG, jax.random.PRNGKey(0)), CFG),
+                      scheme="W4A16", iters=0, enable_rotation="r9")
+
+
 class TestAwq:
     def test_smoothing_preserves_fp_output(self, setup):
         params, ids = setup
