@@ -1,0 +1,153 @@
+"""lm-evaluation-harness adapter.
+
+Role of the reference's lm-eval integration (its eval path hands an HF
+model to ``lm_eval.simple_evaluate``): here a harness ``LM`` subclass
+wraps our functional params (or a serving engine) so any lm-eval task
+runs against a quantized model with jitted batched scoring.
+
+``lm_eval`` is not shipped in this container (zero egress), so the
+harness class is constructed lazily; the scoring primitives below are
+importable and tested without it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+
+__all__ = ["sequence_loglikelihood", "greedy_matches",
+           "make_harness_lm", "simple_evaluate"]
+
+
+def _score_fn(cfg):
+    from ..models.registry import get_model_fns
+    model_fwd = get_model_fns(cfg).model_fwd
+
+    @jax.jit
+    def score(params, ids, cont_mask):
+        """ids (B, S); cont_mask (B, S) 1.0 on continuation positions.
+        Returns (sum logp of continuation, greedy-match flags)."""
+        logits = model_fwd(params, ids[:, :-1], cfg).astype(jnp.float32)
+        targets = ids[:, 1:]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_lp = jnp.take_along_axis(logp, targets[..., None],
+                                     axis=-1)[..., 0]
+        m = cont_mask[:, 1:]
+        total = jnp.sum(tok_lp * m, axis=-1)
+        greedy = jnp.argmax(logits, axis=-1) == targets
+        all_greedy = jnp.all(jnp.where(m > 0, greedy, True), axis=-1)
+        return total, all_greedy
+
+    return score
+
+
+def sequence_loglikelihood(params, cfg, context_ids: List[List[int]],
+                           continuation_ids: List[List[int]],
+                           batch: int = 8, max_len: Optional[int] = None
+                           ) -> List[Tuple[float, bool]]:
+    """Batched (logprob, is_greedy) for context→continuation pairs — the
+    computation behind lm-eval ``loglikelihood`` requests.  Pads every
+    pair to one static length so a single jit executable scores all
+    batches."""
+    pairs = [(c, t) for c, t in zip(context_ids, continuation_ids)]
+    L = max_len or max(len(c) + len(t) for c, t in pairs)
+    score = _score_fn(cfg)
+    out: List[Tuple[float, bool]] = []
+    for s in range(0, len(pairs), batch):
+        chunk = pairs[s:s + batch]
+        ids = np.zeros((batch, L), np.int32)
+        cm = np.zeros((batch, L), np.float32)
+        for i, (c, t) in enumerate(chunk):
+            seq = (c + t)[-L:]
+            ids[i, :len(seq)] = seq
+            n_ctx = max(len(c) - max(len(c) + len(t) - L, 0), 1)
+            cm[i, n_ctx:len(seq)] = 1.0
+        lp, greedy = score(params, jnp.asarray(ids), jnp.asarray(cm))
+        for i in range(len(chunk)):
+            out.append((float(lp[i]), bool(greedy[i])))
+    return out
+
+
+def greedy_matches(params, cfg, ids: np.ndarray) -> np.ndarray:
+    """Next-token greedy hit mask over a token matrix (accuracy probes)."""
+    score = _score_fn(cfg)
+    _, g = score(params, jnp.asarray(ids),
+                 jnp.ones(ids.shape, jnp.float32))
+    return np.asarray(g)
+
+
+def make_harness_lm(params, cfg, tokenizer: Callable[[str], List[int]],
+                    detokenizer: Optional[Callable] = None,
+                    batch: int = 8, max_len: int = 2048):
+    """Build an ``lm_eval.api.model.LM`` over our functional model.
+
+    ``tokenizer(text) -> ids``; ``detokenizer(ids) -> text`` (needed only
+    for generation tasks).  Requires the ``lm-eval`` package.
+    """
+    from lm_eval.api.model import LM  # noqa: deferred heavy import
+
+    class AutoRoundTPULM(LM):
+        def loglikelihood(self, requests):
+            ctxs, conts = [], []
+            for req in requests:
+                context, continuation = req.args
+                c_ids = tokenizer(context)
+                full = tokenizer(context + continuation)
+                ctxs.append(c_ids)
+                conts.append(full[len(c_ids):])
+            return sequence_loglikelihood(params, cfg, ctxs, conts,
+                                          batch=batch, max_len=max_len)
+
+        def loglikelihood_rolling(self, requests):
+            out = []
+            for req in requests:
+                (text,) = req.args
+                ids = tokenizer(text)[:max_len]
+                r = sequence_loglikelihood(params, cfg, [ids[:1]],
+                                           [ids[1:]], batch=1,
+                                           max_len=max_len)
+                out.append((r[0][0],))
+            return out
+
+        def generate_until(self, requests):
+            from ..serve import QuantizedLlama
+
+            assert detokenizer is not None, "generation needs a detokenizer"
+            outs = []
+            for req in requests:
+                context, gen_kwargs = req.args
+                ids = np.asarray([tokenizer(context)], np.int32)
+                eng = getattr(self, "_eng", None)
+                if eng is None:
+                    self._eng = eng = _engine_for(params, cfg, max_len)
+                toks = eng.generate(
+                    ids, max_new_tokens=int(gen_kwargs.get("max_gen_toks",
+                                                           32)))
+                outs.append(detokenizer(np.asarray(toks)[0].tolist()))
+            return outs
+
+    return AutoRoundTPULM()
+
+
+def _engine_for(params, cfg, max_len):
+    from ..serve import QuantizedLlama
+
+    return QuantizedLlama(cfg=cfg, params=params, packed={},
+                          max_seq=max_len)
+
+
+def simple_evaluate(params, cfg, tokenizer, tasks: List[str],
+                    detokenizer=None, **kw):
+    """``lm_eval.simple_evaluate`` over the wrapped model (requires the
+    lm-eval package and task data; both need a networked host)."""
+    import lm_eval
+
+    lm = make_harness_lm(params, cfg, tokenizer, detokenizer,
+                         batch=kw.pop("batch", 8),
+                         max_len=kw.pop("max_len", 2048))
+    return lm_eval.simple_evaluate(model=lm, tasks=tasks, **kw)
