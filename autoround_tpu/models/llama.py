@@ -52,6 +52,9 @@ class LlamaConfig:
     sandwich_norms: bool = False     # Gemma2: post-attn/ffw norms + pre-ffw
     attn_logit_softcap: float = 0.0  # Gemma2: tanh soft capping on scores
     final_logit_softcap: float = 0.0
+    # Gemma2 alternates sliding-window and global attention layers
+    # (even layer indices slide, HF convention)
+    sliding_window: Optional[int] = None
     attn_scale: Optional[float] = None  # score divisor override (Gemma2
     #                                      query_pre_attn_scalar ** 0.5)
     # QuaRot-style online R4: rotate the down_proj input at runtime with a
@@ -99,7 +102,7 @@ CONFIG_PRESETS: Dict[str, LlamaConfig] = {
                              hidden_act="gelu_tanh", embed_scale=True,
                              sandwich_norms=True, attn_logit_softcap=50.0,
                              final_logit_softcap=30.0,
-                             attn_scale=256.0 ** 0.5),
+                             attn_scale=256.0 ** 0.5, sliding_window=4096),
     "tiny-qwen3": LlamaConfig(vocab_size=256, hidden_size=64,
                               intermediate_size=128, num_layers=2,
                               num_heads=4, num_kv_heads=2, qk_norm=True,
@@ -368,11 +371,28 @@ def final_fwd(params: Dict[str, Any], x: jax.Array,
     return logits
 
 
+def layer_is_sliding(cfg: LlamaConfig, layer_idx: int) -> bool:
+    """Gemma2: even layers use the sliding window (HF convention)."""
+    return cfg.sliding_window is not None and layer_idx % 2 == 0
+
+
+def sliding_mask(cfg: LlamaConfig, S: int) -> jax.Array:
+    """(1, 1, S, S) additive bias: causal AND within the window."""
+    rows = jnp.arange(S)[:, None]
+    cols = jnp.arange(S)[None, :]
+    ok = (cols <= rows) & (cols > rows - cfg.sliding_window)
+    return jnp.where(ok, 0.0, -1e30)[None, None]
+
+
 def model_fwd(params: Dict[str, Any], input_ids: jax.Array,
               cfg: LlamaConfig) -> jax.Array:
     """Full forward → logits (eval / perplexity / LFQ loss)."""
     x = embed_fwd(params, input_ids, cfg)
-    cos, sin = rope_tables(cfg, input_ids.shape[1])
-    for b in params["blocks"]:
-        x = block_fwd(b, x, cos, sin, cfg)
+    S = input_ids.shape[1]
+    cos, sin = rope_tables(cfg, S)
+    smask = (sliding_mask(cfg, S) if cfg.sliding_window is not None
+             and S > cfg.sliding_window else None)
+    for li, b in enumerate(params["blocks"]):
+        mask = smask if layer_is_sliding(cfg, li) else None
+        x = block_fwd(b, x, cos, sin, cfg, mask=mask)
     return final_fwd(params, x, cfg)

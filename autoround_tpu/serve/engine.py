@@ -343,7 +343,7 @@ def _prefill_core(params, packed, input_ids, *, cfg, max_seq, kv_quant,
     for i in range(cfg.num_layers):
         x, k_new, v_new = _block_with_cache(
             params["blocks"][i], x, cos, sin, cfg,
-            None, None, lf_maker(packed, i))
+            None, None, lf_maker(packed, i), block_idx=i)
         ks.append(k_new)
         vs.append(v_new)
     k_stack = jnp.stack(ks)  # (L, B, S, n_kv, hd)
@@ -438,8 +438,12 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
     k = llama.apply_rope(k, cos, sin)
     k_new, v_new = k, v
 
+    sliding = (block_idx is not None
+               and llama.layer_is_sliding(cfg, block_idx))
     if kv is None:
-        attn = llama.attention(q, k, v, None, cfg)
+        mask = (llama.sliding_mask(cfg, S)
+                if sliding and S > cfg.sliding_window else None)
+        attn = llama.attention(q, k, v, mask, cfg)
     else:
         k_all, v_all = kv  # (B, T, n_kv, hd) preallocated
         T = k_all.shape[1]
@@ -447,9 +451,12 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
             k_all, k.astype(k_all.dtype), (0, pos, 0, 0))
         v_full = jax.lax.dynamic_update_slice(
             v_all, v.astype(v_all.dtype), (0, pos, 0, 0))
-        # mask positions beyond pos (+ current token)
+        # mask positions beyond pos (+ current token); sliding layers
+        # also drop positions older than the window
         idx = jnp.arange(T)
         valid = idx <= pos  # current token at index pos
+        if sliding:
+            valid = valid & (idx > pos - cfg.sliding_window)
         bias = jnp.where(valid, 0.0, -1e30)[None, None, None, :]
         # attention() expects mask broadcastable to (B, nh, S, T)
         attn = llama.attention(q, k_full, v_full, bias, cfg)

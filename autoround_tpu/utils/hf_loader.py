@@ -81,6 +81,8 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
         attn_logit_softcap=cfg.get("attn_logit_softcapping") or 0.0,
         final_logit_softcap=cfg.get("final_logit_softcapping") or 0.0,
         attn_scale=(float(qpas) ** 0.5 if qpas else None),
+        sliding_window=(cfg.get("sliding_window") if mt == "gemma2"
+                        else None),
         dtype=dtype,
     )
 

@@ -66,6 +66,63 @@ class TestGemma2Parity:
         np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
 
 
+class TestGemma2SlidingWindow:
+    def test_logits_match_transformers_with_window(self, ids):
+        """sliding_window smaller than S so alternating layers actually
+        mask — full cross-check against HF."""
+        from transformers.models.gemma2 import (Gemma2Config,
+                                                Gemma2ForCausalLM)
+
+        hf_cfg = Gemma2Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16,
+            attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+            query_pre_attn_scalar=16, rms_norm_eps=1e-6,
+            rope_theta=10000.0, sliding_window=4,
+            attn_implementation="eager")
+        torch.manual_seed(5)
+        hf = Gemma2ForCausalLM(hf_cfg).eval().float()
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).logits.numpy()
+
+        cfg = config_from_hf(hf_cfg.to_dict(), dtype=jnp.float32)
+        assert cfg.sliding_window == 4
+        params = _hf_to_pytree(hf, cfg)
+        ours = np.asarray(llama.model_fwd(params, jnp.asarray(ids), cfg),
+                          np.float32)
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+    def test_engine_matches_model_fwd_past_window(self):
+        from autoround_tpu.serve import QuantizedLlama
+
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=64,
+                                intermediate_size=128, num_layers=2,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, rms_eps=1e-6,
+                                sliding_window=4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, 64)
+        eng = QuantizedLlama(cfg=cfg, params=params, packed={}, max_seq=16)
+        # prefill S=12 > window=4 must agree with model_fwd
+        logits, cache = eng.prefill(ids)
+        full = llama.model_fwd(params, ids, cfg)
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(full[:, -1], np.float32),
+                                   rtol=1e-4, atol=1e-4)
+        # decode two steps and compare against model_fwd on the grown seq
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        seq = jnp.concatenate([ids, tok[:, None]], axis=1)
+        for _ in range(2):
+            logits, cache = eng.decode_step(tok, cache)
+            full = llama.model_fwd(params, seq, cfg)
+            np.testing.assert_allclose(
+                np.asarray(logits, np.float32),
+                np.asarray(full[:, -1], np.float32), rtol=1e-4, atol=1e-4)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            seq = jnp.concatenate([seq, tok[:, None]], axis=1)
+
+
 class TestQwen3Parity:
     def test_logits_match_transformers(self, ids):
         from transformers.models.qwen3 import Qwen3Config, Qwen3ForCausalLM
