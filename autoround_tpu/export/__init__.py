@@ -140,9 +140,15 @@ def save_quantized(result, model_cfg, output_dir: str,
         from .gguf import GGMLType, save_gguf_checkpoint
         name = (format.split(":", 1)[1] if ":" in format else "q4_k_m").lower()
         base = {"q2_k": GGMLType.Q2_K, "q2_k_s": GGMLType.Q2_K,
-                "q4_0": GGMLType.Q4_0, "q8_0": GGMLType.Q8_0,
+                "q3_k": GGMLType.Q3_K, "q3_k_s": GGMLType.Q3_K,
+                "q3_k_m": GGMLType.Q3_K,
+                "q4_0": GGMLType.Q4_0, "q4_1": GGMLType.Q4_1,
+                "q5_0": GGMLType.Q5_0, "q5_1": GGMLType.Q5_1,
+                "q8_0": GGMLType.Q8_0,
                 "q4_k": GGMLType.Q4_K, "q4_k_s": GGMLType.Q4_K,
-                "q4_k_m": GGMLType.Q4_K, "q6_k": GGMLType.Q6_K}[name]
+                "q4_k_m": GGMLType.Q4_K,
+                "q5_k": GGMLType.Q5_K, "q5_k_s": GGMLType.Q5_K,
+                "q5_k_m": GGMLType.Q5_K, "q6_k": GGMLType.Q6_K}[name]
         mixed = name.endswith("_m")
         save_gguf_checkpoint(result.params, model_cfg,
                              os.path.join(output_dir, "model.gguf"),

@@ -48,17 +48,27 @@ class GGMLType:
     F32 = 0
     F16 = 1
     Q4_0 = 2
+    Q4_1 = 3
+    Q5_0 = 6
+    Q5_1 = 7
     Q8_0 = 8
     Q2_K = 10
+    Q3_K = 11
     Q4_K = 12
+    Q5_K = 13
     Q6_K = 14
 
-TYPE_NAMES = {0: "F32", 1: "F16", 2: "Q4_0", 8: "Q8_0", 10: "Q2_K",
-              12: "Q4_K", 14: "Q6_K"}
-BLOCK_BYTES = {GGMLType.Q4_0: 18, GGMLType.Q8_0: 34, GGMLType.Q2_K: 84,
-               GGMLType.Q4_K: 144, GGMLType.Q6_K: 210}
-BLOCK_ELEMS = {GGMLType.Q4_0: QK, GGMLType.Q8_0: QK, GGMLType.Q2_K: QK_K,
-               GGMLType.Q4_K: QK_K, GGMLType.Q6_K: QK_K}
+TYPE_NAMES = {0: "F32", 1: "F16", 2: "Q4_0", 3: "Q4_1", 6: "Q5_0",
+              7: "Q5_1", 8: "Q8_0", 10: "Q2_K", 11: "Q3_K", 12: "Q4_K",
+              13: "Q5_K", 14: "Q6_K"}
+BLOCK_BYTES = {GGMLType.Q4_0: 18, GGMLType.Q4_1: 20, GGMLType.Q5_0: 22,
+               GGMLType.Q5_1: 24, GGMLType.Q8_0: 34, GGMLType.Q2_K: 84,
+               GGMLType.Q3_K: 110, GGMLType.Q4_K: 144, GGMLType.Q5_K: 176,
+               GGMLType.Q6_K: 210}
+BLOCK_ELEMS = {GGMLType.Q4_0: QK, GGMLType.Q4_1: QK, GGMLType.Q5_0: QK,
+               GGMLType.Q5_1: QK, GGMLType.Q8_0: QK, GGMLType.Q2_K: QK_K,
+               GGMLType.Q3_K: QK_K, GGMLType.Q4_K: QK_K,
+               GGMLType.Q5_K: QK_K, GGMLType.Q6_K: QK_K}
 
 
 def _f16(x: np.ndarray) -> np.ndarray:
@@ -109,6 +119,89 @@ def dequant_q4_0(raw: np.ndarray, n: int) -> np.ndarray:
     hi = (qs >> 4).astype(np.float32) - 8
     x = np.concatenate([lo, hi], axis=1) * d
     return x.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------- q4_1
+def quantize_q4_1(w: np.ndarray) -> np.ndarray:
+    """Asymmetric 4-bit: [d f16, m f16, 16B nibbles]; x = d*q + m."""
+    x = w.reshape(-1, QK).astype(np.float32)
+    mn = x.min(axis=1, keepdims=True)
+    mx = x.max(axis=1, keepdims=True)
+    d = (mx - mn) / 15.0
+    d = np.where(d == 0, 1e-12, d)
+    q = np.clip(np.trunc((x - mn) / d + 0.5), 0, 15).astype(np.uint8)
+    out = np.empty((x.shape[0], 20), np.uint8)
+    out[:, 0:2] = _f16(d[:, 0]).view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = _f16(mn[:, 0]).view(np.uint8).reshape(-1, 2)
+    out[:, 4:] = q[:, :16] | (q[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def dequant_q4_1(raw: np.ndarray, n: int) -> np.ndarray:
+    b = raw.reshape(-1, 20)
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    m = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+    qs = b[:, 4:]
+    lo = (qs & 0xF).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    return (np.concatenate([lo, hi], 1) * d + m).reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------- q5_0
+def quantize_q5_0(w: np.ndarray) -> np.ndarray:
+    """Full-range sym 5-bit: [d f16, qh 4B, 16B low nibbles]."""
+    x = w.reshape(-1, QK).astype(np.float32)
+    idx = np.abs(x).argmax(axis=1)
+    extreme = x[np.arange(x.shape[0]), idx]
+    d = extreme / -16.0
+    d = np.where(d == 0, 1e-12, d)
+    q = np.clip(np.trunc(x.astype(np.float64) / d[:, None] + 16.5),
+                0, 31).astype(np.uint8)
+    out = np.empty((x.shape[0], 22), np.uint8)
+    out[:, 0:2] = _f16(d).view(np.uint8).reshape(-1, 2)
+    out[:, 2:6] = np.packbits((q >> 4).astype(np.uint8), axis=1,
+                              bitorder="little")
+    out[:, 6:] = (q[:, :16] & 0xF) | (q[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def dequant_q5_0(raw: np.ndarray, n: int) -> np.ndarray:
+    b = raw.reshape(-1, 22)
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    hb = np.unpackbits(b[:, 2:6], axis=1, bitorder="little")[:, :32]
+    qs = b[:, 6:]
+    lo = np.concatenate([qs & 0xF, qs >> 4], axis=1).astype(np.float32)
+    q = lo + 16.0 * hb.astype(np.float32)
+    return ((q - 16.0) * d).reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------- q5_1
+def quantize_q5_1(w: np.ndarray) -> np.ndarray:
+    """Asymmetric 5-bit: [d f16, m f16, qh 4B, 16B low nibbles]."""
+    x = w.reshape(-1, QK).astype(np.float32)
+    mn = x.min(axis=1, keepdims=True)
+    mx = x.max(axis=1, keepdims=True)
+    d = (mx - mn) / 31.0
+    d = np.where(d == 0, 1e-12, d)
+    q = np.clip(np.trunc((x - mn) / d + 0.5), 0, 31).astype(np.uint8)
+    out = np.empty((x.shape[0], 24), np.uint8)
+    out[:, 0:2] = _f16(d[:, 0]).view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = _f16(mn[:, 0]).view(np.uint8).reshape(-1, 2)
+    out[:, 4:8] = np.packbits((q >> 4).astype(np.uint8), axis=1,
+                              bitorder="little")
+    out[:, 8:] = (q[:, :16] & 0xF) | (q[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def dequant_q5_1(raw: np.ndarray, n: int) -> np.ndarray:
+    b = raw.reshape(-1, 24)
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    m = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+    hb = np.unpackbits(b[:, 4:8], axis=1, bitorder="little")[:, :32]
+    qs = b[:, 8:]
+    lo = np.concatenate([qs & 0xF, qs >> 4], axis=1).astype(np.float32)
+    q = lo + 16.0 * hb.astype(np.float32)
+    return (q * d + m).reshape(-1)[:n]
 
 
 # ---------------------------------------------------------------- q4_K
@@ -179,6 +272,120 @@ def dequant_q4_k(raw: np.ndarray, n: int) -> np.ndarray:
     d_hat = sc.astype(np.float32) * d_super[:, None]
     m_hat = mn.astype(np.float32) * m_super[:, None]
     x = L * d_hat[:, :, None] - m_hat[:, :, None]
+    return x.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------- q3_K
+def quantize_q3_k(w: np.ndarray) -> np.ndarray:
+    """Symmetric 3-bit double-quant, 16 groups of 16, 6-bit signed
+    sub-scales.  Layout [hmask 32B, qs 64B, scales 12B, d 2B]."""
+    x = w.reshape(-1, 16, 16).astype(np.float32)
+    N = x.shape[0]
+    amin = np.minimum(x.min(axis=2), 0.0)
+    amax = np.maximum(x.max(axis=2), 0.0)
+    extreme = np.where(-amin > amax, amin, amax)
+    d_g = -extreme / 4.0                                # signed per-group
+    gi = np.abs(d_g).argmax(axis=1)
+    d_super = -d_g[np.arange(N), gi] / 32.0
+    d_super = np.where(d_super == 0, 1e-12, d_super)
+    sc = np.clip(np.rint(d_g / d_super[:, None]), -32, 31)
+    d_hat = sc * d_super[:, None]
+    d_hat = np.where(d_hat == 0, 1e-12, d_hat)
+    q = np.clip(np.rint(x / d_hat[:, :, None]), -4, 3) + 4
+    L = q.reshape(N, 256).astype(np.uint8)
+
+    out = np.empty((N, 110), np.uint8)
+    # hmask: bit j of byte l = high bit of element j*32 + l
+    Lc = L.reshape(N, 8, 32)
+    hm = np.zeros((N, 32), np.uint8)
+    for j in range(8):
+        hm |= ((Lc[:, j] >> 2) << j).astype(np.uint8)
+    out[:, 0:32] = hm
+    # qs: 2-bit planes — byte (c, l) holds elems c*128 + k*32 + l at bit 2k
+    low = (L & 3).reshape(N, 2, 4, 32)
+    qs = np.zeros((N, 2, 32), np.uint8)
+    for k in range(4):
+        qs |= (low[:, :, k] << (2 * k)).astype(np.uint8)
+    out[:, 32:96] = qs.reshape(N, 64)
+    # scales: 16 x 6-bit (offset 32) into 12 bytes
+    s6 = (sc + 32).astype(np.uint8)
+    out[:, 96:104] = (s6[:, :8] & 0xF) | ((s6[:, 8:] & 0xF) << 4)
+    hs = s6 >> 4
+    out[:, 104:108] = (hs[:, 0:4] | (hs[:, 4:8] << 2)
+                       | (hs[:, 8:12] << 4) | (hs[:, 12:16] << 6))
+    out[:, 108:110] = _f16(d_super).view(np.uint8).reshape(-1, 2)
+    return out.reshape(-1)
+
+
+def dequant_q3_k(raw: np.ndarray, n: int) -> np.ndarray:
+    b = raw.reshape(-1, 110)
+    N = b.shape[0]
+    hm, qs = b[:, 0:32], b[:, 32:96].reshape(N, 2, 32)
+    d_super = b[:, 108:110].copy().view(np.float16).astype(np.float32)[:, 0]
+    s6 = np.empty((N, 16), np.uint8)
+    s6[:, :8] = b[:, 96:104] & 0xF
+    s6[:, 8:] = b[:, 96:104] >> 4
+    for j in range(16):
+        s6[:, j] |= ((b[:, 104 + j % 4] >> (2 * (j // 4))) & 3) << 4
+    sc = s6.astype(np.float32) - 32.0
+    L = np.empty((N, 2, 4, 32), np.uint8)
+    for k in range(4):
+        L[:, :, k] = (qs >> (2 * k)) & 3
+    L = L.reshape(N, 8, 32)
+    for j in range(8):
+        L[:, j] |= ((hm >> j) & 1) << 2
+    Lf = L.reshape(N, 16, 16).astype(np.float32) - 4.0
+    d_hat = sc * d_super[:, None]
+    return (Lf * d_hat[:, :, None]).reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------- q5_K
+def quantize_q5_k(w: np.ndarray) -> np.ndarray:
+    """Asymmetric 5-bit double-quant, 8 groups of 32 (q4_k + high bits).
+    Layout [d 2B, dmin 2B, scales 12B, qh 32B, qs 128B]."""
+    x = w.reshape(-1, 8, 32).astype(np.float32)
+    N = x.shape[0]
+    gmin = np.minimum(x.min(axis=2), 0.0)
+    gmax = np.maximum(x.max(axis=2), 0.0)
+    d_g = np.maximum((gmax - gmin) / 31.0, 1e-12)
+    m_g = -gmin
+    d_super = np.maximum(d_g.max(axis=1) / 63.0, 1e-12)
+    m_super = np.maximum(m_g.max(axis=1) / 63.0, 1e-12)
+    sc = np.clip(np.rint(d_g / d_super[:, None]), 0, 63).astype(np.uint8)
+    mn = np.clip(np.rint(m_g / m_super[:, None]), 0, 63).astype(np.uint8)
+    d_hat = sc * d_super[:, None]
+    m_hat = mn * m_super[:, None]
+    d_hat = np.where(d_hat == 0, 1e-12, d_hat)
+    L = np.clip(np.rint((x + m_hat[:, :, None]) / d_hat[:, :, None]),
+                0, 31).astype(np.uint8)                # (N, 8, 32)
+    out = np.empty((N, 176), np.uint8)
+    out[:, 0:2] = _f16(d_super).view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = _f16(m_super).view(np.uint8).reshape(-1, 2)
+    out[:, 4:16] = _pack_scale_min_k4(sc, mn)
+    qh = np.zeros((N, 32), np.uint8)
+    for j in range(8):
+        qh |= ((L[:, j] >> 4) << j).astype(np.uint8)
+    out[:, 16:48] = qh
+    # qs: byte (p, l) = sub 2p elem l low nibble | sub 2p+1 elem l << 4
+    out[:, 48:] = (L[:, ::2] | ((L[:, 1::2] & 0xF) << 4)).reshape(N, 128)
+    return out.reshape(-1)
+
+
+def dequant_q5_k(raw: np.ndarray, n: int) -> np.ndarray:
+    b = raw.reshape(-1, 176)
+    N = b.shape[0]
+    d_super = b[:, 0:2].copy().view(np.float16).astype(np.float32)[:, 0]
+    m_super = b[:, 2:4].copy().view(np.float16).astype(np.float32)[:, 0]
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    qh, qs = b[:, 16:48], b[:, 48:].reshape(N, 4, 32)
+    L = np.empty((N, 8, 32), np.uint8)
+    L[:, ::2] = qs & 0xF
+    L[:, 1::2] = qs >> 4
+    for j in range(8):
+        L[:, j] |= ((qh >> j) & 1) << 4
+    d_hat = sc.astype(np.float32) * d_super[:, None]
+    m_hat = mn.astype(np.float32) * m_super[:, None]
+    x = L.astype(np.float32) * d_hat[:, :, None] - m_hat[:, :, None]
     return x.reshape(-1)[:n]
 
 
@@ -298,11 +505,15 @@ def dequant_q2_k(raw: np.ndarray, n: int) -> np.ndarray:
 
 
 QUANTIZERS = {GGMLType.Q8_0: quantize_q8_0, GGMLType.Q4_0: quantize_q4_0,
-              GGMLType.Q4_K: quantize_q4_k, GGMLType.Q6_K: quantize_q6_k,
-              GGMLType.Q2_K: quantize_q2_k}
+              GGMLType.Q4_1: quantize_q4_1, GGMLType.Q5_0: quantize_q5_0,
+              GGMLType.Q5_1: quantize_q5_1, GGMLType.Q3_K: quantize_q3_k,
+              GGMLType.Q4_K: quantize_q4_k, GGMLType.Q5_K: quantize_q5_k,
+              GGMLType.Q6_K: quantize_q6_k, GGMLType.Q2_K: quantize_q2_k}
 DEQUANTIZERS = {GGMLType.Q8_0: dequant_q8_0, GGMLType.Q4_0: dequant_q4_0,
-                GGMLType.Q4_K: dequant_q4_k, GGMLType.Q6_K: dequant_q6_k,
-                GGMLType.Q2_K: dequant_q2_k}
+                GGMLType.Q4_1: dequant_q4_1, GGMLType.Q5_0: dequant_q5_0,
+                GGMLType.Q5_1: dequant_q5_1, GGMLType.Q3_K: dequant_q3_k,
+                GGMLType.Q4_K: dequant_q4_k, GGMLType.Q5_K: dequant_q5_k,
+                GGMLType.Q6_K: dequant_q6_k, GGMLType.Q2_K: dequant_q2_k}
 
 
 # ------------------------------------------------------------- container
@@ -383,8 +594,9 @@ def select_layer_qtype(base_type: int, block_idx: int, n_blocks: int,
     middle block more bits; embeddings/output get at least Q6_K; layers
     whose row length isn't 256-divisible fall back to Q8_0/Q4_0."""
     t = base_type
-    upgrade = {GGMLType.Q2_K: GGMLType.Q4_K, GGMLType.Q4_K: GGMLType.Q6_K,
-               GGMLType.Q4_0: GGMLType.Q6_K}
+    upgrade = {GGMLType.Q2_K: GGMLType.Q4_K, GGMLType.Q3_K: GGMLType.Q4_K,
+               GGMLType.Q4_K: GGMLType.Q6_K, GGMLType.Q5_K: GGMLType.Q6_K,
+               GGMLType.Q4_0: GGMLType.Q6_K, GGMLType.Q5_0: GGMLType.Q6_K}
     if layer_kind in ("output", "token_embd"):
         t = max(t, GGMLType.Q6_K)
     elif layer_kind in ("attn_v", "ffn_down") and t in upgrade:

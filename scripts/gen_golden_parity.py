@@ -81,12 +81,57 @@ def main(out_path: str) -> None:
     # 32 elems for q8_0/q4_0, 256 for the k-quants
     for name, fn, blk in (("q8_0", gp.q8_0_quant_block, 32),
                           ("q4_0", gp.q4_0_quant_block, 32),
+                          ("q4_1", gp.q4_1_quant_block, 32),
+                          ("q5_0", gp.q5_0_quant_block, 32),
+                          ("q5_1", gp.q5_1_quant_block, 32),
                           ("q4_k", gp.q4_k_quant_block, 256),
                           ("q6_k", gp.q6_k_quant_block, 256),
+                          ("q3_k", gp.q3_k_quant_block, 256),
+                          ("q5_k", gp.q5_k_quant_block, 256),
                           ("q2_k", gp.q2_k_quant_block, 256)):
         raw = np.asarray(fn(wg.clone().reshape(-1, blk)))
         goldens[f"gguf_bytes_{name}"] = raw.astype(np.uint8)
     goldens["gguf_input"] = wg.numpy()
+
+    # explicit-scale packer branch: deterministic bytes (no RMSE search)
+    # for EXACT byte-layout checks of the k-quant high-bit formats
+    rng2 = np.random.default_rng(7)
+    nb = 4
+    d3 = np.full((nb,), 0.01, np.float32)
+    k3 = rng2.integers(-32, 32, (nb, 16)).astype(np.float32)
+    w3 = rng2.standard_normal((nb, 256)).astype(np.float32) * 0.02
+    raw3 = np.asarray(gp.q3_k_quant_block(
+        torch.tensor(w3.copy()), scale=torch.tensor(k3 * d3[:, None]),
+        d_scale=torch.tensor(d3)))
+    # expected qdq via the packer's own arithmetic (reciprocal multiply)
+    d16 = torch.tensor(d3).to(torch.float16).to(torch.float32)
+    sc3 = torch.tensor(k3) * d16[:, None]
+    inv = torch.where(sc3 == 0, torch.zeros_like(sc3), 1.0 / sc3)
+    L3 = (torch.tensor(w3).reshape(nb, 16, 16)
+          * inv.unsqueeze(-1)).round().clamp(-4, 3)
+    goldens["gguf_q3k_exact_bytes"] = raw3.astype(np.uint8)
+    goldens["gguf_q3k_exact_want"] = (
+        L3 * sc3.unsqueeze(-1)).reshape(nb, 256).numpy()
+
+    d5s = np.full((nb,), 0.012, np.float32)
+    d5m = np.full((nb,), 0.008, np.float32)
+    k5s = rng2.integers(0, 64, (nb, 8)).astype(np.float32)
+    k5m = rng2.integers(0, 64, (nb, 8)).astype(np.float32)
+    w5 = rng2.standard_normal((nb, 256)).astype(np.float32) * 0.05
+    raw5 = np.asarray(gp.q5_k_quant_block(
+        torch.tensor(w5.copy()), scale=torch.tensor(k5s * d5s[:, None]),
+        wmin=torch.tensor(k5m * d5m[:, None]),
+        d_scale=torch.tensor(d5s), d_wmin=torch.tensor(d5m)))
+    ds16 = torch.tensor(d5s).to(torch.float16).to(torch.float32)
+    dm16 = torch.tensor(d5m).to(torch.float16).to(torch.float32)
+    dt = torch.tensor(k5s) * ds16[:, None]
+    mt = torch.tensor(k5m) * dm16[:, None]
+    dts = torch.where(dt == 0, torch.ones_like(dt), dt)
+    L5 = ((torch.tensor(w5).reshape(nb, 8, 32) + mt.unsqueeze(-1))
+          * (1.0 / dts).unsqueeze(-1)).round().clamp(0, 31)
+    goldens["gguf_q5k_exact_bytes"] = raw5.astype(np.uint8)
+    goldens["gguf_q5k_exact_want"] = (
+        L5 * dt.unsqueeze(-1) - mt.unsqueeze(-1)).reshape(nb, 256).numpy()
 
     np.savez_compressed(out_path, **goldens)
     print(f"wrote {len(goldens)} goldens -> {out_path}")
