@@ -47,7 +47,7 @@ def flash_attention_ref(q, k, v, causal: bool = True):
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
             sm_scale: float, causal: bool, block_q: int, block_k: int,
-            n_kv: int):
+            n_kv: int, ts_off: int = 0):
     kv_idx = pl.program_id(3)
     q_idx = pl.program_id(2)
 
@@ -57,10 +57,10 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
         l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-    # causal: skip KV tiles fully above the diagonal
+    # causal: skip KV tiles fully above the (bottom-right-anchored) diagonal
     should_run = True
     if causal:
-        should_run = ((q_idx + 1) * block_q - 1) >= (kv_idx * block_k)
+        should_run = ((q_idx + 1) * block_q - 1 + ts_off) >= (kv_idx * block_k)
 
     @pl.when(should_run)
     def _():
@@ -71,11 +71,13 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
             preferred_element_type=jnp.float32) * sm_scale
 
         if causal:
+            # diagonal anchored bottom-right (matches flash_attention_ref's
+            # tril k=T-S): col <= row + (T - S)
             rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                     + q_idx * block_q)
             cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                     + kv_idx * block_k)
-            s = jnp.where(cols <= rows, s, _MASK_VALUE)
+            s = jnp.where(cols <= rows + ts_off, s, _MASK_VALUE)
 
         # stats live as (block_q, 128) lane-replicated rows (TPU min tile)
         m_prev, l_prev = m_ref[:], l_ref[:]
@@ -113,7 +115,7 @@ def _lane_tile(x, block: int):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, acc_ref, *, sm_scale: float, causal: bool,
-                   block_q: int, block_k: int, n_kv: int):
+                   block_q: int, block_k: int, n_kv: int, ts_off: int = 0):
     """dQ pass: for each q tile, stream kv tiles and accumulate
     dQ = sum_k dS @ K with dS = P * (dO V^T - delta) * scale."""
     kv_idx = pl.program_id(3)
@@ -125,7 +127,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     should_run = True
     if causal:
-        should_run = ((q_idx + 1) * block_q - 1) >= (kv_idx * block_k)
+        should_run = ((q_idx + 1) * block_q - 1 + ts_off) >= (kv_idx * block_k)
 
     @pl.when(should_run)
     def _():
@@ -138,7 +140,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     + q_idx * block_q)
             cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                     + kv_idx * block_k)
-            s = jnp.where(cols <= rows, s, _MASK_VALUE)
+            s = jnp.where(cols <= rows + ts_off, s, _MASK_VALUE)
         p = jnp.exp(s - _lane_tile(lse_ref[0, 0], block_k))
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
@@ -154,7 +156,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc, *, sm_scale: float,
-                    causal: bool, block_q: int, block_k: int, n_q: int):
+                    causal: bool, block_q: int, block_k: int, n_q: int,
+                    ts_off: int = 0):
     """dK/dV pass: for each kv tile, stream q tiles and accumulate
     dV = sum_q P^T dO,  dK = sum_q dS^T Q."""
     q_idx = pl.program_id(3)
@@ -167,7 +170,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     should_run = True
     if causal:
-        should_run = ((q_idx + 1) * block_q - 1) >= (kv_idx * block_k)
+        should_run = ((q_idx + 1) * block_q - 1 + ts_off) >= (kv_idx * block_k)
 
     @pl.when(should_run)
     def _():
@@ -180,7 +183,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     + q_idx * block_q)
             cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                     + kv_idx * block_k)
-            s = jnp.where(cols <= rows, s, _MASK_VALUE)
+            s = jnp.where(cols <= rows + ts_off, s, _MASK_VALUE)
         p = jnp.exp(s - _lane_tile(lse_ref[0, 0], block_k))
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -252,7 +255,8 @@ def _flash_bwd(causal, block_q, block_k, res, g):
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
-                          block_q=bq, block_k=bk, n_kv=T // bk),
+                          block_q=bq, block_k=bk, n_kv=T // bk,
+                          ts_off=T - S),
         grid=(B, H, S // bq, T // bk),
         in_specs=[qspec, kspec, kspec, qspec, statspec, statspec],
         out_specs=qspec,
@@ -276,7 +280,7 @@ def _flash_bwd(causal, block_q, block_k, res, g):
     dkh, dvh = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale,
                           causal=causal, block_q=bq, block_k=bk,
-                          n_q=S // bq),
+                          n_q=S // bq, ts_off=T - S),
         grid=(B, H, T // bk, S // bq),
         in_specs=[kv_q, kv_k, kv_k, kv_q, kv_stat, kv_stat],
         out_specs=(kv_kout, kv_kout),
@@ -318,7 +322,7 @@ def _flash_fwd_impl(q, k, v, causal: bool = True, block_q: int = 256,
     out, lse = pl.pallas_call(
         functools.partial(_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k,
-                          n_kv=T // block_k),
+                          n_kv=T // block_k, ts_off=T - S),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D),

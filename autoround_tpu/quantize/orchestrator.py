@@ -140,26 +140,36 @@ _APPLY_CACHE: Dict[Any, Callable] = {}
 
 
 def _batched_block_apply(block_weights, x, cos, sin, cfg, batch: int,
-                         linear_fn=None):
+                         linear_fn=None, attn_mask=None):
     """Advance a cache through one block in jitted batches (static shapes).
 
     The jitted callable is cached on (family block_fwd, cfg, linear_fn) so
     every block of a model reuses one compiled executable per shape —
     fresh closures would recompile per block (minutes each on a
-    remote-compile TPU)."""
+    remote-compile TPU).  ``attn_mask`` (additive attention bias, traced)
+    carries the sliding-window mask for Gemma2-style alternating layers so
+    the FP reference chain matches ``model_fwd`` at S > window."""
     from ..models.registry import get_model_fns
     block_fwd = get_model_fns(cfg).block_fwd
     n = x.shape[0]
-    key = (block_fwd, cfg, linear_fn)
+    key = (block_fwd, cfg, linear_fn, attn_mask is not None)
     fn0 = _APPLY_CACHE.get(key)
     if fn0 is None:
-        def apply_impl(w, xb, c, s):
-            return block_fwd(w, xb, c, s, cfg, linear_fn=linear_fn)
+        if attn_mask is None:
+            def apply_impl(w, xb, c, s):
+                return block_fwd(w, xb, c, s, cfg, linear_fn=linear_fn)
+        else:
+            def apply_impl(w, xb, c, s, m):
+                return block_fwd(w, xb, c, s, cfg, mask=m,
+                                 linear_fn=linear_fn)
         fn0 = jax.jit(apply_impl)
         _APPLY_CACHE[key] = fn0
         if len(_APPLY_CACHE) > 64:
             _APPLY_CACHE.pop(next(iter(_APPLY_CACHE)))
-    fn = lambda w, xb: fn0(w, xb, cos, sin)
+    if attn_mask is None:
+        fn = lambda w, xb: fn0(w, xb, cos, sin)
+    else:
+        fn = lambda w, xb: fn0(w, xb, cos, sin, attn_mask)
     outs = []
     for s in range(0, n, batch):
         e = min(s + batch, n)
@@ -202,10 +212,44 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
     n = len(params["blocks"])
     new_blocks: List[Dict[str, Any]] = []
 
-    def group_fwd(weights, xb):
-        for b in weights["blocks"]:
-            xb = mfns.block_fwd(b, xb, cos, sin, model_cfg)
-        return xb
+    # sliding-window mask for Gemma2-style alternating layers at S > window
+    seqlen = x_fp.shape[1]
+    smask = None
+    if (getattr(model_cfg, "sliding_window", None) is not None
+            and seqlen > model_cfg.sliding_window):
+        smask = llama.sliding_mask(model_cfg, seqlen)
+
+    def _am(bi):
+        return (smask if smask is not None
+                and llama.layer_is_sliding(model_cfg, bi) else None)
+
+    # group forwards cached per sliding-parity so tune_block's compiled
+    # scan is shared across identically-structured groups
+    _group_fwd_cache: Dict[Any, Callable] = {}
+
+    def _group_fwd_for(gstart: int, glen: int):
+        if smask is None:
+            key = ("plain", glen)
+        else:
+            key = (gstart % 2, glen)
+        fn = _group_fwd_cache.get(key)
+        if fn is None:
+            if smask is None:
+                def fn(weights, xb):
+                    for b in weights["blocks"]:
+                        xb = mfns.block_fwd(b, xb, cos, sin, model_cfg)
+                    return xb
+            else:
+                par = gstart % 2
+                def fn(weights, xb, par=par):
+                    for j, b in enumerate(weights["blocks"]):
+                        m = (smask if llama.layer_is_sliding(
+                            model_cfg, par + j) else None)
+                        xb = mfns.block_fwd(b, xb, cos, sin, model_cfg,
+                                            mask=m)
+                    return xb
+            _group_fwd_cache[key] = fn
+        return fn
 
     for gstart in range(0, n, cfg.nblocks):
         group = params["blocks"][gstart: gstart + cfg.nblocks]
@@ -215,20 +259,23 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
                 schemes[f"blocks.{j}.{lname}"] = s
 
         ref = x_fp
-        for b in group:
+        for j, b in enumerate(group):
             ref = _batched_block_apply(b, ref, cos, sin, model_cfg,
-                                       cfg.cache_batch)
+                                       cfg.cache_batch,
+                                       attn_mask=_am(gstart + j))
         if not schemes:
             new_blocks.extend(group)
             if x_q is not None:
-                for b in group:
+                for j, b in enumerate(group):
                     x_q = _batched_block_apply(b, x_q, cos, sin, model_cfg,
-                                               cfg.cache_batch)
+                                               cfg.cache_batch,
+                                               attn_mask=_am(gstart + j))
             x_fp = ref
             continue
 
         tune_in = x_q if x_q is not None else x_fp
-        best, info = tune_block(group_fwd, {"blocks": list(group)}, tune_in,
+        best, info = tune_block(_group_fwd_for(gstart, len(group)),
+                                {"blocks": list(group)}, tune_in,
                                 ref, schemes, tcfg, mask=mask)
         traces[gstart] = info["loss_trace"]
         logger.info("blocks %d-%d: loss iter0 %.6f -> best %.6f", gstart,
@@ -248,9 +295,10 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
         new_blocks.extend(qdq_group)
         x_fp = ref
         if x_q is not None:
-            for b in qdq_group:
+            for j, b in enumerate(qdq_group):
                 x_q = _batched_block_apply(b, x_q, cos, sin, model_cfg,
-                                           cfg.cache_batch)
+                                           cfg.cache_batch,
+                                           attn_mask=_am(gstart + j))
 
     new_params = dict(params)
     new_params["blocks"] = new_blocks
@@ -298,6 +346,14 @@ def quantize_model(
         nsamples, seqlen = ids.shape
     cos, sin = mfns.rope_tables(model_cfg, seqlen)
     tcfg = cfg.tune_config()
+    if tcfg.enable_alg_ext and tcfg.clip_hi <= 1.0:
+        # tune_block widens the min/max clamp to (0, 2) under alg_ext
+        # (reference sign_roundv2/quantizer.py:128-155); apply the SAME
+        # widening here so _finalize_layer bakes weights with the exact
+        # TuneConfig the best-loss snapshot was validated under —
+        # otherwise tuned max_scale values above 1 get clamped at bake.
+        import dataclasses as _dc
+        tcfg = _dc.replace(tcfg, clip_lo=0.0, clip_hi=2.0)
 
     # group flat layer plan by block index; inner key is the (possibly
     # dotted) path within the block, e.g. "q_proj" or "experts.3.w1"
@@ -318,10 +374,26 @@ def quantize_model(
             jax.tree.map(lambda t: np.asarray(t), b)
             for b in params["blocks"]]
 
+    # Gemma2-style alternating sliding-window layers: at S > window the
+    # sliding layers' FP reference AND tuning forward must apply the
+    # window mask (round-1 regression: tuning matched a full-causal
+    # reference that diverges from model_fwd on every sliding layer)
+    smask = None
+    if (getattr(model_cfg, "sliding_window", None) is not None
+            and seqlen > model_cfg.sliding_window):
+        smask = llama.sliding_mask(model_cfg, seqlen)
+
+    def _attn_mask_for(bi: int):
+        return (smask if smask is not None
+                and llama.layer_is_sliding(model_cfg, bi) else None)
+
     # ONE stable tuning forward for all blocks (tune_block caches its
     # compiled scan on this callable's identity)
     def base_block_fn(w, xb):
         return mfns.block_fwd(w, xb, cos, sin, model_cfg)
+
+    def base_block_fn_sliding(w, xb):
+        return mfns.block_fwd(w, xb, cos, sin, model_cfg, mask=smask)
 
     # act-quant variant: per-block static/global act scales ride INSIDE the
     # weights pytree under a reserved key, so they are traced arguments and
@@ -330,6 +402,14 @@ def quantize_model(
     # cache their compiled pass on this callable's identity)
     def stats_block_fn(w, xb, lf):
         return mfns.block_fwd(w, xb, cos, sin, model_cfg, linear_fn=lf)
+
+    def stats_block_fn_sliding(w, xb, lf):
+        return mfns.block_fwd(w, xb, cos, sin, model_cfg, mask=smask,
+                              linear_fn=lf)
+
+    def _stats_fn_for(bi: int):
+        return (stats_block_fn_sliding if _attn_mask_for(bi) is not None
+                else stats_block_fn)
 
     _act_schemes_cache = {}
 
@@ -340,6 +420,15 @@ def quantize_model(
             scales.get("global") or None)
         inner = {k: v for k, v in w.items() if k != "_act_scales"}
         return mfns.block_fwd(inner, xb, cos, sin, model_cfg, linear_fn=lf)
+
+    def act_block_fn_sliding(w, xb):
+        scales = w["_act_scales"]
+        lf = make_act_quant_linear_fn(
+            _act_schemes_cache["schemes"], scales.get("static") or None,
+            scales.get("global") or None)
+        inner = {k: v for k, v in w.items() if k != "_act_scales"}
+        return mfns.block_fwd(inner, xb, cos, sin, model_cfg, mask=smask,
+                              linear_fn=lf)
 
     new_blocks: List[Dict[str, jax.Array]] = []
     layers: Dict[str, QuantizedLayer] = {}
@@ -416,14 +505,15 @@ def quantize_model(
                 x_fp = jnp.asarray(fp_np, x_fp.dtype)
                 x_q = None if q_np is None else jnp.asarray(q_np, x_fp.dtype)
             continue
+        am = _attn_mask_for(bi)
         ref_out = _batched_block_apply(block, x_fp, cos, sin, model_cfg,
-                                       cfg.cache_batch)
+                                       cfg.cache_batch, attn_mask=am)
         if not schemes:
             new_blocks.append(block)
             x_fp = ref_out
             if x_q is not None:
                 x_q = _batched_block_apply(block, x_q, cos, sin, model_cfg,
-                                           cfg.cache_batch)
+                                           cfg.cache_batch, attn_mask=am)
             if resume is not None:
                 resume.mark_block_done(
                     bi, {"_empty": np.zeros((1,), np.int8)},
@@ -432,7 +522,7 @@ def quantize_model(
 
         if cfg.quant_attention:
             qkv_amax = collect_output_stats(
-                stats_block_fn, block, x_fp[: cfg.cache_batch],
+                _stats_fn_for(bi), block, x_fp[: cfg.cache_batch],
                 ("q_proj", "k_proj", "v_proj"))
             attention_scales[bi] = {
                 k: v / 448.0 for k, v in qkv_amax.items()}
@@ -455,7 +545,8 @@ def quantize_model(
         global_scales: Dict[str, jax.Array] = {}
         if any(s.effective_act().is_act_quantized for s in schemes.values()):
             amax = collect_act_stats(
-                stats_block_fn, block, x_fp[: cfg.cache_batch], set(schemes))
+                _stats_fn_for(bi), block, x_fp[: cfg.cache_batch],
+                set(schemes))
             static_scales, global_scales = build_static_act_scales(
                 schemes, amax)
             act_lf = make_act_quant_linear_fn(schemes, static_scales,
@@ -465,13 +556,16 @@ def quantize_model(
             tune_in = x_q if x_q is not None else x_fp
             tune_weights = block
             if act_lf is None:
-                block_fn = base_block_fn  # stable → one tuning compile
+                # stable per (sliding?) parity → at most two tuning compiles
+                block_fn = (base_block_fn_sliding if am is not None
+                            else base_block_fn)
             else:
                 _act_schemes_cache["schemes"] = schemes
                 tune_weights = dict(block)
                 tune_weights["_act_scales"] = {"static": static_scales,
                                                "global": global_scales}
-                block_fn = act_block_fn
+                block_fn = (act_block_fn_sliding if am is not None
+                            else act_block_fn)
             lfq_fn = None
             if (cfg.enable_lfq and ids is not None
                     and bi == len(params["blocks"]) - 1):
@@ -511,7 +605,7 @@ def quantize_model(
             im: Dict[str, jax.Array] = {}
             if cfg.use_imatrix:
                 im = collect_imatrix(
-                    stats_block_fn, block, x_fp[: cfg.cache_batch],
+                    _stats_fn_for(bi), block, x_fp[: cfg.cache_batch],
                     set(schemes))
             qdq_block = block
             for lname, scheme in schemes.items():
@@ -537,7 +631,8 @@ def quantize_model(
         x_fp = ref_out
         if x_q is not None:
             x_q = _batched_block_apply(qdq_block, x_q, cos, sin, model_cfg,
-                                       cfg.cache_batch, linear_fn=act_lf)
+                                       cfg.cache_batch, linear_fn=act_lf,
+                                       attn_mask=am)
         if cfg.offload_params:
             # qdq result returns to host; only the caches stay in HBM
             qdq_block = jax.tree.map(lambda t: np.asarray(t), qdq_block)

@@ -98,7 +98,9 @@ class ContinuousBatchingEngine:
         for i in range(cfg.num_layers):
             x, k_new, v_new = _block_with_cache(
                 params["blocks"][i], x, cos, sin, cfg, None, None,
-                QuantizedLlama._make_linear_fn(packed, i))
+                QuantizedLlama._make_linear_fn(packed, i),
+                packed=packed, block_idx=i,
+                splits_table=self.m.fused_splits)
             new_k = jax.lax.dynamic_update_slice(
                 new_k, k_new.astype(new_k.dtype)[None],
                 (i, slot, 0, 0, 0))
@@ -114,9 +116,15 @@ class ContinuousBatchingEngine:
                                 cache.last_token.at[slot].set(tok))
 
     def _decode_impl(self, params, packed, cache, active):
-        """One decode step for every slot; inactive slots are frozen."""
+        """One decode step for every slot; inactive slots are frozen.
+
+        Built on ``engine._block_with_cache`` (single source of truth for
+        block semantics) so qk_norm / sandwich norms / norm_offset /
+        softcap / sliding window / online R4 all behave identically to the
+        single-chip engine — the per-slot (B,) position vector drives
+        per-slot KV scatter and masking inside the shared block."""
         cfg = self.cfg
-        B, T = self.B, self.T
+        B = self.B
         tokens = cache.last_token                      # (B,)
         pos = cache.lengths                            # (B,)
         x = llama.embed_fwd(params, tokens[:, None], cfg)  # (B, 1, H)
@@ -125,38 +133,18 @@ class ContinuousBatchingEngine:
         cos = cos[:, None, :]
         sin = sin[:, None, :]
         new_k, new_v = cache.k, cache.v
-        idx = jnp.arange(T)
-        bias = jnp.where(idx[None, :] <= pos[:, None], 0.0,
-                         -1e30)[:, None, None, :]       # (B,1,1,T)
+        bidx = jnp.arange(B)
         for i in range(cfg.num_layers):
-            h = llama.rms_norm(x, params["blocks"][i]["input_layernorm"],
-                               cfg.rms_eps)
-            lf = QuantizedLlama._make_linear_fn(packed, i)
-            w = params["blocks"][i]
-            q = lf("q_proj", h, w["q_proj"], w.get("q_bias")).reshape(
-                B, 1, cfg.num_heads, cfg.hd)
-            k = lf("k_proj", h, w["k_proj"], w.get("k_bias")).reshape(
-                B, 1, cfg.num_kv_heads, cfg.hd)
-            v = lf("v_proj", h, w["v_proj"], w.get("v_bias")).reshape(
-                B, 1, cfg.num_kv_heads, cfg.hd)
-            q = llama.apply_rope(q, cos, sin)
-            k = llama.apply_rope(k, cos, sin)
-            # per-slot scatter of the new K/V at each slot's own position
-            bidx = jnp.arange(B)
-            k_full = new_k[i].at[bidx, pos].set(
-                k[:, 0].astype(new_k.dtype))
-            v_full = new_v[i].at[bidx, pos].set(
-                v[:, 0].astype(new_v.dtype))
-            attn = llama.attention(q, k_full, v_full, bias, cfg)
-            attn = attn.reshape(B, 1, -1)
-            x = x + lf("o_proj", attn, w["o_proj"])
-            h2 = llama.rms_norm(x, w["post_attention_layernorm"],
-                                cfg.rms_eps)
-            gate = jax.nn.silu(lf("gate_proj", h2, w["gate_proj"]))
-            up = lf("up_proj", h2, w["up_proj"])
-            x = x + lf("down_proj", gate * up, w["down_proj"])
-            new_k = new_k.at[i].set(k_full)
-            new_v = new_v.at[i].set(v_full)
+            x, k_new, v_new = _block_with_cache(
+                params["blocks"][i], x, cos, sin, cfg,
+                (new_k[i], new_v[i]), pos,
+                QuantizedLlama._make_linear_fn(packed, i),
+                packed=packed, block_idx=i,
+                splits_table=self.m.fused_splits)
+            new_k = new_k.at[i, bidx, pos].set(
+                k_new[:, 0].astype(new_k.dtype))
+            new_v = new_v.at[i, bidx, pos].set(
+                v_new[:, 0].astype(new_v.dtype))
         logits = llama.final_fwd(params, x, cfg)[:, 0]   # (B, V)
         toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         act = active.astype(jnp.int32)

@@ -447,17 +447,29 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
     else:
         k_all, v_all = kv  # (B, T, n_kv, hd) preallocated
         T = k_all.shape[1]
-        k_full = jax.lax.dynamic_update_slice(
-            k_all, k.astype(k_all.dtype), (0, pos, 0, 0))
-        v_full = jax.lax.dynamic_update_slice(
-            v_all, v.astype(v_all.dtype), (0, pos, 0, 0))
-        # mask positions beyond pos (+ current token); sliding layers
-        # also drop positions older than the window
         idx = jnp.arange(T)
-        valid = idx <= pos  # current token at index pos
-        if sliding:
-            valid = valid & (idx > pos - cfg.sliding_window)
-        bias = jnp.where(valid, 0.0, -1e30)[None, None, None, :]
+        if jnp.ndim(pos) == 0:
+            k_full = jax.lax.dynamic_update_slice(
+                k_all, k.astype(k_all.dtype), (0, pos, 0, 0))
+            v_full = jax.lax.dynamic_update_slice(
+                v_all, v.astype(v_all.dtype), (0, pos, 0, 0))
+            # mask positions beyond pos (+ current token); sliding layers
+            # also drop positions older than the window
+            valid = idx <= pos  # current token at index pos
+            if sliding:
+                valid = valid & (idx > pos - cfg.sliding_window)
+            bias = jnp.where(valid, 0.0, -1e30)[None, None, None, :]
+        else:
+            # per-slot positions (continuous batching): each slot appends
+            # its token at its own length and masks independently
+            bidx = jnp.arange(B)
+            k_full = k_all.at[bidx, pos].set(k[:, 0].astype(k_all.dtype))
+            v_full = v_all.at[bidx, pos].set(v[:, 0].astype(v_all.dtype))
+            valid = idx[None, :] <= pos[:, None]
+            if sliding:
+                valid = valid & (idx[None, :]
+                                 > pos[:, None] - cfg.sliding_window)
+            bias = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
         # attention() expects mask broadcastable to (B, nh, S, T)
         attn = llama.attention(q, k_full, v_full, bias, cfg)
     attn = attn.reshape(B, S, -1)

@@ -72,18 +72,35 @@ def load_gptq_checkpoint(path: str, dtype=jnp.bfloat16):
             O = payload["qweight"].shape[1]
             I = payload["qweight"].shape[0] * 32 // bits
             codes, scale, zp = gptq_unpack_layer(payload, bits, O, I)
+            g = group_size if group_size > 0 else I
+            # act-order (desc_act) checkpoints carry g_idx: per-input-
+            # channel group assignment that is NOT arange(I)//g.  The
+            # reference handles this in convert_gptq_v1_to_v2_format /
+            # backend checkers (inference/convert_model.py:607); here we
+            # dequantize dense with g_idx-indexed scales (the packed
+            # kernel layout requires contiguous groups).
+            gi = tensors.get(f"{hf_prefix}.g_idx")
+            contiguous = True
+            if gi is not None:
+                gi = gi.astype(np.int64)
+                contiguous = np.array_equal(gi, np.arange(I) // g)
             # v1 → v2: gptq_unpack_layer already re-adds the +1
             centered = (zp == 2 ** (bits - 1)).all()
-            if (bits == 4 and centered and group_size >= 128
+            if (contiguous and bits == 4 and centered and group_size >= 128
                     and I % (8 * group_size) == 0):
                 qw = pack_w4_planes(jnp.asarray(codes.astype(np.int32)),
                                     group_size)
                 packed[flat_ours] = (qw, jnp.asarray(scale.astype(np.float32)))
                 return jnp.zeros((O, I), dtype)  # placeholder leaf
-            g = group_size if group_size > 0 else I
-            dq = ((codes.astype(np.float32)
-                   - np.repeat(zp, g, 1)[:, :I].astype(np.float32))
-                  * np.repeat(scale, g, 1)[:, :I])
+            if not contiguous:
+                logger.info("gptq loader: %s has act-order g_idx; "
+                            "serving dense", flat_ours)
+                dq = ((codes.astype(np.float32) - zp[:, gi].astype(np.float32))
+                      * scale[:, gi])
+            else:
+                dq = ((codes.astype(np.float32)
+                       - np.repeat(zp, g, 1)[:, :I].astype(np.float32))
+                      * np.repeat(scale, g, 1)[:, :I])
             return jnp.asarray(dq, dtype)
         wn = f"{hf_prefix}.weight"
         if wn in tensors:

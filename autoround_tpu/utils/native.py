@@ -64,6 +64,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.unpack_rows_u32.argtypes = [i32p, i64, i64, ctypes.c_int, u8p]
     lib.pack_w4_planes.argtypes = [u8p, i64, i64, i64, i32p]
     lib.pack_gptq_qweight.argtypes = [u8p, i64, i64, ctypes.c_int, i32p]
+    # self-test before trusting the binary (a stale .so built on another
+    # host with -march=native could be subtly wrong or SIGILL later)
+    try:
+        codes = np.arange(16, dtype=np.uint8).reshape(2, 8) & 0xF
+        out = np.empty((2, 1), np.int32)
+        lib.pack_rows_u32(np.ascontiguousarray(codes), 2, 8, 4, out)
+        back = np.empty((2, 8), np.uint8)
+        lib.unpack_rows_u32(out, 2, 8, 4, back)
+        if not np.array_equal(back, codes):
+            raise RuntimeError("roundtrip mismatch")
+    except Exception as e:
+        warning_once(f"native arpack self-test failed ({e}); numpy fallback")
+        return None
     _LIB = lib
     return _LIB
 

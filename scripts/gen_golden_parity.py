@@ -103,15 +103,21 @@ def main(out_path: str) -> None:
     raw3 = np.asarray(gp.q3_k_quant_block(
         torch.tensor(w3.copy()), scale=torch.tensor(k3 * d3[:, None]),
         d_scale=torch.tensor(d3)))
-    # expected qdq via the packer's own arithmetic (reciprocal multiply)
-    d16 = torch.tensor(d3).to(torch.float16).to(torch.float32)
-    sc3 = torch.tensor(k3) * d16[:, None]
-    inv = torch.where(sc3 == 0, torch.zeros_like(sc3), 1.0 / sc3)
+    # expected qdq via the packer's own arithmetic: codes come from the
+    # float32 scale the packer received; the DECODE scale is the f16-
+    # rounded d times the 6-bit sub-scale (what the bytes store).  Using
+    # the f16 scale for the codes too was a fixture bug — one element at
+    # a 0.5 rounding boundary flipped.
+    sc_pack = torch.tensor(k3) * torch.tensor(d3)[:, None]
+    inv = torch.where(sc_pack == 0, torch.zeros_like(sc_pack),
+                      1.0 / sc_pack)
     L3 = (torch.tensor(w3).reshape(nb, 16, 16)
           * inv.unsqueeze(-1)).round().clamp(-4, 3)
+    d16 = torch.tensor(d3).to(torch.float16).to(torch.float32)
+    sc_dec = torch.tensor(k3) * d16[:, None]
     goldens["gguf_q3k_exact_bytes"] = raw3.astype(np.uint8)
     goldens["gguf_q3k_exact_want"] = (
-        L3 * sc3.unsqueeze(-1)).reshape(nb, 256).numpy()
+        L3 * sc_dec.unsqueeze(-1)).reshape(nb, 256).numpy()
 
     d5s = np.full((nb,), 0.012, np.float32)
     d5m = np.full((nb,), 0.008, np.float32)
@@ -122,6 +128,8 @@ def main(out_path: str) -> None:
         torch.tensor(w5.copy()), scale=torch.tensor(k5s * d5s[:, None]),
         wmin=torch.tensor(k5m * d5m[:, None]),
         d_scale=torch.tensor(d5s), d_wmin=torch.tensor(d5m)))
+    # q5_k's packer (unlike q3_k's) derives its code scale from the f16-
+    # rounded supers times the requantized 6-bit subscales (packing.py:907-917)
     ds16 = torch.tensor(d5s).to(torch.float16).to(torch.float32)
     dm16 = torch.tensor(d5m).to(torch.float16).to(torch.float32)
     dt = torch.tensor(k5s) * ds16[:, None]

@@ -93,3 +93,28 @@ class TestContinuousBatching:
         while solo.pending():
             solo.step()
         assert eng.result(r1) == solo.result(rs)
+
+
+class TestBatchingModelQuirks:
+    """Continuous batching must inherit every arch quirk from the shared
+    ``engine._block_with_cache`` block (qk_norm, sandwich norms, softcap,
+    sliding window, norm offset) — round-1 regression: the engine had its
+    own inline block with hardcoded silu that served Gemma2/Qwen3 wrong."""
+
+    @pytest.mark.parametrize("preset", ["tiny-qwen3", "tiny-gemma2"])
+    def test_quirky_arch_matches_plain_generate(self, preset):
+        cfg = llama.CONFIG_PRESETS[preset]
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        qm = QuantizedLlama.from_quantize_result(res, cfg, max_seq=64)
+        prompt = [3, 5, 7, 11, 2]
+        eng = ContinuousBatchingEngine(qm, max_batch=2, max_seq=64,
+                                       prompt_buckets=(8, 16))
+        rid = eng.submit(prompt, max_new_tokens=8)
+        while eng.pending():
+            eng.step()
+        want = np.asarray(qm.generate(jnp.asarray([prompt]),
+                                      max_new_tokens=8))[0]
+        np.testing.assert_array_equal(np.asarray(eng.result(rid)), want)
