@@ -107,6 +107,14 @@ class AutoRound:
                 cfg.num_layers, self._mfns.block_linear_names(cfg),
                 self.scheme, layer_config=layer_config,
                 ignore_layers=ignore_layers, quant_lm_head=quant_lm_head)
+            if isinstance(scheme, str) and scheme.upper().startswith("GGUF:"):
+                # tune each layer on the byte grid the GGUF writer will
+                # store (mixed-rule upgrades + 256-divisibility fallback)
+                # so tuned scales pass through export verbatim
+                from .quantize.layer_config import apply_gguf_cascade
+                self.layer_schemes = apply_gguf_cascade(
+                    self.layer_schemes, params, cfg.num_layers, scheme,
+                    quant_lm_head=quant_lm_head)
         # extra kwargs naming QuantizeConfig fields pass through (e.g.
         # quant_attention, resume_dir, immediate_save_dir, cache_batch);
         # anything unrecognized is a loud warning, not a silent no-op

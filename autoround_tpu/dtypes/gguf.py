@@ -104,7 +104,11 @@ def qdq_int_dq_sym(
     q = round_ste(wg / d_hat + vg)
     q = jnp.clip(q, -maxq, maxq - 1)
     qdq = (q * d_hat).reshape(O, I).astype(w.dtype)
-    return QdqResult(qdq, d_hat.reshape(O, -1), None)
+    extras = {"d_super": d_super[:, 0, 0], "d_hat": d_hat[..., 0],
+              "sym": True, "super_bits": super_bits,
+              "super_group_size": super_group_size,
+              "group_size": group_size}
+    return QdqResult(qdq, d_hat.reshape(O, -1), None, extras)
 
 
 def qdq_int_dq_asym(
@@ -152,8 +156,14 @@ def qdq_int_dq_asym(
     q = round_ste((wg + m_hat) / d_hat + vg)
     q = jnp.clip(q, 0, maxq)
     qdq = (q * d_hat - m_hat).reshape(O, I).astype(w.dtype)
+    extras = {"d_super": d_super[:, 0, 0], "m_super": m_super[:, 0, 0],
+              "d_hat": d_hat[..., 0], "m_hat": m_hat[..., 0],
+              "sym": False, "super_bits": super_bits,
+              "super_group_size": super_group_size,
+              "group_size": group_size}
     # zp equivalent: m̂/d̂ (fp zero point, like gguf float-zp formats)
-    return QdqResult(qdq, d_hat.reshape(O, -1), (m_hat / d_hat).reshape(O, -1))
+    return QdqResult(qdq, d_hat.reshape(O, -1),
+                     (m_hat / d_hat).reshape(O, -1), extras)
 
 
 def _weighted_err(wg, dq, weight):
@@ -201,7 +211,11 @@ def rtn_int_dq_sym(w, bits, group_size, super_bits=6, super_group_size=16,
     d_hat = jnp.where(jnp.abs(d_hat) < _EPS, _EPS, d_hat)
     q = jnp.clip(jnp.round(wg / d_hat), -maxq, maxq - 1)
     qdq = (q * d_hat).reshape(O, I).astype(w.dtype)
-    return QdqResult(qdq, d_hat.reshape(O, -1), None)
+    extras = {"d_super": d_super[:, 0, 0], "d_hat": d_hat[..., 0],
+              "sym": True, "super_bits": super_bits,
+              "super_group_size": super_group_size,
+              "group_size": group_size}
+    return QdqResult(qdq, d_hat.reshape(O, -1), None, extras)
 
 
 def rtn_int_dq_asym(w, bits, group_size, super_bits=6, super_group_size=8,
@@ -262,4 +276,10 @@ def rtn_int_dq_asym(w, bits, group_size, super_bits=6, super_group_size=8,
     m_hat = jnp.clip(jnp.round(m / m_super), 0, smaxq) * m_super
     q = jnp.clip(jnp.round((wg + m_hat) / d_hat), 0, maxq)
     qdq = (q * d_hat - m_hat).reshape(O, I).astype(w.dtype)
-    return QdqResult(qdq, d_hat.reshape(O, -1), (m_hat / d_hat).reshape(O, -1))
+    extras = {"d_super": d_super[:, 0, 0], "m_super": m_super[:, 0, 0],
+              "d_hat": d_hat[..., 0], "m_hat": m_hat[..., 0],
+              "sym": False, "super_bits": super_bits,
+              "super_group_size": super_group_size,
+              "group_size": group_size}
+    return QdqResult(qdq, d_hat.reshape(O, -1),
+                     (m_hat / d_hat).reshape(O, -1), extras)

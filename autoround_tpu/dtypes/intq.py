@@ -34,12 +34,17 @@ class QdqResult(NamedTuple):
     """qdq weight (original shape) + per-group scale/zp in row layout.
 
     scale/zp have shape ``(O, n_groups_per_row)``; zp is None for dtypes
-    without a zero point.
+    without a zero point.  ``extras`` carries format-specific export
+    payloads (GGUF double-quant: d_super/m_super/d_hat/m_hat in
+    super-block layout) so export can pack TUNED scales verbatim instead
+    of re-deriving them (reference ``export_to_gguf/packing.py:788``
+    explicit-scale packer inputs).
     """
 
     qdq: jax.Array
     scale: jax.Array
     zp: Optional[jax.Array]
+    extras: Optional[dict] = None
 
 
 def _clip_params(g_shape, min_scale, max_scale, clip_lo, clip_hi, dtype):

@@ -152,7 +152,8 @@ def save_quantized(result, model_cfg, output_dir: str,
         mixed = name.endswith("_m")
         save_gguf_checkpoint(result.params, model_cfg,
                              os.path.join(output_dir, "model.gguf"),
-                             base_type=base, mixed=mixed)
+                             base_type=base, mixed=mixed,
+                             layers=result.layers)
     else:
         raise ValueError(f"unknown export format {format!r}")
 

@@ -75,6 +75,17 @@ def _f16(x: np.ndarray) -> np.ndarray:
     return x.astype(np.float16)
 
 
+def _explicit_subscales(scale, wmin, d_scale, d_wmin, N, nsub, smax):
+    """Tuned (d̂, m̂, supers) → byte-grid 6/4-bit subscale codes."""
+    d_super = np.maximum(np.asarray(d_scale, np.float32).reshape(N), 1e-12)
+    m_super = np.maximum(np.asarray(d_wmin, np.float32).reshape(N), 1e-12)
+    sc = np.clip(np.rint(np.asarray(scale, np.float32).reshape(N, nsub)
+                         / d_super[:, None]), 0, smax).astype(np.uint8)
+    mn = np.clip(np.rint(np.asarray(wmin, np.float32).reshape(N, nsub)
+                         / m_super[:, None]), 0, smax).astype(np.uint8)
+    return d_super, m_super, sc, mn
+
+
 # ---------------------------------------------------------------- q8_0
 def quantize_q8_0(w: np.ndarray) -> np.ndarray:
     """w (..., multiple of 32) → raw block bytes."""
@@ -226,20 +237,35 @@ def _unpack_scale_min_k4(b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return sc, mn
 
 
-def quantize_q4_k(w: np.ndarray) -> np.ndarray:
-    """Asymmetric double-quant, 8 groups of 32 per super-block."""
+def quantize_q4_k(w: np.ndarray, scale=None, wmin=None, d_scale=None,
+                  d_wmin=None) -> np.ndarray:
+    """Asymmetric double-quant, 8 groups of 32 per super-block.
+
+    Explicit ``scale/wmin/d_scale/d_wmin`` (tuned per-subgroup d̂/m̂ and
+    supers, role of reference ``packing.py:788`` explicit branch) bypass
+    the RTN derivation so tuned quantizers export verbatim."""
     x = w.reshape(-1, 8, 32).astype(np.float32)
     N = x.shape[0]
-    gmin = np.minimum(x.min(axis=2), 0.0)          # (N, 8)
-    gmax = np.maximum(x.max(axis=2), 0.0)
-    d_g = np.maximum((gmax - gmin) / 15.0, 1e-12)  # per-group scale
-    m_g = -gmin                                    # ≥ 0
-    d_super = np.maximum(d_g.max(axis=1) / 63.0, 1e-12)   # (N,)
-    m_super = np.maximum(m_g.max(axis=1) / 63.0, 1e-12)
-    sc = np.clip(np.rint(d_g / d_super[:, None]), 0, 63).astype(np.uint8)
-    mn = np.clip(np.rint(m_g / m_super[:, None]), 0, 63).astype(np.uint8)
-    d_hat = sc * d_super[:, None]
-    m_hat = mn * m_super[:, None]
+    if scale is not None:
+        d_super, m_super, sc, mn = _explicit_subscales(
+            scale, wmin, d_scale, d_wmin, N, 8, 63)
+        # codes from the TUNED f32 d̂/m̂: the baked qdq sits exactly on
+        # that grid, so rint recovers the tuned codes verbatim (reference
+        # q3_k explicit branch semantics); only the supers round to f16
+        d_hat = np.asarray(scale, np.float32).reshape(N, 8)
+        m_hat = np.asarray(wmin, np.float32).reshape(N, 8)
+    else:
+        gmin = np.minimum(x.min(axis=2), 0.0)          # (N, 8)
+        gmax = np.maximum(x.max(axis=2), 0.0)
+        d_g = np.maximum((gmax - gmin) / 15.0, 1e-12)  # per-group scale
+        m_g = -gmin                                    # ≥ 0
+        d_super = np.maximum(d_g.max(axis=1) / 63.0, 1e-12)   # (N,)
+        m_super = np.maximum(m_g.max(axis=1) / 63.0, 1e-12)
+        sc = np.clip(np.rint(d_g / d_super[:, None]), 0, 63).astype(np.uint8)
+        mn = np.clip(np.rint(m_g / m_super[:, None]), 0, 63).astype(np.uint8)
+        # codes against the f16-rounded supers: what decode multiplies
+        d_hat = sc * _f16(d_super).astype(np.float32)[:, None]
+        m_hat = mn * _f16(m_super).astype(np.float32)[:, None]
     d_hat = np.where(d_hat == 0, 1e-12, d_hat)
     q = np.clip(np.rint((x + m_hat[:, :, None]) / d_hat[:, :, None]),
                 0, 15).astype(np.uint8)            # (N, 8, 32)
@@ -276,21 +302,31 @@ def dequant_q4_k(raw: np.ndarray, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- q3_K
-def quantize_q3_k(w: np.ndarray) -> np.ndarray:
+def quantize_q3_k(w: np.ndarray, scale=None, d_scale=None, **_) -> np.ndarray:
     """Symmetric 3-bit double-quant, 16 groups of 16, 6-bit signed
     sub-scales.  Layout [hmask 32B, qs 64B, scales 12B, d 2B]."""
     x = w.reshape(-1, 16, 16).astype(np.float32)
     N = x.shape[0]
-    amin = np.minimum(x.min(axis=2), 0.0)
-    amax = np.maximum(x.max(axis=2), 0.0)
-    extreme = np.where(-amin > amax, amin, amax)
-    d_g = -extreme / 4.0                                # signed per-group
-    gi = np.abs(d_g).argmax(axis=1)
-    d_super = -d_g[np.arange(N), gi] / 32.0
-    d_super = np.where(d_super == 0, 1e-12, d_super)
-    sc = np.clip(np.rint(d_g / d_super[:, None]), -32, 31)
-    d_hat = sc * d_super[:, None]
-    d_hat = np.where(d_hat == 0, 1e-12, d_hat)
+    if scale is not None:
+        d_super = np.asarray(d_scale, np.float32).reshape(N)
+        d_super = np.where(d_super == 0, 1e-12, d_super)
+        sc = np.clip(np.rint(np.asarray(scale, np.float32).reshape(N, 16)
+                             / d_super[:, None]), -32, 31)
+        # codes from the TUNED f32 d̂: the baked qdq sits exactly on that
+        # grid (reference q3_k explicit branch, packing.py:738-742)
+        d_hat = np.asarray(scale, np.float32).reshape(N, 16)
+        d_hat = np.where(d_hat == 0, 1e-12, d_hat)
+    else:
+        amin = np.minimum(x.min(axis=2), 0.0)
+        amax = np.maximum(x.max(axis=2), 0.0)
+        extreme = np.where(-amin > amax, amin, amax)
+        d_g = -extreme / 4.0                            # signed per-group
+        gi = np.abs(d_g).argmax(axis=1)
+        d_super = -d_g[np.arange(N), gi] / 32.0
+        d_super = np.where(d_super == 0, 1e-12, d_super)
+        sc = np.clip(np.rint(d_g / d_super[:, None]), -32, 31)
+        d_hat = sc * _f16(d_super).astype(np.float32)[:, None]
+        d_hat = np.where(d_hat == 0, 1e-12, d_hat)
     q = np.clip(np.rint(x / d_hat[:, :, None]), -4, 3) + 4
     L = q.reshape(N, 256).astype(np.uint8)
 
@@ -340,21 +376,28 @@ def dequant_q3_k(raw: np.ndarray, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- q5_K
-def quantize_q5_k(w: np.ndarray) -> np.ndarray:
+def quantize_q5_k(w: np.ndarray, scale=None, wmin=None, d_scale=None,
+                  d_wmin=None) -> np.ndarray:
     """Asymmetric 5-bit double-quant, 8 groups of 32 (q4_k + high bits).
     Layout [d 2B, dmin 2B, scales 12B, qh 32B, qs 128B]."""
     x = w.reshape(-1, 8, 32).astype(np.float32)
     N = x.shape[0]
-    gmin = np.minimum(x.min(axis=2), 0.0)
-    gmax = np.maximum(x.max(axis=2), 0.0)
-    d_g = np.maximum((gmax - gmin) / 31.0, 1e-12)
-    m_g = -gmin
-    d_super = np.maximum(d_g.max(axis=1) / 63.0, 1e-12)
-    m_super = np.maximum(m_g.max(axis=1) / 63.0, 1e-12)
-    sc = np.clip(np.rint(d_g / d_super[:, None]), 0, 63).astype(np.uint8)
-    mn = np.clip(np.rint(m_g / m_super[:, None]), 0, 63).astype(np.uint8)
-    d_hat = sc * d_super[:, None]
-    m_hat = mn * m_super[:, None]
+    if scale is not None:
+        d_super, m_super, sc, mn = _explicit_subscales(
+            scale, wmin, d_scale, d_wmin, N, 8, 63)
+        d_hat = np.asarray(scale, np.float32).reshape(N, 8)
+        m_hat = np.asarray(wmin, np.float32).reshape(N, 8)
+    else:
+        gmin = np.minimum(x.min(axis=2), 0.0)
+        gmax = np.maximum(x.max(axis=2), 0.0)
+        d_g = np.maximum((gmax - gmin) / 31.0, 1e-12)
+        m_g = -gmin
+        d_super = np.maximum(d_g.max(axis=1) / 63.0, 1e-12)
+        m_super = np.maximum(m_g.max(axis=1) / 63.0, 1e-12)
+        sc = np.clip(np.rint(d_g / d_super[:, None]), 0, 63).astype(np.uint8)
+        mn = np.clip(np.rint(m_g / m_super[:, None]), 0, 63).astype(np.uint8)
+        d_hat = sc * _f16(d_super).astype(np.float32)[:, None]
+        m_hat = mn * _f16(m_super).astype(np.float32)[:, None]
     d_hat = np.where(d_hat == 0, 1e-12, d_hat)
     L = np.clip(np.rint((x + m_hat[:, :, None]) / d_hat[:, :, None]),
                 0, 31).astype(np.uint8)                # (N, 8, 32)
@@ -390,18 +433,27 @@ def dequant_q5_k(raw: np.ndarray, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- q6_K
-def quantize_q6_k(w: np.ndarray) -> np.ndarray:
+def quantize_q6_k(w: np.ndarray, scale=None, d_scale=None, **_) -> np.ndarray:
     """Symmetric, 16 groups of 16, int8 sub-scales vs fp16 super scale."""
     x = w.reshape(-1, 16, 16).astype(np.float32)
     N = x.shape[0]
-    amin = np.minimum(x.min(axis=2), 0.0)
-    amax = np.maximum(x.max(axis=2), 0.0)
-    extreme = np.where(-amin > amax, amin, amax)
-    d_g = -extreme / 32.0                              # signed per-group
-    d_super = np.maximum(np.abs(d_g).max(axis=1) / 127.0, 1e-12)
-    sc = np.clip(np.rint(d_g / d_super[:, None]), -128, 127).astype(np.int8)
-    d_hat = sc.astype(np.float32) * d_super[:, None]
-    d_hat = np.where(d_hat == 0, 1e-12, d_hat)
+    if scale is not None:
+        d_super = np.maximum(np.asarray(d_scale, np.float32).reshape(N),
+                             1e-12)
+        sc = np.clip(np.rint(np.asarray(scale, np.float32).reshape(N, 16)
+                             / d_super[:, None]), -128, 127).astype(np.int8)
+        # codes from the TUNED f32 d̂ (baked qdq sits exactly on it)
+        d_hat = np.asarray(scale, np.float32).reshape(N, 16)
+        d_hat = np.where(d_hat == 0, 1e-12, d_hat)
+    else:
+        amin = np.minimum(x.min(axis=2), 0.0)
+        amax = np.maximum(x.max(axis=2), 0.0)
+        extreme = np.where(-amin > amax, amin, amax)
+        d_g = -extreme / 32.0                          # signed per-group
+        d_super = np.maximum(np.abs(d_g).max(axis=1) / 127.0, 1e-12)
+        sc = np.clip(np.rint(d_g / d_super[:, None]), -128, 127).astype(np.int8)
+        d_hat = sc.astype(np.float32) * _f16(d_super).astype(np.float32)[:, None]
+        d_hat = np.where(d_hat == 0, 1e-12, d_hat)
     q = np.clip(np.rint(x / d_hat[:, :, None]) + 32, 0, 63).astype(np.uint8)
     L = q.reshape(N, 256)
     out = np.empty((N, 210), np.uint8)
@@ -448,20 +500,30 @@ def dequant_q6_k(raw: np.ndarray, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- q2_K
-def quantize_q2_k(w: np.ndarray) -> np.ndarray:
+def quantize_q2_k(w: np.ndarray, scale=None, wmin=None, d_scale=None,
+                  d_wmin=None) -> np.ndarray:
     """Asymmetric 2-bit, 16 groups of 16, 4-bit sub scale/min."""
     x = w.reshape(-1, 16, 16).astype(np.float32)
     N = x.shape[0]
-    gmin = np.minimum(x.min(axis=2), 0.0)
-    gmax = np.maximum(x.max(axis=2), 0.0)
-    d_g = np.maximum((gmax - gmin) / 3.0, 1e-12)
-    m_g = -gmin
-    d_super = np.maximum(d_g.max(axis=1) / 15.0, 1e-12)
-    m_super = np.maximum(m_g.max(axis=1) / 15.0, 1e-12)
-    sc = np.clip(np.rint(d_g / d_super[:, None]), 0, 15).astype(np.uint8)
-    mn = np.clip(np.rint(m_g / m_super[:, None]), 0, 15).astype(np.uint8)
-    d_hat = np.where(sc == 0, 1e-12, sc * d_super[:, None])
-    m_hat = mn * m_super[:, None]
+    if scale is not None:
+        d_super, m_super, sc, mn = _explicit_subscales(
+            scale, wmin, d_scale, d_wmin, N, 16, 15)
+        d_hat = np.asarray(scale, np.float32).reshape(N, 16)
+        d_hat = np.where(d_hat == 0, 1e-12, d_hat)
+        m_hat = np.asarray(wmin, np.float32).reshape(N, 16)
+    else:
+        gmin = np.minimum(x.min(axis=2), 0.0)
+        gmax = np.maximum(x.max(axis=2), 0.0)
+        d_g = np.maximum((gmax - gmin) / 3.0, 1e-12)
+        m_g = -gmin
+        d_super = np.maximum(d_g.max(axis=1) / 15.0, 1e-12)
+        m_super = np.maximum(m_g.max(axis=1) / 15.0, 1e-12)
+        sc = np.clip(np.rint(d_g / d_super[:, None]), 0, 15).astype(np.uint8)
+        mn = np.clip(np.rint(m_g / m_super[:, None]), 0, 15).astype(np.uint8)
+        d16 = _f16(d_super).astype(np.float32)
+        m16 = _f16(m_super).astype(np.float32)
+        d_hat = np.where(sc == 0, 1e-12, sc * d16[:, None])
+        m_hat = mn * m16[:, None]
     q = np.clip(np.rint((x + m_hat[:, :, None]) / d_hat[:, :, None]),
                 0, 3).astype(np.uint8)
     out = np.empty((N, 84), np.uint8)
@@ -625,6 +687,92 @@ _GGUF_BLOCK_NAME = {
 }
 
 
+def tokenizer_payload_from_hf(path: str) -> Optional[Dict[str, Any]]:
+    """Extract a GGUF tokenizer payload from an HF checkpoint directory
+    (role of the reference converter's tokenizer emission,
+    ``export_to_gguf/convert.py``): ``tokenizer.json`` (BPE → gpt2-style)
+    or ``tokenizer.model`` (sentencepiece → llama-style).  Returns None
+    when neither is readable."""
+    tj = os.path.join(path, "tokenizer.json")
+    if os.path.exists(tj):
+        with open(tj, encoding="utf-8") as f:
+            data = json.load(f)
+        model = data.get("model", {})
+        if model.get("type") == "BPE":
+            vocab = model.get("vocab", {})
+            n = max(vocab.values()) + 1 if vocab else 0
+            tokens = [""] * n
+            for t, i in vocab.items():
+                tokens[i] = t
+            # added tokens may extend past the base vocab
+            for at in data.get("added_tokens", []):
+                i = at["id"]
+                if i >= len(tokens):
+                    tokens.extend([""] * (i + 1 - len(tokens)))
+                tokens[i] = at["content"]
+            merges = [" ".join(m) if isinstance(m, list) else m
+                      for m in model.get("merges", [])]
+            # token types: 1=normal, 3=control (added special)
+            ttype = [1] * len(tokens)
+            for at in data.get("added_tokens", []):
+                if at.get("special"):
+                    ttype[at["id"]] = 3
+            payload: Dict[str, Any] = {"model": "gpt2", "tokens": tokens,
+                                       "merges": merges,
+                                       "token_type": ttype}
+            _attach_special_ids(path, payload, tokens)
+            return payload
+    tm = os.path.join(path, "tokenizer.model")
+    if os.path.exists(tm):
+        try:
+            import sentencepiece as spm
+            sp = spm.SentencePieceProcessor(model_file=tm)
+            n = sp.get_piece_size()
+            tokens = [sp.id_to_piece(i) for i in range(n)]
+            scores = [sp.get_score(i) for i in range(n)]
+            ttype = []
+            for i in range(n):
+                if sp.is_control(i):
+                    ttype.append(3)
+                elif sp.is_unknown(i):
+                    ttype.append(2)
+                elif sp.is_byte(i):
+                    ttype.append(6)
+                else:
+                    ttype.append(1)
+            payload = {"model": "llama", "tokens": tokens, "scores": scores,
+                       "token_type": ttype}
+            _attach_special_ids(path, payload, tokens)
+            return payload
+        except Exception as e:  # sentencepiece missing / corrupt file
+            logger.warning("tokenizer.model unreadable (%s); GGUF will "
+                           "carry no tokenizer", e)
+    return None
+
+
+def _attach_special_ids(path: str, payload: Dict[str, Any],
+                        tokens: List[str]) -> None:
+    ids = {}
+    cfg_p = os.path.join(path, "config.json")
+    if os.path.exists(cfg_p):
+        with open(cfg_p) as f:
+            c = json.load(f)
+        for k in ("bos_token_id", "eos_token_id"):
+            if isinstance(c.get(k), int):
+                ids[k[:3]] = c[k]
+    tc_p = os.path.join(path, "tokenizer_config.json")
+    if os.path.exists(tc_p) and len(ids) < 2:
+        with open(tc_p, encoding="utf-8") as f:
+            tc = json.load(f)
+        for name, key in (("bos_token", "bos"), ("eos_token", "eos")):
+            tok = tc.get(name)
+            if isinstance(tok, dict):
+                tok = tok.get("content")
+            if isinstance(tok, str) and tok in tokens and key not in ids:
+                ids[key] = tokens.index(tok)
+    payload.update(ids)
+
+
 def tokenizer_metadata(tok: Dict[str, Any]) -> List[Tuple[str, int, Any]]:
     """Build tokenizer KV entries from a payload dict:
     {"model": "llama"|"gpt2", "tokens": [str], "scores": [float]?,
@@ -649,19 +797,59 @@ def tokenizer_metadata(tok: Dict[str, Any]) -> List[Tuple[str, int, Any]]:
     return kvs
 
 
+# per-type (bits, group_size, super_group_size, super_bits, sym): a tuned
+# dq layer's extras pass through verbatim only when they sit on the same
+# byte grid the GGUF type stores
+_TYPE_GRID = {
+    GGMLType.Q2_K: (2, 16, 16, 4, False),
+    GGMLType.Q3_K: (3, 16, 16, 6, True),
+    GGMLType.Q4_K: (4, 32, 8, 6, False),
+    GGMLType.Q5_K: (5, 32, 8, 6, False),
+    GGMLType.Q6_K: (6, 16, 16, 8, True),
+}
+
+
+def _tuned_payload(ql, t: int) -> Optional[Dict[str, np.ndarray]]:
+    """Extract explicit packer kwargs from a tuned QuantizedLayer when its
+    scheme's dq grid matches GGUF type ``t`` (else None → RTN repack)."""
+    ex = getattr(ql, "extras", None)
+    grid = _TYPE_GRID.get(t)
+    if ex is None or grid is None or "d_super" not in ex:
+        return None
+    bits = getattr(ql.scheme, "bits", None)
+    if (bits, ex.get("group_size"), ex.get("super_group_size"),
+            ex.get("super_bits"), ex.get("sym")) != grid:
+        return None
+    out = {"scale": np.asarray(ex["d_hat"], np.float32),
+           "d_scale": np.asarray(ex["d_super"], np.float32)}
+    if not grid[4]:
+        if "m_hat" not in ex:
+            return None
+        out["wmin"] = np.asarray(ex["m_hat"], np.float32)
+        out["d_wmin"] = np.asarray(ex["m_super"], np.float32)
+    return out
+
+
 def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
                          path: str, base_type: int = GGMLType.Q4_K,
                          mixed: bool = True,
-                         tokenizer: Optional[Dict[str, Any]] = None) -> str:
+                         tokenizer: Optional[Dict[str, Any]] = None,
+                         layers: Optional[Dict[str, Any]] = None) -> str:
     """Write a llama-family params pytree as a .gguf file.
 
-    Weights are (re)quantized by the ggml packers (qdq-tuned weights sit on
-    the k-quant grid already, so the packers recover the tuned scales).
+    ``layers`` maps flat layer names (``blocks.0.q_proj``, ``lm_head``) to
+    tuned ``QuantizedLayer`` payloads; layers whose tuned dq grid matches
+    the selected GGUF type are packed with their TUNED scales (reference
+    explicit-scale packers, ``export_to_gguf/packing.py:788``) instead of
+    being re-quantized by RTN.
     """
     n_blocks = model_cfg.num_layers
     tensors: List[Tuple[str, Tuple[int, ...], int, np.ndarray]] = []
+    layers = layers or {}
+    n_tuned = 0
 
-    def add(name, arr, kind, block_idx=0):
+    def add(name, arr, kind, block_idx=0, flat_name=None):
+        nonlocal n_tuned
         arr = np.asarray(arr, np.float32)
         if arr.ndim == 1:
             tensors.append((name, (arr.shape[0],), GGMLType.F32, arr))
@@ -680,19 +868,32 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
         elif t == GGMLType.F32:
             tensors.append((name, (I, O), t, arr))
         else:
-            raw = QUANTIZERS[t](arr)
+            kwargs = {}
+            ql = layers.get(flat_name)
+            if ql is not None:
+                tuned = _tuned_payload(ql, t)
+                if tuned is not None:
+                    kwargs = tuned
+                    n_tuned += 1
+            raw = QUANTIZERS[t](arr, **kwargs)
             tensors.append((name, (I, O), t, raw))
 
-    add("token_embd.weight", params["embed_tokens"], "token_embd")
+    add("token_embd.weight", params["embed_tokens"], "token_embd",
+        flat_name="embed_tokens")
     add("output_norm.weight", params["norm"], "norm")
     if "lm_head" in params:
-        add("output.weight", params["lm_head"], "output")
+        add("output.weight", params["lm_head"], "output",
+            flat_name="lm_head")
     for bi, block in enumerate(params["blocks"]):
         for ours, arr in block.items():
             if ours not in _GGUF_BLOCK_NAME:
                 continue
             kind = _GGUF_BLOCK_NAME[ours]
-            add(f"blk.{bi}.{kind}.weight", arr, kind, bi)
+            add(f"blk.{bi}.{kind}.weight", arr, kind, bi,
+                flat_name=f"blocks.{bi}.{ours}")
+    if layers:
+        logger.info("gguf export: %d/%d quantized tensors carry tuned "
+                    "scales", n_tuned, len(layers))
 
     metadata = [
         ("general.architecture", _T_STR, "llama"),

@@ -71,3 +71,78 @@ def resolve_layer_schemes(
 
     # drop unquantized entries
     return {n: s for n, s in plan.items() if s.is_weight_quantized}
+
+
+def apply_gguf_cascade(
+    plan: Dict[str, QuantizationScheme],
+    params,
+    num_layers: int,
+    gguf_name: str,
+    quant_lm_head: bool = False,
+) -> Dict[str, QuantizationScheme]:
+    """Rewrite a uniform GGUF plan with the export-time per-layer type
+    cascade (reference ``backends/gguf.py:485-617``) so each layer TUNES on
+    the exact byte grid the file will store — the tuned d̂/m̂/supers then
+    pass through export verbatim instead of being re-quantized onto a
+    different grid.  Also applies the 256-divisibility fallback (reference
+    ``gen_auto_scheme.py:206-249``): odd-shaped layers drop to Q8_0-grid
+    int8 or stay unquantized.
+    """
+    from ..export.gguf import (BLOCK_ELEMS, GGMLType, QK, select_layer_qtype)
+    from ..schemes import PRESET_SCHEMES
+
+    name = gguf_name.split(":", 1)[-1].lower()
+    base_map = {"q2_k": GGMLType.Q2_K, "q2_k_s": GGMLType.Q2_K,
+                "q3_k": GGMLType.Q3_K, "q3_k_s": GGMLType.Q3_K,
+                "q3_k_m": GGMLType.Q3_K, "q4_k": GGMLType.Q4_K,
+                "q4_k_s": GGMLType.Q4_K, "q4_k_m": GGMLType.Q4_K,
+                "q5_k": GGMLType.Q5_K, "q5_k_s": GGMLType.Q5_K,
+                "q5_k_m": GGMLType.Q5_K, "q6_k": GGMLType.Q6_K}
+    base_t = base_map.get(name)
+    if base_t is None:
+        return plan  # q4_0/q8_0 etc.: uniform simple formats, no cascade
+    mixed = name.endswith("_m")
+    type2scheme = {GGMLType.Q2_K: PRESET_SCHEMES["GGUF:Q2_K_S"],
+                   GGMLType.Q3_K: PRESET_SCHEMES["GGUF:Q3_K_S"],
+                   GGMLType.Q4_K: PRESET_SCHEMES["GGUF:Q4_K_S"],
+                   GGMLType.Q5_K: PRESET_SCHEMES["GGUF:Q5_K_S"],
+                   GGMLType.Q6_K: PRESET_SCHEMES["GGUF:Q6_K"]}
+    kind_map = {"q_proj": "attn_q", "k_proj": "attn_k", "v_proj": "attn_v",
+                "o_proj": "attn_output", "gate_proj": "ffn_gate",
+                "up_proj": "ffn_up", "down_proj": "ffn_down"}
+
+    def shape_of(flat):
+        from ..utils.pytree import get_by_path
+        return get_by_path(params, flat).shape
+
+    out: Dict[str, QuantizationScheme] = {}
+    for flat, s in plan.items():
+        parts = flat.split(".")
+        if flat == "lm_head":
+            kind, bi = "output", 0
+        elif parts[0] == "blocks":
+            kind, bi = kind_map.get(parts[-1], "other"), int(parts[1])
+        else:
+            kind, bi = "other", 0
+        try:
+            O, I = shape_of(flat if flat != "lm_head" or "lm_head" in params
+                            else "embed_tokens")
+        except Exception:
+            out[flat] = s
+            continue
+        if mixed:
+            t = select_layer_qtype(base_t, bi, num_layers, kind, I)
+        else:
+            # match the export writer's non-mixed path exactly:
+            # divisibility fallback only
+            t = base_t
+            if I % BLOCK_ELEMS.get(t, 1):
+                t = GGMLType.Q8_0 if I % QK == 0 else None
+        if t is None or t == GGMLType.F16:
+            continue  # stays FP
+        if t == GGMLType.Q8_0:
+            out[flat] = QuantizationScheme(bits=8, group_size=32, sym=True,
+                                           data_type="int")
+        else:
+            out[flat] = type2scheme[t]
+    return out

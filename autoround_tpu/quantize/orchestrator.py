@@ -125,6 +125,7 @@ class QuantizedLayer:
     zp: Optional[jax.Array]
     act_scale: Optional[jax.Array] = None       # static act scale (FP8/int)
     act_global_scale: Optional[jax.Array] = None  # NVFP4 global scale
+    extras: Optional[Dict[str, Any]] = None      # GGUF dq export payload
 
 
 @dataclass
@@ -199,7 +200,7 @@ def _finalize_layer(name, w, scheme, tune_params, tcfg,
         v=p.get("v"), min_scale=p.get("min_scale"), max_scale=p.get("max_scale"),
         clip_lo=tcfg.clip_lo, clip_hi=tcfg.clip_hi, **kw)
     return QuantizedLayer(name=name, scheme=scheme, qdq=r.qdq, scale=r.scale,
-                          zp=r.zp)
+                          zp=r.zp, extras=getattr(r, "extras", None))
 
 
 def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
@@ -309,7 +310,7 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
         new_params[head_name] = r.qdq.astype(w.dtype)
         layers["lm_head"] = QuantizedLayer(
             name="lm_head", scheme=layer_schemes["lm_head"], qdq=r.qdq,
-            scale=r.scale, zp=r.zp)
+            scale=r.scale, zp=r.zp, extras=getattr(r, "extras", None))
     return QuantizeResult(params=new_params, layers=layers,
                           loss_traces=traces,
                           attention_scales=attention_scales)
@@ -616,7 +617,7 @@ def quantize_model(
                                         r.qdq.astype(w_orig.dtype))
                 layers[f"blocks.{bi}.{lname}"] = QuantizedLayer(
                     name=f"blocks.{bi}.{lname}", scheme=scheme, qdq=r.qdq,
-                    scale=r.scale, zp=r.zp)
+                    scale=r.scale, zp=r.zp, extras=getattr(r, "extras", None))
         for lname in schemes:
             ql = layers[f"blocks.{bi}.{lname}"]
             ql.act_scale = static_scales.get(lname)
@@ -687,7 +688,8 @@ def quantize_model(
         else:
             r = rtn_quantize_layer(w, scheme)
             ql = QuantizedLayer(name="lm_head", scheme=scheme, qdq=r.qdq,
-                                scale=r.scale, zp=r.zp)
+                                scale=r.scale, zp=r.zp,
+                                extras=getattr(r, "extras", None))
         new_params[head_name] = ql.qdq.astype(w.dtype)
         layers["lm_head"] = ql
 

@@ -139,3 +139,194 @@ class TestContainer:
         save_gguf_checkpoint(params, cfg, p_q6, base_type=GGMLType.Q6_K,
                              mixed=False)
         assert os.path.getsize(p_q4) < os.path.getsize(p_q6)
+
+
+class TestTunedScalePassthrough:
+    """Tuned dq layers must export their OWN scales (reference explicit-
+    scale packers, packing.py:788) — decode(gguf bytes) must match the
+    tuned qdq up to f16 super rounding, not an RTN re-derivation."""
+
+    def test_explicit_scale_q4k_roundtrip(self):
+        from autoround_tpu.dtypes.gguf import qdq_int_dq_asym
+        import jax.numpy as jnp
+
+        w = jnp.asarray(rand((8, 512), key=3))
+        r = qdq_int_dq_asym(w, bits=4, group_size=32, super_bits=6,
+                            super_group_size=8)
+        ex = r.extras
+        raw = quantize_q4_k(np.asarray(w, np.float32),
+                            scale=np.asarray(ex["d_hat"]),
+                            wmin=np.asarray(ex["m_hat"]),
+                            d_scale=np.asarray(ex["d_super"]),
+                            d_wmin=np.asarray(ex["m_super"]))
+        dq = dequant_q4_k(raw, w.size).reshape(w.shape)
+        qdq = np.asarray(r.qdq, np.float32)
+        # only drift: supers round to f16 in the byte format
+        denom = max(np.abs(qdq).max(), 1e-9)
+        assert np.abs(dq - qdq).max() / denom < 2e-3
+
+    def test_tuned_checkpoint_carries_scales(self, tmp_path):
+        import jax.numpy as jnp
+        from autoround_tpu import AutoRound
+        from autoround_tpu.export.gguf import dequant_q4_k
+
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=256,
+                                intermediate_size=256, num_layers=2,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 64)
+        ar = AutoRound((params, cfg), scheme="GGUF:Q4_K_S", iters=2,
+                       batch_size=2)
+        res = ar.quantize(ids)
+        out = ar.save_quantized(str(tmp_path / "g"), format="gguf:q4_k_s")
+        # read back one tensor's bytes and compare to the tuned qdq
+        import os
+        fp = os.path.join(out, "model.gguf")
+        name = "blk.0.attn_q.weight"
+        raws = _read_gguf_tensors(fp)
+        ql = res.layers["blocks.0.q_proj"]
+        qdq = np.asarray(ql.qdq, np.float32)
+        dq = dequant_q4_k(raws[name], qdq.size).reshape(qdq.shape)
+        denom = max(np.abs(qdq).max(), 1e-9)
+        assert np.abs(dq - qdq).max() / denom < 2e-3
+
+
+def _read_gguf_tensors(path):
+    """Minimal GGUF v3 reader: {name: raw bytes} for quantized tensors."""
+    import struct as st
+    with open(path, "rb") as f:
+        magic, ver, n_tensors, n_kv = st.unpack("<IIQQ", f.read(24))
+        assert magic == 0x46554747
+
+        def rstr():
+            n = st.unpack("<Q", f.read(8))[0]
+            return f.read(n).decode()
+
+        def rval(t):
+            if t == 4:
+                return st.unpack("<I", f.read(4))[0]
+            if t == 5:
+                return st.unpack("<i", f.read(4))[0]
+            if t == 6:
+                return st.unpack("<f", f.read(4))[0]
+            if t == 8:
+                return rstr()
+            if t == 10:
+                return st.unpack("<Q", f.read(8))[0]
+            if t == 9:
+                et, n = st.unpack("<IQ", f.read(12))
+                return [rval(et) for _ in range(n)]
+            raise ValueError(t)
+
+        align = 32
+        for _ in range(n_kv):
+            k = rstr()
+            t = st.unpack("<I", f.read(4))[0]
+            v = rval(t)
+            if k == "general.alignment":
+                align = v
+        infos = []
+        for _ in range(n_tensors):
+            nm = rstr()
+            nd = st.unpack("<I", f.read(4))[0]
+            ne = st.unpack(f"<{nd}Q", f.read(8 * nd))
+            tt, off = st.unpack("<IQ", f.read(12))
+            infos.append((nm, ne, tt, off))
+        base = f.tell()
+        base += (-base) % align
+        out = {}
+        for nm, ne, tt, off in infos:
+            n_el = int(np.prod(ne))
+            if tt in BLOCK_BYTES:
+                from autoround_tpu.export.gguf import BLOCK_ELEMS
+                nbytes = n_el // BLOCK_ELEMS[tt] * BLOCK_BYTES[tt]
+            elif tt == 0:
+                nbytes = n_el * 4
+            else:
+                nbytes = n_el * 2
+            f.seek(base + off)
+            out[nm] = np.frombuffer(f.read(nbytes), np.uint8)
+        return out
+
+
+class TestPlanTimeCascade:
+    def test_mixed_plan_upgrades_match_export(self):
+        """GGUF:Q4_K_M plan: v_proj/down_proj in first/last 1/8 and every
+        3rd middle block tune on the Q6_K grid — the same types the
+        export cascade will select."""
+        import jax.numpy as jnp
+        from autoround_tpu.quantize.layer_config import (
+            apply_gguf_cascade, resolve_layer_schemes)
+
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=256,
+                                intermediate_size=256, num_layers=8,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        plan = resolve_layer_schemes(
+            cfg.num_layers,
+            ["q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+             "up_proj", "down_proj"], "GGUF:Q4_K_M")
+        plan = apply_gguf_cascade(plan, params, cfg.num_layers,
+                                  "GGUF:Q4_K_M")
+        # block 0 (first 1/8) v_proj upgraded to Q6_K grid
+        assert plan["blocks.0.v_proj"].bits == 6
+        assert plan["blocks.0.v_proj"].sym is True
+        # a middle block not on the every-3rd rule stays Q4_K
+        assert plan["blocks.1.v_proj"].bits == 4
+        # q_proj never upgrades
+        assert plan["blocks.0.q_proj"].bits == 4
+
+    def test_divisibility_fallback(self):
+        import jax.numpy as jnp
+        from autoround_tpu.quantize.layer_config import (
+            apply_gguf_cascade, resolve_layer_schemes)
+
+        # hidden 160: 160 % 256 != 0 but % 32 == 0 → Q8_0-grid int8
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=160,
+                                intermediate_size=320, num_layers=2,
+                                num_heads=4, num_kv_heads=2, head_dim=40,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        plan = resolve_layer_schemes(
+            cfg.num_layers, ["q_proj", "down_proj"], "GGUF:Q4_K_S")
+        plan = apply_gguf_cascade(plan, params, cfg.num_layers,
+                                  "GGUF:Q4_K_S")
+        assert plan["blocks.0.q_proj"].bits == 8
+        assert plan["blocks.0.q_proj"].data_type == "int"
+        # down_proj input = intermediate 320: 320 % 256 != 0, % 32 == 0
+        assert plan["blocks.0.down_proj"].bits == 8
+
+
+class TestTokenizerExtraction:
+    def test_bpe_tokenizer_json(self, tmp_path):
+        import json as J
+
+        from autoround_tpu.export.gguf import tokenizer_payload_from_hf
+        tok = {
+            "model": {"type": "BPE",
+                      "vocab": {"a": 0, "b": 1, "ab": 2},
+                      "merges": [["a", "b"]]},
+            "added_tokens": [{"id": 3, "content": "<eos>", "special": True}],
+        }
+        (tmp_path / "tokenizer.json").write_text(J.dumps(tok))
+        (tmp_path / "config.json").write_text(
+            J.dumps({"bos_token_id": 0, "eos_token_id": 3}))
+        p = tokenizer_payload_from_hf(str(tmp_path))
+        assert p["model"] == "gpt2"
+        assert p["tokens"] == ["a", "b", "ab", "<eos>"]
+        assert p["merges"] == ["a b"]
+        assert p["token_type"] == [1, 1, 1, 3]
+        assert p["bos"] == 0 and p["eos"] == 3
+
+    def test_payload_roundtrips_into_container(self, tmp_path):
+        from autoround_tpu.export.gguf import (tokenizer_metadata,
+                                               write_gguf)
+        kvs = tokenizer_metadata({"model": "gpt2",
+                                  "tokens": ["x", "y"],
+                                  "merges": ["x y"], "eos": 1})
+        fp = str(tmp_path / "t.gguf")
+        write_gguf(fp, kvs, [("w", (4,), 0,
+                              np.zeros(4, np.float32))])
+        assert os.path.getsize(fp) > 0
