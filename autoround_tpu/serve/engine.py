@@ -140,10 +140,13 @@ class QuantizedLlama:
             codes = np.clip(np.rint(qdq / srep) + 8, 0, 15).astype(np.uint32)
             qw = pack_w4_planes(jnp.asarray(codes.astype(np.int32)), g)
             packed[name] = (qw, jnp.asarray(scale))
-            # drop the dense copy from the block params
-            parts = name.split(".")
+            # drop the dense copy from the block params (dotted paths
+            # cover MoE expert leaves, e.g. blocks.3.experts.1.w2)
+            parts = name.split(".", 2)
             if parts[0] == "blocks":
-                params["blocks"][int(parts[1])][parts[2]] = None
+                from ..utils.pytree import set_by_path
+                params["blocks"][int(parts[1])] = set_by_path(
+                    params["blocks"][int(parts[1])], parts[2], None)
         n_packed = len(packed)
         logger.info("serving engine: %d layers packed int4, rest dense",
                     n_packed)
@@ -485,19 +488,26 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
         x = x + attn_out
         h = llama.rms_norm(x, weights["post_attention_layernorm"],
                            cfg.rms_eps, off)
-    act = llama._act(cfg.hidden_act)
-    fused_gu = (QuantizedLlama._fused_call(packed, splits_table,
-                                           block_idx, "gate_up", h)
-                if packed is not None else None)
-    if fused_gu is not None:
-        gate, up = act(fused_gu[0]), fused_gu[1]
+    if "experts" in weights:
+        # Mixtral-style sparse MoE: dense-then-mask routed experts via
+        # the shared interceptor (packed expert projections hit the fused
+        # kernel through lf just like dense layers)
+        from ..models.mixtral import _moe_mlp
+        mlp_out = _moe_mlp(weights, h, cfg, lf)
     else:
-        gate = act(lf("gate_proj", h, weights["gate_proj"]))
-        up = lf("up_proj", h, weights["up_proj"])
-    mlp_in = gate * up
-    if cfg.online_r4:
-        mlp_in = llama.r4_rotate(mlp_in, cfg.r4_block)
-    mlp_out = lf("down_proj", mlp_in, weights["down_proj"])
+        act = llama._act(cfg.hidden_act)
+        fused_gu = (QuantizedLlama._fused_call(packed, splits_table,
+                                               block_idx, "gate_up", h)
+                    if packed is not None else None)
+        if fused_gu is not None:
+            gate, up = act(fused_gu[0]), fused_gu[1]
+        else:
+            gate = act(lf("gate_proj", h, weights["gate_proj"]))
+            up = lf("up_proj", h, weights["up_proj"])
+        mlp_in = gate * up
+        if cfg.online_r4:
+            mlp_in = llama.r4_rotate(mlp_in, cfg.r4_block)
+        mlp_out = lf("down_proj", mlp_in, weights["down_proj"])
     if cfg.sandwich_norms:
         mlp_out = llama.rms_norm(mlp_out,
                                  weights["post_feedforward_layernorm"],

@@ -53,11 +53,22 @@ _TOP_MAP = {
 
 
 def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
-    """HF config.json dict → LlamaConfig (per-arch quirks by model_type)."""
+    """HF config.json dict → LlamaConfig (per-arch quirks by model_type).
+    Mixtral-style MoE configs (``num_local_experts``) yield a
+    MixtralConfig (reference MoE model handling,
+    ``modeling/fused_moe/replace_modules.py``)."""
     mt = cfg.get("model_type", "llama")
     gemma = mt.startswith("gemma")
     qpas = cfg.get("query_pre_attn_scalar")
-    return LlamaConfig(
+    cls = LlamaConfig
+    moe_kw = {}
+    if cfg.get("num_local_experts") or mt == "mixtral":
+        from ..models.mixtral import MixtralConfig
+        cls = MixtralConfig
+        moe_kw = dict(num_experts=cfg.get("num_local_experts", 8),
+                      top_k=cfg.get("num_experts_per_tok", 2))
+    return cls(
+        **moe_kw,
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
         intermediate_size=cfg["intermediate_size"],
@@ -110,7 +121,11 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
         hf_cfg = json.load(f)
     cfg = config_from_hf(hf_cfg, dtype)
 
-    blocks = [dict() for _ in range(cfg.num_layers)]
+    n_experts = getattr(cfg, "num_experts", 0)
+    blocks = [
+        ({"experts": [dict() for _ in range(n_experts)]} if n_experts
+         else dict())
+        for _ in range(cfg.num_layers)]
     params: Dict[str, Any] = {"blocks": blocks}
     n = 0
     for key, tensor in _iter_shards(path):
@@ -126,6 +141,21 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
                 blocks[int(li)][_BLOCK_MAP[sub]] = arr
                 n += 1
                 continue
+            # Mixtral MoE keys (reference expert mapping,
+            # modeling/fused_moe/replace_modules.py:173):
+            #   block_sparse_moe.gate.weight          -> router
+            #   block_sparse_moe.experts.E.w{1,2,3}.weight
+            if sub == "block_sparse_moe.gate.weight":
+                blocks[int(li)]["router"] = arr
+                n += 1
+                continue
+            if sub.startswith("block_sparse_moe.experts."):
+                parts = sub.split(".")
+                e, wname = int(parts[2]), parts[3]
+                if wname in ("w1", "w2", "w3"):
+                    blocks[int(li)]["experts"][e][wname] = arr
+                    n += 1
+                    continue
         logger.debug("skipping unmapped tensor %s", key)
     if cfg.tie_embeddings:
         params.pop("lm_head", None)
@@ -151,10 +181,20 @@ def save_hf_checkpoint(params: Dict[str, Any], cfg: LlamaConfig, path: str,
         for ours, arr in block.items():
             if ours in inv_block:
                 tensors[f"model.layers.{li}.{inv_block[ours]}"] = np.asarray(arr)
+            elif ours == "router":
+                tensors[f"model.layers.{li}.block_sparse_moe.gate.weight"] = \
+                    np.asarray(arr)
+            elif ours == "experts":
+                for e, ew in enumerate(arr):
+                    for wn, wv in ew.items():
+                        tensors[f"model.layers.{li}.block_sparse_moe."
+                                f"experts.{e}.{wn}.weight"] = np.asarray(wv)
     save_file(tensors, os.path.join(path, "model.safetensors"))
 
+    n_experts = getattr(cfg, "num_experts", 0)
     hf_cfg = {
-        "model_type": "qwen2" if cfg.attn_bias else "llama",
+        "model_type": ("mixtral" if n_experts
+                       else "qwen2" if cfg.attn_bias else "llama"),
         "vocab_size": cfg.vocab_size,
         "hidden_size": cfg.hidden_size,
         "intermediate_size": cfg.intermediate_size,
@@ -168,6 +208,9 @@ def save_hf_checkpoint(params: Dict[str, Any], cfg: LlamaConfig, path: str,
         "attention_bias": cfg.attn_bias,
         "torch_dtype": "bfloat16",
     }
+    if n_experts:
+        hf_cfg["num_local_experts"] = n_experts
+        hf_cfg["num_experts_per_tok"] = getattr(cfg, "top_k", 2)
     if hf_extra:
         hf_cfg.update(hf_extra)
     with open(os.path.join(path, "config.json"), "w") as f:
