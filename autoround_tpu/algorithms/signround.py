@@ -68,6 +68,10 @@ class TuneConfig:
     # rematerialize the block forward in the backward pass (the TPU
     # answer to the reference's low_gpu_mem_usage: trade FLOPs for HBM)
     use_remat: bool = False
+    # tune a per-layer shrink on the static activation scales (reference
+    # AR_ENABLE_ACT_MINMAX_TUNING act_max_scale, wrapper.py:209-211,
+    # clamped to [clip_lo, clip_hi] like the reference's [0, 1])
+    tune_act_scales: bool = False
 
     def resolved_lr(self) -> float:
         return self.lr if self.lr is not None else 1.0 / max(self.iters, 1)
@@ -131,6 +135,7 @@ def init_tune_params(
     weights: Dict[str, jax.Array],
     schemes: Dict[str, QuantizationScheme],
     cfg: TuneConfig,
+    init_scales: Optional[Dict[str, jax.Array]] = None,
 ) -> Dict[str, Dict[str, jax.Array]]:
     """V = 0 (shape of W), min/max_scale = 1.0 per group — reference init
     (``wrapper.py:179-181, 252-254``).  fp32 params, like the reference.
@@ -154,9 +159,23 @@ def init_tune_params(
                 init = _search_init_max_scale(w, scheme).reshape(groups_shape)
             else:
                 init = jnp.ones(groups_shape, jnp.float32)
+            if init_scales and name in init_scales:
+                # AWQ clip search seeds the clip init (reference
+                # awq_clip_max consumed at wrapper.py:173-175)
+                init = jnp.asarray(init_scales[name], jnp.float32).reshape(
+                    groups_shape)
             layer["min_scale"] = init
             layer["max_scale"] = init
         params[name] = layer
+    if (cfg.tune_act_scales and isinstance(weights, dict)
+            and "_act_scales" in weights):
+        static = weights["_act_scales"].get("static") or {}
+        # leaf key "scale" routes these to the minmax LR group (reference
+        # trains act_max_scale alongside the clip scales)
+        act = {n: {"scale": jnp.ones((), jnp.float32)}
+               for n in static if n in schemes}
+        if act:
+            params["_act"] = act
     return params
 
 
@@ -173,6 +192,17 @@ def make_qdq_weights(
     Layer names may be dotted paths into nested structures (MoE experts).
     """
     out = weights
+    if "_act" in tune_params and isinstance(weights, dict) \
+            and "_act_scales" in weights:
+        sc = dict(weights["_act_scales"])
+        static = dict(sc.get("static") or {})
+        for n, m in tune_params["_act"].items():
+            if n in static:
+                static[n] = static[n] * jnp.clip(m["scale"], cfg.clip_lo,
+                                                 cfg.clip_hi)
+        sc["static"] = static
+        out = dict(out)
+        out["_act_scales"] = sc
     for name, scheme in schemes.items():
         fn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym)
         p = tune_params.get(name, {})
@@ -326,6 +356,7 @@ def tune_block(
     mask: Optional[jax.Array] = None,
     extras: Optional[Dict[str, Dict[str, Any]]] = None,
     lfq_fn: Optional[Callable] = None,
+    init_scales: Optional[Dict[str, jax.Array]] = None,
 ) -> Tuple[Dict[str, Dict[str, jax.Array]], Dict[str, np.ndarray]]:
     """Tune one block's rounding params.  Returns (best_params, info).
 
@@ -362,7 +393,8 @@ def tune_block(
     batch_idx = jnp.asarray(
         all_idx.reshape(cfg.iters, cfg.gradient_accumulate_steps, bs))
 
-    tune_params = init_tune_params(weights, schemes, cfg)
+    tune_params = init_tune_params(weights, schemes, cfg,
+                                   init_scales=init_scales)
 
     cache_key = (
         block_fwd, lfq_fn, cfg,

@@ -1,0 +1,260 @@
+"""Pallas int8-MXU matmuls: W8A8 (and W4A8) quantized-compute path.
+
+Role of the reference's int8 serving kernels (triton fused
+dequant-matmuls ``triton_utils/kernels.py:123``; ARK int8 kblock GEMMs
+``bestla_gemm_kblock.h``), designed from the measured TPU roofline
+(docs/design.md): at decode batches this chip is MXU-pass-bound and int8
+gains nothing (measured 0.95x), but at prefill/large-batch shapes the
+int8 MXU path is ~1.9x over bf16 through plain XLA ``dot_general`` — the
+loss in a naive pipeline is the int32 accumulator materialized to HBM
+between matmul and dequant.  The Pallas kernel here fuses the dequant
+epilogue (per-row act scale x per-channel weight scale) into the GEMM so
+the int32 tile never leaves VMEM.
+
+Activations quantize per-token (dynamic sym int8, amax/127) in one cheap
+XLA pass; weights are per-out-channel sym int8 (W8A8) or the W4 nibble-
+plane layout with per-group scales (W4A8).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .qmatmul import PLANES
+
+__all__ = ["quantize_rows", "w8a8_matmul", "w8a8_matmul_ref",
+           "pack_w8", "w4a8_matmul", "w4a8_matmul_ref"]
+
+
+@jax.jit
+def quantize_rows(x: jax.Array):
+    """(..., K) float → (int8 codes, (...,) f32 per-row scale)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(amax / 127.0, 1e-8)
+    xi = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return xi, s[..., 0]
+
+
+def pack_w8(w: jax.Array):
+    """(O, K) float weight → (int8 codes, (O,) f32 per-channel scale)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)
+    s = jnp.maximum(amax / 127.0, 1e-12)
+    wi = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return wi, s[:, 0]
+
+
+def w8a8_matmul_ref(x, wi, ws):
+    """Pure-XLA path: quantize rows, int8 dot, dequant."""
+    orig = x.shape
+    xi, xs = quantize_rows(x.reshape(-1, orig[-1]))
+    acc = jax.lax.dot_general(
+        xi, wi, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * xs[:, None] * ws[None, :]
+    return y.astype(x.dtype).reshape(*orig[:-1], wi.shape[0])
+
+
+def _w8a8_kernel(x_ref, xs_ref, w_ref, ws_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        acc = acc_ref[:].astype(jnp.float32)
+        xs = xs_ref[:].astype(jnp.float32)        # (TB, 128) lane-replicated
+        reps = acc.shape[1] // xs.shape[1]
+        if reps > 1:
+            xs = jnp.concatenate([xs] * reps, axis=1)
+        y = acc * xs * ws_ref[0, :][None, :].astype(jnp.float32)
+        o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "block_o", "block_k"))
+def w8a8_matmul(x, wi, ws, block_b: int = 256, block_o: int = 512,
+                block_k: int = 2048):
+    """y = dequant(q(x) @ wi.T): int8 MXU GEMM with fused epilogue.
+
+    x (..., K) bf16/f32; wi (O, K) int8; ws (O,) f32.
+    """
+    orig = x.shape
+    K = orig[-1]
+    O = wi.shape[0]
+    x2 = x.reshape(-1, K)
+    B = x2.shape[0]
+    TK = min(block_k, K)
+    usable = (jax.devices()[0].platform == "tpu"
+              and K % TK == 0 and O % 256 == 0 and K % 256 == 0)
+    if not usable:
+        return w8a8_matmul_ref(x, wi, ws)
+
+    xi, xs = quantize_rows(x2)
+
+    TO = min(block_o, O)
+    while O % TO:
+        TO //= 2
+    TB = min(max(32, -(-B // 32) * 32), block_b)
+    Bp = -(-B // TB) * TB
+    if Bp != B:
+        xi = jnp.pad(xi, ((0, Bp - B), (0, 0)))
+        xs = jnp.pad(xs, (0, Bp - B))
+
+    # lane-replicate the row scales so the epilogue is a (TB, 128)-tiled
+    # broadcast (1-lane loads don't tile well on TPU)
+    xs2 = jnp.broadcast_to(xs[:, None], (Bp, 128))
+    ws2 = jnp.broadcast_to(ws[None, :], (8, O)).astype(jnp.float32)
+
+    grid = (Bp // TB, O // TO, K // TK)
+    out = pl.pallas_call(
+        _w8a8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, TK), lambda b, o, k: (b, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 128), lambda b, o, k: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TO, TK), lambda b, o, k: (o, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TO), lambda b, o, k: (0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, TO), lambda b, o, k: (b, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((TB, TO), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * O * K,
+            bytes_accessed=O * K + Bp * K + Bp * O * 2,
+            transcendentals=0,
+        ),
+    )(xi, xs2, wi, ws2)
+    return out[:B].reshape(*orig[:-1], O)
+
+
+# --------------------------------------------------------------- W4A8
+def w4a8_matmul_ref(x, qweight, scales, group_size: int = 128):
+    """XLA reference: int8 act x dequantized int4 weight (f32 math)."""
+    from .qmatmul import unpack_w4_planes
+    orig = x.shape
+    K = orig[-1]
+    xi, xs = quantize_rows(x.reshape(-1, K))
+    codes = unpack_w4_planes(qweight, group_size)
+    s = jnp.repeat(scales.astype(jnp.float32), group_size, axis=1)[:, :K]
+    w = (codes - 8).astype(jnp.float32) * s
+    acc = jax.lax.dot_general(
+        xi.astype(jnp.float32), w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = acc * xs[:, None]
+    return y.astype(x.dtype).reshape(*orig[:-1], qweight.shape[0])
+
+
+def _w4a8_kernel(x_ref, xs_ref, w_ref, st_ref, o_ref, acc_ref, *,
+                 group_size: int):
+    """Same nibble-plane schedule as w4a16 (qmatmul._kernel) but the MXU
+    inputs are int8: codes-8 exact in int8, activations pre-quantized."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    words = w_ref[:]                                  # (TO, g) int32
+    acc = acc_ref[:]
+    for j in range(PLANES):
+        chunk = jax.lax.shift_right_logical(words, 4 * j) & 0xF
+        wq = (chunk - 8).astype(jnp.int8)
+        xg = x_ref[:, pl.ds(j * group_size, group_size)]   # (B, g) int8
+        partial = jax.lax.dot_general(
+            xg, wq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)              # (B, TO)
+        acc = acc + partial.astype(jnp.float32) \
+            * st_ref[j, :][None, :].astype(jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        acc = acc_ref[:]
+        xs = xs_ref[:].astype(jnp.float32)        # (TB, 128) lane-replicated
+        reps = acc.shape[1] // xs.shape[1]
+        if reps > 1:
+            xs = jnp.concatenate([xs] * reps, axis=1)
+        o_ref[:] = (acc * xs).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "block_o"))
+def w4a8_matmul(x, qweight, scales, group_size: int = 128,
+                block_o: int = 512):
+    """y = dequant(q(x) @ dequant4(qweight).T) — W4 weights, int8 MXU.
+
+    qweight (O, K//8) int32 nibble-plane layout (same as w4a16);
+    scales (O, K//g) f32.
+    """
+    orig = x.shape
+    K = orig[-1]
+    O = qweight.shape[0]
+    x2 = x.reshape(-1, K)
+    B = x2.shape[0]
+    TK = PLANES * group_size
+    usable = (jax.devices()[0].platform == "tpu" and group_size >= 128
+              and K % TK == 0 and O % 256 == 0)
+    if not usable:
+        return w4a8_matmul_ref(x, qweight, scales, group_size).reshape(
+            *orig[:-1], O)
+
+    xi, xs = quantize_rows(x2)
+
+    TO = min(block_o, O)
+    while O % TO:
+        TO //= 2
+    TB = min(max(32, -(-B // 32) * 32), 256)
+    Bp = -(-B // TB) * TB
+    if Bp != B:
+        xi = jnp.pad(xi, ((0, Bp - B), (0, 0)))
+        xs = jnp.pad(xs, (0, Bp - B))
+    xs2 = jnp.broadcast_to(xs[:, None], (Bp, 128))
+    scales_t = scales.astype(jnp.float32).T
+
+    grid = (Bp // TB, O // TO, K // TK)
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel, group_size=group_size),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, TK), lambda b, o, k: (b, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 128), lambda b, o, k: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TO, group_size), lambda b, o, k: (o, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PLANES, TO), lambda b, o, k: (k, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, TO), lambda b, o, k: (b, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((TB, TO), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * O * K,
+            bytes_accessed=O * K // 2 + Bp * K + Bp * O * 2,
+            transcendentals=0,
+        ),
+    )(xi, xs2, qweight, scales_t)
+    return out[:B].reshape(*orig[:-1], O)

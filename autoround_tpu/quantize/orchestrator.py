@@ -347,6 +347,12 @@ def quantize_model(
         nsamples, seqlen = ids.shape
     cos, sin = mfns.rope_tables(model_cfg, seqlen)
     tcfg = cfg.tune_config()
+    from .. import envs as _envs
+    if _envs.AR_ENABLE_ACT_MINMAX_TUNING:
+        # honor the act min/max tuning flag (reference
+        # AR_ENABLE_ACT_MINMAX_TUNING -> wrapper.py:209-211 act_max_scale)
+        import dataclasses as _dc
+        tcfg = _dc.replace(tcfg, tune_act_scales=True)
     if tcfg.enable_alg_ext and tcfg.clip_hi <= 1.0:
         # tune_block widens the min/max clamp to (0, 2) under alg_ext
         # (reference sign_roundv2/quantizer.py:128-155); apply the SAME
@@ -530,13 +536,20 @@ def quantize_model(
 
         # AWQ smoothing (composer preprocessor step, reference
         # composer.py:393-413): exact reparameterization before tuning
+        init_scales = None
         if cfg.enable_awq:
-            from ..transforms.awq import awq_smooth_block
+            from ..transforms.awq import awq_clip_search, awq_smooth_block
             block, _ = awq_smooth_block(
                 block,
                 lambda w, xx, linear_fn=None: mfns.block_fwd(
                     w, xx, cos, sin, model_cfg, linear_fn=linear_fn),
                 x_fp[: cfg.cache_batch], schemes)
+            # clip search seeds the min/max clip init (reference
+            # awq/base.py:120-125 -> wrapper.py:173-175)
+            im_clip = collect_imatrix(
+                _stats_fn_for(bi), block, x_fp[: cfg.cache_batch],
+                set(schemes))
+            init_scales = awq_clip_search(block, schemes, im_clip)
 
         # activation quantization: collect per-layer amax on the FP pass
         # (reference act_max hooks fire during the FP reference forward),
@@ -588,12 +601,23 @@ def quantize_model(
 
             best, info = tune_block(
                 block_fn, tune_weights, tune_in, ref_out, schemes, tcfg,
-                mask=mask, lfq_fn=lfq_fn)
+                mask=mask, lfq_fn=lfq_fn, init_scales=init_scales)
             traces[bi] = info["loss_trace"]
             logger.info(
                 "block %d: loss iter0 %.6f -> best %.6f (%.1fs)",
                 bi, info["first_loss"], info["best_loss"],
                 _time.time() - _t_block)
+            if "_act" in best:
+                # bake the tuned act-scale shrink into the static scales
+                # (reference unwrapper applies best act_max_scale,
+                # wrapper.py:429-439)
+                for lname, p in best["_act"].items():
+                    if lname in static_scales:
+                        static_scales[lname] = static_scales[lname] \
+                            * jnp.clip(p["scale"], tcfg.clip_lo,
+                                       tcfg.clip_hi)
+                act_lf = make_act_quant_linear_fn(schemes, static_scales,
+                                                  global_scales)
             qdq_block = block
             for lname, scheme in schemes.items():
                 w_orig = get_by_path(block, lname)

@@ -124,3 +124,64 @@ def awq_smooth_block(
         cur = best_block
     logger.info("AWQ smoothing: chosen alphas %s", chosen)
     return cur, chosen
+
+
+def awq_clip_search(
+    block: Dict[str, Any],
+    schemes: Dict[str, QuantizationScheme],
+    imatrix: Dict[str, jax.Array],
+    n_grid: int = 10,
+    max_shrink: float = 0.5,
+) -> Dict[str, jax.Array]:
+    """Per-group weight-clip ratio search (reference ``awq/base.py:120-125``
+    clip search; result consumed as the min/max clip INIT at
+    ``wrapper.py:173-175``).
+
+    For each layer, grid-search a shrink ratio r ∈ [max_shrink, 1] of the
+    group min/max (applied through the scheme's own qdq via max_scale=r)
+    minimizing activation-weighted reconstruction error
+    ``sum_i E[x_i^2] (qdq_ij - w_ij)^2`` — the per-group argmin seeds
+    ``min_scale``/``max_scale`` so tuning starts from the clipped range.
+    Returns {layer: (O, n_groups) ratio array}.
+    """
+    from ..dtypes.registry import get_quant_func
+    from ..utils.pytree import get_by_path
+
+    out: Dict[str, jax.Array] = {}
+    ratios = 1.0 - jnp.arange(n_grid, dtype=jnp.float32) / n_grid \
+        * (1.0 - max_shrink)
+    for lname, scheme in schemes.items():
+        g = scheme.group_size
+        if isinstance(g, tuple):
+            continue  # 2-D block fp8 has no row-group clip semantics
+        try:
+            w = get_by_path(block, lname)
+        except (KeyError, IndexError, TypeError):
+            continue
+        O, I = w.shape
+        gg = I if g in (-1, 0) else min(g, I)
+        im = imatrix.get(lname)
+        weight = (jnp.ones((I,), jnp.float32) if im is None
+                  else jnp.maximum(im.astype(jnp.float32), 1e-12))
+        fn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym)
+        kw = {}
+        if scheme.super_bits is not None:
+            kw = dict(super_bits=scheme.super_bits,
+                      super_group_size=scheme.super_group_size)
+
+        def err_for(r, w=w, fn=fn, gg=gg, weight=weight, kw=kw,
+                    scheme=scheme, O=O, I=I):
+            ms = jnp.full((O, -(-I // gg)), r, jnp.float32)
+            qdq = fn(w, bits=scheme.bits, group_size=scheme.group_size,
+                     min_scale=ms, max_scale=ms,
+                     clip_lo=0.0, clip_hi=1.0, **kw).qdq
+            d = (qdq.astype(jnp.float32) - w.astype(jnp.float32)) ** 2
+            d = d * weight[None, :]
+            pad = (-I) % gg
+            if pad:
+                d = jnp.pad(d, ((0, 0), (0, pad)))
+            return d.reshape(O, -1, gg).sum(-1)  # (O, groups)
+
+        errs = jax.vmap(err_for)(ratios)
+        out[lname] = ratios[jnp.argmin(errs, axis=0)]
+    return out

@@ -113,3 +113,57 @@ class TestPipelineWithActQuant:
         res = AutoRound((params, CFG), scheme="NVFP4", iters=0).quantize(ids)
         ql = res.layers["blocks.1.up_proj"]
         assert ql.act_global_scale is not None
+
+
+class TestActMinMaxTuning:
+    """AR_ENABLE_ACT_MINMAX_TUNING (reference wrapper.py:209-211
+    act_max_scale): tunable shrink on the static act scales.  Round-1
+    regression: the env flag existed but nothing read it."""
+
+    def test_act_scale_params_created_and_trained(self, monkeypatch):
+        from autoround_tpu.algorithms.signround import (TuneConfig,
+                                                        init_tune_params,
+                                                        tune_block)
+        from autoround_tpu.schemes import parse_scheme
+
+        sch = parse_scheme("W8A8")  # static int8 act quant
+        import dataclasses
+        sch = dataclasses.replace(sch, act_dynamic=False)
+        schemes = {"w": sch}
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32) * 0.1)
+        static = {"w": jnp.asarray(0.02, jnp.float32)}
+        weights = {"w": w, "_act_scales": {"static": static, "global": {}}}
+        cfg = TuneConfig(iters=6, batch_size=4, tune_act_scales=True)
+        params = init_tune_params(weights, schemes, cfg)
+        assert "_act" in params and "w" in params["_act"]
+
+        from autoround_tpu.algorithms.actquant import qdq_act
+
+        def fwd(ws, xb):
+            xq = qdq_act(xb, sch, static_scale=ws["_act_scales"]["static"]["w"])
+            return jnp.einsum("bi,oi->bo", xq, ws["w"])
+
+        x = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+        ref = jnp.einsum("bi,oi->bo", x, w)
+        best, info = tune_block(fwd, weights, x, ref, schemes, cfg)
+        # the act-scale multiplier trained away from its 1.0 init
+        # (sign-SGD moves it every step unless the gradient is exactly 0)
+        m = float(best["_act"]["w"]["scale"])
+        assert m != 1.0
+        assert info["best_loss"] <= info["first_loss"]
+
+    def test_env_flag_consumed_by_orchestrator(self, monkeypatch):
+        monkeypatch.setenv("AR_ENABLE_ACT_MINMAX_TUNING", "1")
+        from autoround_tpu import AutoRound
+        from autoround_tpu.models import llama
+
+        cfg = llama.CONFIG_PRESETS["tiny"]
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="FP8_STATIC", iters=2,
+                        batch_size=2).quantize(ids)
+        # static act scales exist and survived the tuned shrink
+        ql = next(iter(res.layers.values()))
+        assert ql.act_scale is not None

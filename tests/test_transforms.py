@@ -170,3 +170,60 @@ class TestAwq:
                         batch_size=4, enable_awq=True,
                         enable_rotation=True).quantize(ids)
         assert len(res.layers) == CFG.num_layers * 7
+
+
+class TestAwqClipSearch:
+    """Reference awq/base.py:120-125 clip search; result seeds the
+    min/max clip init (wrapper.py:173-175)."""
+
+    def test_clip_ratios_shape_and_range(self):
+        from autoround_tpu.schemes import parse_scheme
+        from autoround_tpu.transforms.awq import awq_clip_search
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
+        schemes = {"q_proj": parse_scheme("W2A16G64")}
+        im = {"q_proj": jnp.ones((64,), jnp.float32)}
+        seeds = awq_clip_search({"q_proj": w}, schemes, im)
+        assert seeds["q_proj"].shape == (8, 1)
+        r = np.asarray(seeds["q_proj"])
+        assert (r <= 1.0).all() and (r >= 0.5).all()
+        # at 2 bits shrinking the range helps typical gaussian rows:
+        # the search must actually pick sub-1 ratios somewhere
+        assert r.min() < 1.0
+
+    def test_clip_seed_improves_w2_error(self):
+        """W2: the searched clip init must beat the unclipped init on
+        the (deterministic) weight reconstruction error it optimizes,
+        and tuning from the seed must still converge (VERDICT #8)."""
+        from autoround_tpu.algorithms.signround import (TuneConfig,
+                                                        tune_block)
+        from autoround_tpu.dtypes.registry import get_quant_func
+        from autoround_tpu.schemes import parse_scheme
+        from autoround_tpu.transforms.awq import awq_clip_search
+
+        rng = np.random.default_rng(1)
+        O, I = 16, 64
+        w = jnp.asarray(rng.standard_normal((O, I)).astype(np.float32) * 0.1)
+        sch = parse_scheme("W2A16G64")
+        seeds = awq_clip_search({"w": w}, {"w": sch},
+                                {"w": jnp.ones((I,), jnp.float32)})
+        fn = get_quant_func(sch.data_type, sch.bits, sch.sym)
+
+        def werr(ms):
+            qdq = fn(w, bits=2, group_size=64, min_scale=ms, max_scale=ms,
+                     clip_lo=0.0, clip_hi=1.0).qdq
+            return float(((qdq - w) ** 2).sum())
+
+        seeded = werr(seeds["w"].astype(jnp.float32))
+        plain = werr(jnp.ones((O, 1), jnp.float32))
+        assert seeded < plain
+
+        # tuning from the seed converges (loss decreases)
+        x = jnp.asarray(rng.standard_normal((16, I)).astype(np.float32))
+        ref = jnp.einsum("bi,oi->bo", x, w)
+        fwd = lambda ws, xb: jnp.einsum("bi,oi->bo", xb, ws["w"])
+        cfg = TuneConfig(iters=8, batch_size=4)
+        _, info = tune_block(fwd, {"w": w}, x, ref, {"w": sch}, cfg,
+                             init_scales=seeds)
+        assert info["best_loss"] <= info["first_loss"]
