@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    if argv and argv[0] == "eval":
+        # eval subcommand (role of the reference's auto-round-eval CLI)
+        from .eval.eval_cli import main as eval_main
+        return eval_main(argv[1:])
     args = build_parser().parse_args(argv)
 
     import jax

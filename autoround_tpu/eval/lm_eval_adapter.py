@@ -21,18 +21,40 @@ import numpy as np
 from ..models import llama
 
 __all__ = ["sequence_loglikelihood", "greedy_matches",
-           "make_harness_lm", "simple_evaluate"]
+           "make_harness_lm", "simple_evaluate", "evaluate_offline"]
 
 
-def _score_fn(cfg):
+def _score_fn(cfg, packed=None):
+    """Jitted scorer.  With ``packed`` given, every block forward routes
+    through the serving interceptor so PACKED low-bit weights score
+    (round-1 regression: eval always ran dense qdq weights)."""
     from ..models.registry import get_model_fns
-    model_fwd = get_model_fns(cfg).model_fwd
+    mfns = get_model_fns(cfg)
+    model_fwd = mfns.model_fwd
+
+    def fwd(params, ids):
+        if packed is None:
+            return model_fwd(params, ids, cfg)
+        from ..serve.engine import QuantizedLlama
+        x = llama.embed_fwd(params, ids, cfg)
+        cos, sin = llama.rope_tables(cfg, ids.shape[1])
+        S = ids.shape[1]
+        smask = (llama.sliding_mask(cfg, S)
+                 if getattr(cfg, "sliding_window", None) is not None
+                 and S > cfg.sliding_window else None)
+        for i, b in enumerate(params["blocks"]):
+            m = (smask if smask is not None
+                 and llama.layer_is_sliding(cfg, i) else None)
+            x = mfns.block_fwd(
+                b, x, cos, sin, cfg, mask=m,
+                linear_fn=QuantizedLlama._make_linear_fn(packed, i))
+        return llama.final_fwd(params, x, cfg)
 
     @jax.jit
     def score(params, ids, cont_mask):
         """ids (B, S); cont_mask (B, S) 1.0 on continuation positions.
         Returns (sum logp of continuation, greedy-match flags)."""
-        logits = model_fwd(params, ids[:, :-1], cfg).astype(jnp.float32)
+        logits = fwd(params, ids[:, :-1]).astype(jnp.float32)
         targets = ids[:, 1:]
         logp = jax.nn.log_softmax(logits, axis=-1)
         tok_lp = jnp.take_along_axis(logp, targets[..., None],
@@ -48,15 +70,15 @@ def _score_fn(cfg):
 
 def sequence_loglikelihood(params, cfg, context_ids: List[List[int]],
                            continuation_ids: List[List[int]],
-                           batch: int = 8, max_len: Optional[int] = None
-                           ) -> List[Tuple[float, bool]]:
+                           batch: int = 8, max_len: Optional[int] = None,
+                           packed=None) -> List[Tuple[float, bool]]:
     """Batched (logprob, is_greedy) for context→continuation pairs — the
     computation behind lm-eval ``loglikelihood`` requests.  Pads every
     pair to one static length so a single jit executable scores all
     batches."""
     pairs = [(c, t) for c, t in zip(context_ids, continuation_ids)]
     L = max_len or max(len(c) + len(t) for c, t in pairs)
-    score = _score_fn(cfg)
+    score = _score_fn(cfg, packed=packed)
     out: List[Tuple[float, bool]] = []
     for s in range(0, len(pairs), batch):
         chunk = pairs[s:s + batch]
@@ -83,13 +105,24 @@ def greedy_matches(params, cfg, ids: np.ndarray) -> np.ndarray:
 
 def make_harness_lm(params, cfg, tokenizer: Callable[[str], List[int]],
                     detokenizer: Optional[Callable] = None,
-                    batch: int = 8, max_len: int = 2048):
-    """Build an ``lm_eval.api.model.LM`` over our functional model.
+                    batch: int = 8, max_len: int = 2048, engine=None):
+    """Build an lm-eval ``LM`` over our functional model.
 
     ``tokenizer(text) -> ids``; ``detokenizer(ids) -> text`` (needed only
-    for generation tasks).  Requires the ``lm-eval`` package.
+    for generation tasks).  Subclasses ``lm_eval.api.model.LM`` when the
+    real harness is installed, else the vendored offline shim
+    (``eval/harness_shim.py``) with the identical method contract.
+
+    ``engine`` (a ``serve.QuantizedLlama``): when given, BOTH scoring and
+    generation run its packed low-bit weights — not dense qdq copies.
     """
-    from lm_eval.api.model import LM  # noqa: deferred heavy import
+    try:
+        from lm_eval.api.model import LM  # noqa: deferred heavy import
+    except ImportError:
+        from .harness_shim import LM
+    if engine is not None:
+        params, cfg = engine.params, engine.cfg
+    packed = engine.packed if engine is not None else None
 
     class AutoRoundTPULM(LM):
         def loglikelihood(self, requests):
@@ -101,7 +134,8 @@ def make_harness_lm(params, cfg, tokenizer: Callable[[str], List[int]],
                 ctxs.append(c_ids)
                 conts.append(full[len(c_ids):])
             return sequence_loglikelihood(params, cfg, ctxs, conts,
-                                          batch=batch, max_len=max_len)
+                                          batch=batch, max_len=max_len,
+                                          packed=packed)
 
         def loglikelihood_rolling(self, requests):
             out = []
@@ -110,7 +144,7 @@ def make_harness_lm(params, cfg, tokenizer: Callable[[str], List[int]],
                 ids = tokenizer(text)[:max_len]
                 r = sequence_loglikelihood(params, cfg, [ids[:1]],
                                            [ids[1:]], batch=1,
-                                           max_len=max_len)
+                                           max_len=max_len, packed=packed)
                 out.append((r[0][0],))
             return out
 
@@ -122,7 +156,8 @@ def make_harness_lm(params, cfg, tokenizer: Callable[[str], List[int]],
             for req in requests:
                 context, gen_kwargs = req.args
                 ids = np.asarray([tokenizer(context)], np.int32)
-                eng = getattr(self, "_eng", None)
+                eng = engine if engine is not None \
+                    else getattr(self, "_eng", None)
                 if eng is None:
                     self._eng = eng = _engine_for(params, cfg, max_len)
                 toks = eng.generate(
@@ -151,3 +186,16 @@ def simple_evaluate(params, cfg, tokenizer, tasks: List[str],
                          batch=kw.pop("batch", 8),
                          max_len=kw.pop("max_len", 2048))
     return lm_eval.simple_evaluate(model=lm, tasks=tasks, **kw)
+
+
+def evaluate_offline(params, cfg, tokenizer, task_path: str,
+                     detokenizer=None, batch: int = 8, max_len: int = 2048,
+                     engine=None) -> dict:
+    """Run one offline JSONL task file end-to-end through the harness
+    adapter (loader + metrics from ``eval/harness_shim.py``)."""
+    from .harness_shim import evaluate_task, load_task_jsonl
+
+    lm = make_harness_lm(params, cfg, tokenizer, detokenizer,
+                         batch=batch, max_len=max_len, engine=engine)
+    task = load_task_jsonl(task_path)
+    return evaluate_task(lm, task)

@@ -60,3 +60,118 @@ class TestLoglikelihood:
         ids = np.random.default_rng(0).integers(0, CFG.vocab_size, (3, 12))
         g = greedy_matches(model, CFG, ids)
         assert g.shape == (3,) and g.dtype == bool
+
+
+class TestOfflineHarness:
+    """VERDICT #9: prove the eval story offline — one recorded task score
+    through make_harness_lm + the vendored shim (no lm_eval install)."""
+
+    def _model(self):
+        cfg = llama.CONFIG_PRESETS["tiny"]
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        return params, cfg
+
+    def _tok(self):
+        return lambda s: [int(t) for t in s.split()]
+
+    def test_multiple_choice_task_scores(self, tmp_path):
+        import json as J
+
+        from autoround_tpu.eval.harness_shim import (evaluate_task,
+                                                     load_task_jsonl)
+        from autoround_tpu.eval.lm_eval_adapter import make_harness_lm
+
+        params, cfg = self._model()
+        tok = self._tok()
+        # build gold labels from the model's own preference so the
+        # expected accuracy is exactly 1.0 (deterministic oracle)
+        from autoround_tpu.eval.lm_eval_adapter import sequence_loglikelihood
+        samples = []
+        rng = np.random.default_rng(0)
+        for _ in range(4):
+            q = list(rng.integers(1, 32, 5))
+            choices = [list(rng.integers(1, 32, 3)) for _ in range(3)]
+            scores = sequence_loglikelihood(
+                params, cfg, [q] * 3, choices, batch=3)
+            gold = int(np.argmax([s[0] for s in scores]))
+            samples.append({
+                "query": " ".join(map(str, q)),
+                "choices": [" " + " ".join(map(str, c)) for c in choices],
+                "gold": gold})
+        fp = tmp_path / "mc.jsonl"
+        fp.write_text("\n".join(J.dumps(s) for s in samples))
+
+        lm = make_harness_lm(params, cfg, tok, batch=4, max_len=16)
+        task = load_task_jsonl(str(fp))
+        res = evaluate_task(lm, task)
+        assert res["n"] == 4
+        assert res["acc"] == 1.0
+
+    def test_greedy_task_and_eval_cli(self, tmp_path):
+        import json as J
+
+        from autoround_tpu.eval.lm_eval_adapter import evaluate_offline
+
+        params, cfg = self._model()
+        tok = self._tok()
+        # continuations = the model's own greedy continuation → acc 1.0
+        samples = []
+        for seed in range(3):
+            ctx = list(np.random.default_rng(seed).integers(1, 32, 4))
+            ids = jnp.asarray([ctx])
+            logits = llama.model_fwd(params, ids, cfg)
+            nxt = int(jnp.argmax(logits[0, -1]))
+            samples.append({"context": " ".join(map(str, ctx)),
+                            "continuation": str(nxt)})
+        fp = tmp_path / "greedy.jsonl"
+        fp.write_text("\n".join(J.dumps(s) for s in samples))
+        res = evaluate_offline(params, cfg, tok, str(fp), batch=4,
+                               max_len=16)
+        assert res["acc"] == 1.0
+
+        # the CLI subcommand produces the same score on a preset model
+        # (fresh init with the same seed)
+        import io
+        from contextlib import redirect_stdout
+
+        from autoround_tpu.cli import main as cli_main
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = cli_main(["eval", "--model", "tiny", "--tasks", str(fp),
+                           "--max-len", "16", "--seed", "0"])
+        assert rc == 0
+        import json as J2
+        rep = J2.loads(buf.getvalue().strip().splitlines()[-1])
+        assert rep["tasks"]["greedy.jsonl"]["acc"] == 1.0
+
+    def test_packed_engine_scoring_matches_dense(self):
+        """weak #8 regression: scoring through engine.packed must agree
+        with dense scoring of the SAME qdq weights (the packed grid is
+        exactly the qdq grid)."""
+        from autoround_tpu import AutoRound
+        from autoround_tpu.eval.lm_eval_adapter import (
+            make_harness_lm, sequence_loglikelihood)
+        from autoround_tpu.eval.harness_shim import Request
+        from autoround_tpu.serve import QuantizedLlama
+
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=1024,
+                                intermediate_size=1024, num_layers=2,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 64)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        assert eng.packed
+        tok = self._tok()
+        lm_packed = make_harness_lm(None, None, tok, engine=eng,
+                                    batch=2, max_len=16)
+        lm_dense = make_harness_lm(res.params, cfg, tok, batch=2,
+                                   max_len=16)
+        reqs = [Request(args=("1 2 3", " 4 5")),
+                Request(args=("7 8", " 9"))]
+        got = lm_packed.loglikelihood(reqs)
+        want = lm_dense.loglikelihood(reqs)
+        for (lp_p, g_p), (lp_d, g_d) in zip(got, want):
+            assert abs(lp_p - lp_d) < 2e-2 * max(1.0, abs(lp_d))
+            assert g_p == g_d
