@@ -159,31 +159,92 @@ def gen_auto_scheme(
 
     def get_leaf(tree, flat):
         parts = flat.split(".", 2)
-        return get_by_path(tree[int(parts[1])], parts[2])
+        if parts[0] == "blocks":
+            return get_by_path(tree[int(parts[1])], parts[2])
+        raise KeyError(flat)
 
-    # score every (layer, option)
-    scores = np.zeros((len(layer_names), len(options)))
-    bits_cost = np.zeros((len(layer_names), len(options)))
-    nparams = np.zeros(len(layer_names))
+    def leaf_of(flat, tree_blocks, full_tree):
+        if flat == "lm_head":
+            return full_tree.get("lm_head", full_tree["embed_tokens"])
+        return get_leaf(tree_blocks, flat)
 
-    score_fns = []
-    for opt in options:
+    # GGUF 256-divisibility fallback (reference
+    # ``gen_auto_scheme.py:206-249``): a k-quant option on an odd-shaped
+    # layer silently substitutes the Q8_0-grid int8 scheme
+    _gguf_fallback = QuantizationScheme(bits=8, group_size=32, sym=True,
+                                        data_type="int")
+
+    def effective_option(opt: QuantizationScheme, shape):
+        if opt.super_bits is not None:
+            block = (opt.group_size or 1) * (opt.super_group_size or 1)
+            if shape[1] % block:
+                return _gguf_fallback
+        return opt
+
+    # score every (layer, option): layers grouped by weight shape and
+    # scored as ONE stacked vmapped device program per (shape, option) —
+    # per-pair float() syncs were hundreds of round-trips over a
+    # tunneled link (round-1 weak #6)
+    n_l, n_o = len(layer_names), len(options)
+    scores = np.zeros((n_l, n_o))
+    bits_cost = np.zeros((n_l, n_o))
+    nparams = np.zeros(n_l)
+
+    def weight_score(w, g, opt: QuantizationScheme):
         fn = get_quant_func(opt.data_type, opt.bits, opt.sym, mode="rtn")
         kw = {}
         if opt.super_bits is not None:
             kw = dict(super_bits=opt.super_bits,
                       super_group_size=opt.super_group_size)
+        qdq = fn(w, bits=opt.bits, group_size=opt.group_size, **kw).qdq
+        return jnp.sum(jnp.abs(
+            g.astype(jnp.float32)
+            * (w.astype(jnp.float32) - qdq.astype(jnp.float32))))
 
-        def make(fn=fn, opt=opt, kw=kw):
-            @jax.jit
-            def s(w, g):
-                qdq = fn(w, bits=opt.bits, group_size=opt.group_size, **kw).qdq
-                return jnp.sum(jnp.abs(
-                    g.astype(jnp.float32)
-                    * (w.astype(jnp.float32) - qdq.astype(jnp.float32))))
-            return s
-        score_fns.append(make())
+    from collections import defaultdict
+    by_shape = defaultdict(list)
+    for li, flat in enumerate(layer_names):
+        w = leaf_of(flat, params["blocks"], params)
+        nparams[li] = w.size
+        by_shape[tuple(w.shape)].append(li)
 
+    _stack_cache: Dict = {}
+
+    def scorer_for(opt):
+        key = opt
+        fn = _stack_cache.get(key)
+        if fn is None:
+            fn = jax.jit(jax.vmap(
+                lambda w, g, opt=opt: weight_score(w, g, opt)))
+            _stack_cache[key] = fn
+        return fn
+
+    pending = []  # (li_list, oi, device array) — fetched in one sync
+    grads_full = {"lm_head": None}
+    if "lm_head" in layer_names:
+        head_name = "lm_head" if "lm_head" in params else "embed_tokens"
+
+        def loss_of_head(hw):
+            p = dict(params)
+            p[head_name] = hw
+            return _lm_loss(p, model_cfg, ids)
+        grads_full["lm_head"] = jax.grad(loss_of_head)(params[head_name])
+
+    for shape, lis in by_shape.items():
+        W = jnp.stack([leaf_of(layer_names[li], params["blocks"], params)
+                       for li in lis])
+        G = jnp.stack([
+            grads_full["lm_head"] if layer_names[li] == "lm_head"
+            else get_leaf(grads_blocks, layer_names[li]) for li in lis])
+        for oi, opt in enumerate(options):
+            eff = effective_option(opt, shape)
+            pending.append((lis, oi, scorer_for(eff)(W, G)))
+            for li in lis:
+                bits_cost[li, oi] = scheme_storage_bits(eff, shape)
+
+    # activation-side damage: per-layer jitted scores, fetched in the
+    # same single sync (shapes differ per layer input width)
+    act_pending = []
     if act_options:
         from ..algorithms.actquant import qdq_act
 
@@ -201,20 +262,54 @@ def gen_auto_scheme(
                         * (x.astype(jnp.float32) - dq.astype(jnp.float32))))
                 return s
             act_score_fns[oi] = make()
+        for li, flat in enumerate(layer_names):
+            for oi in act_score_fns:
+                if flat in act_x:
+                    act_pending.append(
+                        (li, oi, act_score_fns[oi](act_x[flat],
+                                                   act_g[flat])))
 
-    for li, flat in enumerate(layer_names):
-        w = get_leaf(params["blocks"], flat)
-        g = get_leaf(grads_blocks, flat)
-        nparams[li] = w.size
-        for oi, opt in enumerate(options):
-            scores[li, oi] = float(score_fns[oi](w, g))
-            if act_options and oi in act_score_fns and flat in act_x:
-                scores[li, oi] += float(
-                    act_score_fns[oi](act_x[flat], act_g[flat]))
-            bits_cost[li, oi] = scheme_storage_bits(opt, w.shape)
+    # ONE host sync for everything
+    fetched = jax.device_get([p[2] for p in pending]
+                             + [p[2] for p in act_pending])
+    for (lis, oi, _), vals in zip(pending, fetched[:len(pending)]):
+        for j, li in enumerate(lis):
+            scores[li, oi] = float(vals[j])
+    for (li, oi, _), v in zip(act_pending, fetched[len(pending):]):
+        scores[li, oi] += float(v)
+
+    # lm-head trick (reference ``delta_loss.py:1439`` _apply_head_trick):
+    # logits take lm_head error undampened — bias its candidates toward
+    # high precision, relaxed below if the budget cannot fit
+    head_restricted = None
+    if "lm_head" in layer_names:
+        hl = layer_names.index("lm_head")
+        high = [oi for oi, o in enumerate(options) if o.bits >= 6]
+        if len(high) == 1:
+            allowed = high
+        elif len(high) > 1 and auto_scheme.avg_bits > 6:
+            allowed = [max(high, key=lambda oi: options[oi].bits)]
+        elif high:
+            allowed = high
+        else:
+            allowed = [int(np.argmin(scores[hl]))]
+        head_restricted = (hl, scores[hl].copy())
+        for oi in range(n_o):
+            if oi not in allowed:
+                scores[hl, oi] = np.inf
 
     budget = auto_scheme.avg_bits * nparams.sum()
     weighted_bits = bits_cost * nparams[:, None]
+
+    def _feasible_min():
+        wb = weighted_bits.copy()
+        wb[scores == np.inf] = np.inf
+        return float(wb.min(1) @ np.ones(1)) if False else float(
+            np.where(np.isfinite(wb), wb, np.nan).min(1).sum())
+
+    if head_restricted is not None and _feasible_min() > budget:
+        hl, saved = head_restricted
+        scores[hl] = saved  # relax: restriction made the budget infeasible
 
     lo_bits = float((weighted_bits.min(1)).sum())
     hi_bits = float((weighted_bits.max(1)).sum())
@@ -261,7 +356,10 @@ def gen_auto_scheme(
             used += extra
             improved = True
 
-    plan = {flat: options[choice[li]] for li, flat in enumerate(layer_names)}
+    plan = {}
+    for li, flat in enumerate(layer_names):
+        w = leaf_of(flat, params["blocks"], params)
+        plan[flat] = effective_option(options[choice[li]], tuple(w.shape))
     achieved = used / nparams.sum()
     logger.info("AutoScheme: avg_bits target %.3f -> achieved %.3f "
                 "(est. loss damage %.4g)", auto_scheme.avg_bits, achieved,

@@ -100,3 +100,59 @@ class TestActScore:
         plan = gen_auto_scheme(params, CFG, spec, ids)
         bits = {s.bits for s in plan.values()}
         assert bits == {4, 8}  # both options used under the budget
+
+
+class TestAutoSchemeHardening:
+    def test_gguf_divisibility_fallback(self):
+        """A GGUF k-quant option on a 256-indivisible layer substitutes
+        the Q8_0-grid int8 scheme (reference gen_auto_scheme.py:206-249)."""
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=160,
+                                intermediate_size=320, num_layers=2,
+                                num_heads=4, num_kv_heads=2, head_dim=40,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 64)
+        plan = gen_auto_scheme(
+            params, cfg,
+            AutoScheme(avg_bits=8.3, options=("GGUF:Q4_K_S", "W8A16"),
+                       nsamples=2),
+            ids)
+        for name, sch in plan.items():
+            # hidden=160, inter=320: nothing divides 256 → no k-quant
+            assert sch.super_bits is None, (name, sch)
+
+    def test_lm_head_trick_prefers_high_bits(self):
+        """With lm_head in the search and budget room, the head must not
+        land on the lowest-bit option (reference delta_loss.py:1439)."""
+        cfg = llama.CONFIG_PRESETS["tiny"]
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 cfg.vocab_size)
+        from autoround_tpu.models.registry import get_model_fns
+        names = [f"blocks.{i}.{ln}" for i in range(cfg.num_layers)
+                 for ln in get_model_fns(cfg).block_linear_names(cfg)]
+        names.append("lm_head")
+        plan = gen_auto_scheme(
+            params, cfg,
+            AutoScheme(avg_bits=5.0, options=("W2A16", "W4A16", "W8A16"),
+                       nsamples=2),
+            ids, layer_names=names)
+        assert plan["lm_head"].bits >= 6
+
+    def test_scoring_single_sync(self, monkeypatch):
+        """Scoring must not fetch per (layer, option): count host
+        transfers via jax.device_get interception."""
+        import autoround_tpu.quantize.auto_scheme as asm
+        calls = []
+        orig = jax.device_get
+        monkeypatch.setattr(jax, "device_get",
+                            lambda x: (calls.append(1), orig(x))[1])
+        cfg = llama.CONFIG_PRESETS["tiny"]
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 cfg.vocab_size)
+        gen_auto_scheme(params, cfg,
+                        AutoScheme(avg_bits=4.5,
+                                   options=("W2A16", "W4A16", "W8A16"),
+                                   nsamples=2), ids)
+        assert sum(calls) <= 2
