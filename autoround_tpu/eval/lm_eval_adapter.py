@@ -24,7 +24,7 @@ __all__ = ["sequence_loglikelihood", "greedy_matches",
            "make_harness_lm", "simple_evaluate", "evaluate_offline"]
 
 
-def _score_fn(cfg, packed=None):
+def _score_fn(cfg, packed=None, kinds=None):
     """Jitted scorer.  With ``packed`` given, every block forward routes
     through the serving interceptor so PACKED low-bit weights score
     (round-1 regression: eval always ran dense qdq weights)."""
@@ -47,7 +47,8 @@ def _score_fn(cfg, packed=None):
                  and llama.layer_is_sliding(cfg, i) else None)
             x = mfns.block_fwd(
                 b, x, cos, sin, cfg, mask=m,
-                linear_fn=QuantizedLlama._make_linear_fn(packed, i))
+                linear_fn=QuantizedLlama._make_linear_fn(
+                    packed, i, kinds))
         return llama.final_fwd(params, x, cfg)
 
     @jax.jit
@@ -71,14 +72,15 @@ def _score_fn(cfg, packed=None):
 def sequence_loglikelihood(params, cfg, context_ids: List[List[int]],
                            continuation_ids: List[List[int]],
                            batch: int = 8, max_len: Optional[int] = None,
-                           packed=None) -> List[Tuple[float, bool]]:
+                           packed=None, kinds=None
+                           ) -> List[Tuple[float, bool]]:
     """Batched (logprob, is_greedy) for context→continuation pairs — the
     computation behind lm-eval ``loglikelihood`` requests.  Pads every
     pair to one static length so a single jit executable scores all
     batches."""
     pairs = [(c, t) for c, t in zip(context_ids, continuation_ids)]
     L = max_len or max(len(c) + len(t) for c, t in pairs)
-    score = _score_fn(cfg, packed=packed)
+    score = _score_fn(cfg, packed=packed, kinds=kinds)
     out: List[Tuple[float, bool]] = []
     for s in range(0, len(pairs), batch):
         chunk = pairs[s:s + batch]
@@ -123,6 +125,7 @@ def make_harness_lm(params, cfg, tokenizer: Callable[[str], List[int]],
     if engine is not None:
         params, cfg = engine.params, engine.cfg
     packed = engine.packed if engine is not None else None
+    kinds = engine.packed_kinds if engine is not None else None
 
     class AutoRoundTPULM(LM):
         def loglikelihood(self, requests):
@@ -135,7 +138,7 @@ def make_harness_lm(params, cfg, tokenizer: Callable[[str], List[int]],
                 conts.append(full[len(c_ids):])
             return sequence_loglikelihood(params, cfg, ctxs, conts,
                                           batch=batch, max_len=max_len,
-                                          packed=packed)
+                                          packed=packed, kinds=kinds)
 
         def loglikelihood_rolling(self, requests):
             out = []
@@ -144,7 +147,8 @@ def make_harness_lm(params, cfg, tokenizer: Callable[[str], List[int]],
                 ids = tokenizer(text)[:max_len]
                 r = sequence_loglikelihood(params, cfg, [ids[:1]],
                                            [ids[1:]], batch=1,
-                                           max_len=max_len, packed=packed)
+                                           max_len=max_len, packed=packed,
+                                           kinds=kinds)
                 out.append((r[0][0],))
             return out
 

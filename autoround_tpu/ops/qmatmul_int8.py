@@ -85,19 +85,26 @@ def _w8a8_kernel(x_ref, xs_ref, w_ref, ws_ref, o_ref, acc_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "block_o", "block_k"))
-def w8a8_matmul(x, wi, ws, block_b: int = 256, block_o: int = 512,
-                block_k: int = 2048):
+def w8a8_matmul(x, wi, ws, block_b: int = 512, block_o: int = 512,
+                block_k: int = 4096):
     """y = dequant(q(x) @ wi.T): int8 MXU GEMM with fused epilogue.
 
     x (..., K) bf16/f32; wi (O, K) int8; ws (O,) f32.
+
+    Default tiles are the measured optimum on v5e at B=2048
+    (TB=512/TO=512/TK=4096 → 2063 us for 2048x4096x14336, matching XLA's
+    raw-int8 dot at 2012 us while fusing quantize+dequant).
     """
     orig = x.shape
     K = orig[-1]
     O = wi.shape[0]
     x2 = x.reshape(-1, K)
     B = x2.shape[0]
+    # largest K-tile <= block_k that divides K on a 256 lane multiple
     TK = min(block_k, K)
-    usable = (jax.devices()[0].platform == "tpu"
+    while TK >= 256 and K % TK:
+        TK -= 256
+    usable = (jax.devices()[0].platform == "tpu" and TK >= 256
               and K % TK == 0 and O % 256 == 0 and K % 256 == 0)
     if not usable:
         return w8a8_matmul_ref(x, wi, ws)

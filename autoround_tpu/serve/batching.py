@@ -98,9 +98,11 @@ class ContinuousBatchingEngine:
         for i in range(cfg.num_layers):
             x, k_new, v_new = _block_with_cache(
                 params["blocks"][i], x, cos, sin, cfg, None, None,
-                QuantizedLlama._make_linear_fn(packed, i),
+                QuantizedLlama._make_linear_fn(packed, i,
+                                                self.m.packed_kinds),
                 packed=packed, block_idx=i,
-                splits_table=self.m.fused_splits)
+                splits_table=self.m.fused_splits,
+                kinds=self.m.packed_kinds)
             new_k = jax.lax.dynamic_update_slice(
                 new_k, k_new.astype(new_k.dtype)[None],
                 (i, slot, 0, 0, 0))
@@ -138,9 +140,11 @@ class ContinuousBatchingEngine:
             x, k_new, v_new = _block_with_cache(
                 params["blocks"][i], x, cos, sin, cfg,
                 (new_k[i], new_v[i]), pos,
-                QuantizedLlama._make_linear_fn(packed, i),
+                QuantizedLlama._make_linear_fn(packed, i,
+                                                self.m.packed_kinds),
                 packed=packed, block_idx=i,
-                splits_table=self.m.fused_splits)
+                splits_table=self.m.fused_splits,
+                kinds=self.m.packed_kinds)
             new_k = new_k.at[i, bidx, pos].set(
                 k_new[:, 0].astype(new_k.dtype))
             new_v = new_v.at[i, bidx, pos].set(

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..models import llama
 from ..ops.qmatmul import pack_w4_planes, w4a16_matmul
+from ..ops.qmatmul_int8 import w4a8_matmul, w8a8_matmul
 from ..quantize.orchestrator import QuantizeResult
 from ..utils.logger import logger
 
@@ -74,12 +75,16 @@ _FUSE_GROUPS = (("qkv", ("q_proj", "k_proj", "v_proj")),
                 ("gate_up", ("gate_proj", "up_proj")))
 
 
-def _fuse_packed(packed: Dict[str, Tuple[jax.Array, jax.Array]], cfg):
+def _fuse_packed(packed: Dict[str, Tuple[jax.Array, jax.Array]], cfg,
+                 kinds: Optional[Dict[str, str]] = None):
     """Concatenate q/k/v and gate/up packed weights along O so one fused
     kernel call replaces three/two (fewer launches per decode step; the
-    shared activation is read once).  Returns (packed', splits) where
-    ``splits`` is a STATIC side table (split sizes must not ride in the
-    traced pytree or output slicing becomes dynamic)."""
+    shared activation is read once).  Returns (packed', splits, kinds')
+    where ``splits`` is a STATIC side table (split sizes must not ride in
+    the traced pytree or output slicing becomes dynamic).  Only groups
+    whose members share one kernel kind fuse (a W8A8 k_proj cannot
+    concatenate into a W4 qkv call)."""
+    kinds = dict(kinds or {})
     out = dict(packed)
     splits_table: Dict[str, Tuple[int, ...]] = {}
     for bi in range(cfg.num_layers):
@@ -87,13 +92,45 @@ def _fuse_packed(packed: Dict[str, Tuple[jax.Array, jax.Array]], cfg):
             keys = [f"blocks.{bi}.{m}" for m in members]
             if not all(k in packed for k in keys):
                 continue
+            member_kinds = {kinds.get(k, "w4a16") for k in keys}
+            if len(member_kinds) != 1:
+                continue
             qws = [packed[k][0] for k in keys]
             scs = [packed[k][1] for k in keys]
             key = f"blocks.{bi}.{fused_name}"
             out[key] = (jnp.concatenate(qws, axis=0),
                         jnp.concatenate(scs, axis=0))
             splits_table[key] = tuple(int(q.shape[0]) for q in qws)
-    return out, splits_table
+            kinds[key] = next(iter(member_kinds))
+    return out, splits_table, kinds
+
+
+def _serving_kind(s) -> Optional[str]:
+    """Map a quantization scheme to a packed serving-kernel kind.
+
+    The reference dispatches per-scheme through its backend registry
+    (``inference/backend.py:209-650`` — exllamav2/triton for W4A16,
+    triton int8 fused dequant-matmul + ARK int8 kblock GEMMs for
+    W8A8/W4A8); here the same role is three Pallas kernels:
+
+      * ``w4a16`` — int4 sym weights, bf16 MXU (``ops/qmatmul``)
+      * ``w4a8``  — int4 sym weights, dynamic per-token int8 acts on the
+        int8 MXU (``ops/qmatmul_int8.w4a8_matmul``)
+      * ``w8a8``  — per-channel int8 weights, int8 MXU with fused
+        dequant epilogue (``ops/qmatmul_int8.w8a8_matmul``)
+
+    Activation quantization is dynamic per-token sym int8 (at least as
+    tight as the tuned static scale; the reference's triton kernels make
+    the same choice for dynamic-act schemes).  Returns None when the
+    scheme has no packed path (serves dense qdq bf16)."""
+    act_int8 = (s.act_bits == 8 and s.act_data_type == "int" and s.act_sym)
+    g = s.group_size if isinstance(s.group_size, int) else 0
+    if s.data_type == "int" and s.bits == 4 and s.sym and g >= 128:
+        return "w4a8" if act_int8 else "w4a16"
+    if (s.data_type == "int" and s.bits == 8 and s.sym and g <= 0
+            and act_int8):
+        return "w8a8"
+    return None
 
 
 @dataclass(eq=False)
@@ -111,6 +148,9 @@ class QuantizedLlama:
     kv_quant: Optional[str] = None         # None | "int8" | "fp8"
     # static split sizes for fused projection entries (NOT traced)
     fused_splits: Optional[Dict[str, Tuple[int, ...]]] = None
+    # static kernel-kind per packed entry: "w4a16" | "w4a8" | "w8a8"
+    # (absent/None → w4a16, the historical default)
+    packed_kinds: Optional[Dict[str, str]] = None
 
     def __post_init__(self):
         # jitted entry points close over static config; weights flow in as
@@ -125,21 +165,36 @@ class QuantizedLlama:
                              kv_quant: Optional[str] = None
                              ) -> "QuantizedLlama":
         packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
+        kinds: Dict[str, str] = {}
         params = jax.tree.map(lambda x: x, result.params)
         for name, ql in result.layers.items():
             s = ql.scheme
             g = s.group_size if isinstance(s.group_size, int) else 0
-            eligible = (s.data_type == "int" and s.bits == 4 and s.sym
-                        and g >= 128 and ql.qdq.shape[1] % (8 * g) == 0)
-            if not eligible:
-                continue  # stays as qdq bf16 weights (fake-quant serving)
+            kind = _serving_kind(s)
             qdq = np.asarray(ql.qdq, np.float32)
-            scale = np.asarray(ql.scale, np.float32)
-            # codes = round(qdq/scale) + 8 (sym full-range, signed scale)
-            srep = np.repeat(scale, g, axis=1)[:, : qdq.shape[1]]
-            codes = np.clip(np.rint(qdq / srep) + 8, 0, 15).astype(np.uint32)
-            qw = pack_w4_planes(jnp.asarray(codes.astype(np.int32)), g)
-            packed[name] = (qw, jnp.asarray(scale))
+            O, K = qdq.shape
+            if kind in ("w4a16", "w4a8") and K % (8 * g) == 0:
+                scale = np.asarray(ql.scale, np.float32)
+                # codes = round(qdq/scale) + 8 (sym full-range, signed
+                # scale)
+                srep = np.repeat(scale, g, axis=1)[:, :K]
+                codes = np.clip(np.rint(qdq / srep) + 8, 0, 15
+                                ).astype(np.uint32)
+                qw = pack_w4_planes(jnp.asarray(codes.astype(np.int32)), g)
+                packed[name] = (qw, jnp.asarray(scale))
+            elif kind == "w8a8" and K % 256 == 0 and O % 256 == 0:
+                # per-channel int8 codes straight off the tuned qdq grid
+                # (sym full-range scales are SIGNED — preserve the sign,
+                # only guard the exact-zero rows)
+                scale = np.asarray(ql.scale, np.float32).reshape(O, -1)
+                sc = scale[:, 0]
+                sc = np.where(np.abs(sc) < 1e-12, 1e-12, sc)
+                wi = np.clip(np.rint(qdq / sc[:, None]), -128, 127
+                             ).astype(np.int8)
+                packed[name] = (jnp.asarray(wi), jnp.asarray(sc))
+            else:
+                continue  # stays as qdq bf16 weights (fake-quant serving)
+            kinds[name] = kind
             # drop the dense copy from the block params (dotted paths
             # cover MoE expert leaves, e.g. blocks.3.experts.1.w2)
             parts = name.split(".", 2)
@@ -147,12 +202,14 @@ class QuantizedLlama:
                 from ..utils.pytree import set_by_path
                 params["blocks"][int(parts[1])] = set_by_path(
                     params["blocks"][int(parts[1])], parts[2], None)
-        n_packed = len(packed)
-        logger.info("serving engine: %d layers packed int4, rest dense",
-                    n_packed)
-        fused, splits = _fuse_packed(packed, cfg)
+        by_kind = {k: sum(1 for v in kinds.values() if v == k)
+                   for k in set(kinds.values())}
+        logger.info("serving engine: %d layers packed (%s), rest dense",
+                    len(packed), by_kind or "none")
+        fused, splits, kinds = _fuse_packed(packed, cfg, kinds)
         return cls(cfg=cfg, params=params, packed=fused,
-                   max_seq=max_seq, kv_quant=kv_quant, fused_splits=splits)
+                   max_seq=max_seq, kv_quant=kv_quant, fused_splits=splits,
+                   packed_kinds=kinds)
 
     @classmethod
     def from_pretrained(cls, path: str, max_seq: int = 2048,
@@ -216,9 +273,10 @@ class QuantizedLlama:
             params = set_by_path(params, name, leaf)
         logger.info("from_pretrained: %d packed layers, %d total quantized",
                     len(packed), len(qcfg["layers"]))
-        fused, splits = _fuse_packed(packed, cfg)
+        fused, splits, kinds = _fuse_packed(packed, cfg)
         return cls(cfg=cfg, params=params, packed=fused,
-                   max_seq=max_seq, kv_quant=kv_quant, fused_splits=splits)
+                   max_seq=max_seq, kv_quant=kv_quant, fused_splits=splits,
+                   packed_kinds=kinds)
 
     @classmethod
     def from_gptq(cls, path: str, max_seq: int = 2048,
@@ -227,19 +285,30 @@ class QuantizedLlama:
         the reference exports) straight into the serving engine."""
         from .gptq_loader import load_gptq_checkpoint
         params, cfg, packed = load_gptq_checkpoint(path)
-        fused, splits = _fuse_packed(packed, cfg)
+        fused, splits, kinds = _fuse_packed(packed, cfg)
         return cls(cfg=cfg, params=params, packed=fused,
-                   max_seq=max_seq, kv_quant=kv_quant, fused_splits=splits)
+                   max_seq=max_seq, kv_quant=kv_quant, fused_splits=splits,
+                   packed_kinds=kinds)
 
     # -- linear interceptor: packed kernel or dense fallback --
     @staticmethod
-    def _make_linear_fn(packed, block_idx: int):
+    def _packed_matmul(x, qw, scales, kind: str):
+        """Dispatch one packed projection to its serving kernel."""
+        if kind == "w8a8":
+            return w8a8_matmul(x, qw, scales)
+        group_size = (qw.shape[1] * 8) // scales.shape[1]
+        if kind == "w4a8":
+            return w4a8_matmul(x, qw, scales, group_size)
+        return w4a16_matmul(x, qw, scales, group_size)
+
+    @staticmethod
+    def _make_linear_fn(packed, block_idx: int, kinds=None):
         def lf(name, x, w, b=None):
             key = f"blocks.{block_idx}.{name}"
             if key in packed:
                 qw, scales = packed[key][:2]
-                group_size = (qw.shape[1] * 8) // scales.shape[1]
-                y = w4a16_matmul(x, qw, scales, group_size)
+                kind = (kinds or {}).get(key, "w4a16")
+                y = QuantizedLlama._packed_matmul(x, qw, scales, kind)
             else:
                 y = jnp.einsum("...i,oi->...o", x, w)
             if b is not None:
@@ -250,7 +319,7 @@ class QuantizedLlama:
 
     @staticmethod
     def _fused_call(packed, splits_table, block_idx: int, fused_name: str,
-                    x):
+                    x, kinds=None):
         """Run a fused projection group if available; returns list of
         member outputs or None.  ``splits_table`` is static."""
         key = f"blocks.{block_idx}.{fused_name}"
@@ -258,8 +327,8 @@ class QuantizedLlama:
         if entry is None or splits_table is None or key not in splits_table:
             return None
         qw, scales = entry
-        group_size = (qw.shape[1] * 8) // scales.shape[1]
-        y = w4a16_matmul(x, qw, scales, group_size)
+        kind = (kinds or {}).get(key, "w4a16")
+        y = QuantizedLlama._packed_matmul(x, qw, scales, kind)
         outs = []
         off = 0
         for s in splits_table[key]:
@@ -273,9 +342,11 @@ class QuantizedLlama:
                                jnp.asarray(input_ids))
 
     def _prefill_impl(self, params, packed, input_ids):
+        kinds = self.packed_kinds
         return _prefill_core(params, packed, input_ids, cfg=self.cfg,
                              max_seq=self.max_seq, kv_quant=self.kv_quant,
-                             lf_maker=self._make_linear_fn)
+                             lf_maker=lambda p, i: self._make_linear_fn(
+                                 p, i, kinds))
 
     def decode_step(self, token: jax.Array, cache: KVCache
                     ) -> Tuple[jax.Array, KVCache]:
@@ -283,11 +354,14 @@ class QuantizedLlama:
         return self._decode_c(self.params, self.packed, token, cache)
 
     def _decode_impl(self, params, packed, token, cache):
+        kinds = self.packed_kinds
         return _decode_core(params, packed, token, cache, cfg=self.cfg,
                             kv_quant=self.kv_quant,
-                            lf_maker=self._make_linear_fn,
+                            lf_maker=lambda p, i: self._make_linear_fn(
+                                p, i, kinds),
                             fused_packed=packed,
-                            splits_table=self.fused_splits)
+                            splits_table=self.fused_splits,
+                            kinds=kinds)
 
     def generate(self, input_ids: jax.Array, max_new_tokens: int = 32,
                  ) -> jax.Array:
@@ -375,7 +449,7 @@ def _prefill_core(params, packed, input_ids, *, cfg, max_seq, kv_quant,
 
 
 def _decode_core(params, packed, token, cache, *, cfg, kv_quant, lf_maker,
-                 fused_packed=None, splits_table=None):
+                 fused_packed=None, splits_table=None, kinds=None):
     """One decode step shared by the single-chip and TP engines.
 
     ``fused_packed``/``splits_table`` enable the fused qkv / gate_up path
@@ -395,7 +469,7 @@ def _decode_core(params, packed, token, cache, *, cfg, kv_quant, lf_maker,
         x, k_new, v_new = _block_with_cache(
             params["blocks"][i], x, cos, sin, cfg,
             kv, pos, lf_maker(packed, i), packed=fused_packed,
-            block_idx=i, splits_table=splits_table)
+            block_idx=i, splits_table=splits_table, kinds=kinds)
         if kv_quant is not None:
             k_new = _kv_quantize(k_new, cache.k_scale[i], kv_quant)
             v_new = _kv_quantize(v_new, cache.v_scale[i], kv_quant)
@@ -409,7 +483,8 @@ def _decode_core(params, packed, token, cache, *, cfg, kv_quant, lf_maker,
 
 
 def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
-                      packed=None, block_idx=None, splits_table=None):
+                      packed=None, block_idx=None, splits_table=None,
+                      kinds=None):
     """Decoder block returning (out, k_new, v_new); kv=(k_all, v_all) with
     valid length ``pos`` enables decode attention over the cache.
     When ``packed``/``block_idx`` are given, fused qkv / gate_up packed
@@ -419,7 +494,7 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
     off = cfg.norm_offset
     h = llama.rms_norm(x, weights["input_layernorm"], cfg.rms_eps, off)
     fused_qkv = (QuantizedLlama._fused_call(packed, splits_table,
-                                            block_idx, "qkv", h)
+                                            block_idx, "qkv", h, kinds)
                  if packed is not None else None)
     if fused_qkv is not None:
         q, k, v = fused_qkv
@@ -497,7 +572,8 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
     else:
         act = llama._act(cfg.hidden_act)
         fused_gu = (QuantizedLlama._fused_call(packed, splits_table,
-                                               block_idx, "gate_up", h)
+                                               block_idx, "gate_up", h,
+                                               kinds)
                     if packed is not None else None)
         if fused_gu is not None:
             gate, up = act(fused_gu[0]), fused_gu[1]

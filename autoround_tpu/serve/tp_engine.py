@@ -66,12 +66,16 @@ def _params_specs(params) -> Dict[str, Any]:
 
 def _packed_specs(packed) -> Dict[str, Tuple[P, P]]:
     specs = {}
-    for key in packed:
+    for key, (qw, sc) in packed.items():
         lname = key.split(".")[-1]
+        # w8a8 entries carry a 1-D (O,) scale; w4 scales are (O, K/g)
         if lname in _COL:
-            specs[key] = (P("tp", None), P("tp", None))
+            sspec = P("tp") if sc.ndim == 1 else P("tp", None)
+            specs[key] = (P("tp", None), sspec)
         elif lname in _ROW:
-            specs[key] = (P(None, "tp"), P(None, "tp"))
+            # row-parallel: weight shards on K; per-O scales replicate
+            sspec = P() if sc.ndim == 1 else P(None, "tp")
+            specs[key] = (P(None, "tp"), sspec)
         else:  # lm_head-style col-parallel would go here; replicate for now
             specs[key] = (P(), P())
     return specs
@@ -84,16 +88,18 @@ def _cache_spec(kv_quant: Optional[str]) -> KVCache:
                    length=P(), k_scale=sc, v_scale=sc)
 
 
-def _make_tp_linear_fn(packed, block_idx: int):
+def _make_tp_linear_fn(packed, block_idx: int, kinds=None):
     """Per-shard linear: packed kernel or dense einsum; row-parallel
-    layers complete their contraction with a psum over ``tp``."""
+    layers complete their contraction with a psum over ``tp``.  Dequant
+    is linear in the int32 accumulator, so per-shard dequantized partials
+    (each with its own local per-token act scale) sum exactly."""
 
     def lf(name, x, w, b=None):
         key = f"blocks.{block_idx}.{name}"
         if key in packed:
             qw, scales = packed[key][:2]
-            group_size = (qw.shape[1] * 8) // scales.shape[1]
-            y = w4a16_matmul(x, qw, scales, group_size)
+            kind = (kinds or {}).get(key, "w4a16")
+            y = QuantizedLlama._packed_matmul(x, qw, scales, kind)
         else:
             y = jnp.einsum("...i,oi->...o", x, w)
         if name in _ROW:
@@ -131,6 +137,18 @@ def _reshard_row_layers(packed, params, cfg, tp: int):
         if lname not in _ROW:
             continue
         qw, s = packed[key]
+        if qw.dtype == jnp.int8:
+            # w8a8: plain (O, K) int8 rows split contiguously on K; only
+            # the per-shard lane multiple matters for the Pallas kernel
+            if (qw.shape[1] // tp) % 256 == 0:
+                continue
+            parts = key.split(".")
+            w = (qw.astype(jnp.float32) * s[:, None]).astype(cfg.dtype)
+            params["blocks"][int(parts[1])][parts[2]] = w
+            del packed[key]
+            logger.info("tp engine: %s K=%d not lane-shardable at tp=%d; "
+                        "serving dense", key, qw.shape[1], tp)
+            continue
         K, groups = qw.shape[1] * 8, s.shape[1]
         g = K // groups
         codes = unpack_w4_planes(qw, g)  # (O, K)
@@ -161,6 +179,7 @@ class TPQuantizedLlama:
     mesh: Mesh
     max_seq: int = 2048
     kv_quant: Optional[str] = None
+    packed_kinds: Optional[Dict[str, str]] = None
 
     def __post_init__(self):
         pspec = _params_specs(self.params)
@@ -168,15 +187,18 @@ class TPQuantizedLlama:
         cspec = _cache_spec(self.kv_quant)
         mesh, cfg_l = self.mesh, self.cfg_local
 
+        kinds = self.packed_kinds
+        lf_maker = lambda p, i: _make_tp_linear_fn(p, i, kinds)  # noqa: E731
+
         def prefill_impl(params, packed, input_ids):
             return _prefill_core(
                 params, packed, input_ids, cfg=cfg_l, max_seq=self.max_seq,
-                kv_quant=self.kv_quant, lf_maker=_make_tp_linear_fn)
+                kv_quant=self.kv_quant, lf_maker=lf_maker)
 
         def decode_impl(params, packed, token, cache):
             return _decode_core(
                 params, packed, token, cache, cfg=cfg_l,
-                kv_quant=self.kv_quant, lf_maker=_make_tp_linear_fn)
+                kv_quant=self.kv_quant, lf_maker=lf_maker)
 
         self._prefill_c = jax.jit(shard_map(
             prefill_impl, mesh=mesh,
@@ -216,7 +238,8 @@ class TPQuantizedLlama:
                     len(packed), tp, mesh.shape["dp"])
         return cls(cfg=cfg, cfg_local=cfg_local, params=params,
                    packed=packed, mesh=mesh, max_seq=engine.max_seq,
-                   kv_quant=engine.kv_quant)
+                   kv_quant=engine.kv_quant,
+                   packed_kinds=engine.packed_kinds)
 
     def prefill(self, input_ids: jax.Array) -> Tuple[jax.Array, KVCache]:
         input_ids = jnp.asarray(input_ids)
