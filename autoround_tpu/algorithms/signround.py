@@ -72,6 +72,10 @@ class TuneConfig:
     # AR_ENABLE_ACT_MINMAX_TUNING act_max_scale, wrapper.py:209-211,
     # clamped to [clip_lo, clip_hi] like the reference's [0, 1])
     tune_act_scales: bool = False
+    # tune norm weights and linear biases with a round-free asym-grid
+    # perturbation (reference enable_norm_bias_tuning: WrapperLayerNorm /
+    # WrapperLlamaNorm + bias_v, wrapper.py:215,318-335,636-746)
+    enable_norm_bias_tuning: bool = False
 
     def resolved_lr(self) -> float:
         return self.lr if self.lr is not None else 1.0 / max(self.iters, 1)
@@ -136,6 +140,7 @@ def init_tune_params(
     schemes: Dict[str, QuantizationScheme],
     cfg: TuneConfig,
     init_scales: Optional[Dict[str, jax.Array]] = None,
+    norm_bias_leaves: Optional[Tuple[str, ...]] = None,
 ) -> Dict[str, Dict[str, jax.Array]]:
     """V = 0 (shape of W), min/max_scale = 1.0 per group — reference init
     (``wrapper.py:179-181, 252-254``).  fp32 params, like the reference.
@@ -176,6 +181,13 @@ def init_tune_params(
                for n in static if n in schemes}
         if act:
             params["_act"] = act
+    if cfg.enable_norm_bias_tuning and norm_bias_leaves:
+        # one continuous grid-unit perturbation per norm/bias element
+        # (leaf key "v" routes these to the main-LR SignSGD group, like
+        # the reference's bias_v/norm v params)
+        params["_nb"] = {
+            n: {"v": jnp.zeros(get_by_path(weights, n).shape, jnp.float32)}
+            for n in norm_bias_leaves}
     return params
 
 
@@ -203,6 +215,10 @@ def make_qdq_weights(
         sc["static"] = static
         out = dict(out)
         out["_act_scales"] = sc
+    for name, p in tune_params.get("_nb", {}).items():
+        from ..dtypes.intq import qdq_asym_wo_round
+        leaf = get_by_path(weights, name)
+        out = set_by_path(out, name, qdq_asym_wo_round(leaf, p["v"]))
     for name, scheme in schemes.items():
         fn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym)
         p = tune_params.get(name, {})
@@ -357,6 +373,7 @@ def tune_block(
     extras: Optional[Dict[str, Dict[str, Any]]] = None,
     lfq_fn: Optional[Callable] = None,
     init_scales: Optional[Dict[str, jax.Array]] = None,
+    norm_bias_leaves: Optional[Tuple[str, ...]] = None,
 ) -> Tuple[Dict[str, Dict[str, jax.Array]], Dict[str, np.ndarray]]:
     """Tune one block's rounding params.  Returns (best_params, info).
 
@@ -394,7 +411,8 @@ def tune_block(
         all_idx.reshape(cfg.iters, cfg.gradient_accumulate_steps, bs))
 
     tune_params = init_tune_params(weights, schemes, cfg,
-                                   init_scales=init_scales)
+                                   init_scales=init_scales,
+                                   norm_bias_leaves=norm_bias_leaves)
 
     cache_key = (
         block_fwd, lfq_fn, cfg,

@@ -25,7 +25,7 @@ from .grouping import from_groups, to_groups
 from .ste import round_ste
 
 __all__ = ["QdqResult", "qdq_int_sym", "qdq_int_asym", "rtn_int_sym",
-           "rtn_int_asym", "opt_rtn_int_sym"]
+           "rtn_int_asym", "opt_rtn_int_sym", "qdq_asym_wo_round"]
 
 _EPS = 1e-8
 
@@ -59,6 +59,28 @@ def _clip_params(g_shape, min_scale, max_scale, clip_lo, clip_hi, dtype):
     else:
         mx = jnp.clip(max_scale.reshape(-1, 1).astype(dtype), clip_lo, clip_hi)
     return mn, mx
+
+
+def qdq_asym_wo_round(w: jax.Array, v, bits: int = 4,
+                      q_scale_thresh: float = 1e-5) -> jax.Array:
+    """Round-FREE asym qdq for norm-weight / bias tuning.
+
+    Role of the reference's ``quant_tensor_asym_wo_round``
+    (``data_type/int.py:368-424``, consumed by WrapperLayerNorm /
+    WrapperLlamaNorm and the linear ``bias_v`` path,
+    ``wrapper.py:318-335,636-746``): the tensor is mapped onto the asym
+    int grid with a continuous perturbation ``v`` in grid units and NO
+    rounding — a bounded, scale-aware delta that SignSGD can tune with
+    useful gradients.  Group size is the whole last dim (reference
+    group_size=-1 on 1-D norm/bias tensors)."""
+    maxq = 2.0 ** bits - 1
+    f = w.astype(jnp.float32)
+    wmin = jnp.minimum(jnp.min(f, axis=-1, keepdims=True), 0.0)
+    wmax = jnp.maximum(jnp.max(f, axis=-1, keepdims=True), 0.0)
+    scale = jnp.maximum((wmax - wmin) / maxq, q_scale_thresh)
+    zp = -wmin / scale  # float zp, not rounded (reference keeps it float)
+    q = jnp.clip(f / scale + v + zp, 0.0, maxq)
+    return (scale * (q - zp)).astype(w.dtype)
 
 
 def _group_v(v, w_shape, group_size):

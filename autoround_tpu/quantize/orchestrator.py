@@ -66,6 +66,9 @@ class QuantizeConfig:
     # static attention quantization: collect q/k/v output amax per block
     # (reference experimental/attention.py FP8 attention scales)
     quant_attention: bool = False
+    # tune norm weights + linear biases alongside rounding (reference
+    # enable_norm_bias_tuning, wrapper.py:215,636-746)
+    enable_norm_bias_tuning: bool = False
     # tune N consecutive blocks jointly (reference nblocks /
     # WrapperMultiblock, wrapper.py:748): larger receptive field for the
     # loss at the cost of a bigger tuning problem
@@ -110,6 +113,7 @@ class QuantizeConfig:
             gradient_accumulate_steps=self.gradient_accumulate_steps,
             enable_alg_ext=self.enable_alg_ext,
             optimizer=self.optimizer,
+            enable_norm_bias_tuning=self.enable_norm_bias_tuning,
         )
 
 
@@ -183,6 +187,22 @@ def _batched_block_apply(block_weights, x, cos, sin, cfg, batch: int,
         else:
             outs.append(fn(block_weights, xb))
     return jnp.concatenate(outs, axis=0)
+
+
+def _norm_bias_leaves_for(block: Dict[str, Any]) -> Tuple[str, ...]:
+    """Block-local paths of tunable norm weights and linear biases.
+
+    Norm weights are the 1-D ``*norm*`` leaves (input/post_attention/
+    pre-post_feedforward layernorms, qk_norm gammas); biases are the
+    ``*_bias`` leaves attached to projections.  (Reference wraps these
+    with WrapperLayerNorm/WrapperLlamaNorm and bias_v respectively.)"""
+    out = []
+    for k, v in block.items():
+        if v is None or not hasattr(v, "ndim"):
+            continue
+        if ("norm" in k and v.ndim == 1) or k.endswith("_bias"):
+            out.append(k)
+    return tuple(sorted(out))
 
 
 def _finalize_layer(name, w, scheme, tune_params, tcfg,
@@ -599,9 +619,12 @@ def quantize_model(
                          if mask is not None else jnp.ones_like(nll))
                     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
+            nb_leaves = (_norm_bias_leaves_for(block)
+                         if tcfg.enable_norm_bias_tuning else None)
             best, info = tune_block(
                 block_fn, tune_weights, tune_in, ref_out, schemes, tcfg,
-                mask=mask, lfq_fn=lfq_fn, init_scales=init_scales)
+                mask=mask, lfq_fn=lfq_fn, init_scales=init_scales,
+                norm_bias_leaves=nb_leaves)
             traces[bi] = info["loss_trace"]
             logger.info(
                 "block %d: loss iter0 %.6f -> best %.6f (%.1fs)",
@@ -619,6 +642,16 @@ def quantize_model(
                 act_lf = make_act_quant_linear_fn(schemes, static_scales,
                                                   global_scales)
             qdq_block = block
+            if "_nb" in best:
+                # bake tuned norm/bias perturbations (reference unwrapper
+                # applies best v through the same wo_round qdq,
+                # wrapper.py:664-672)
+                from ..dtypes.intq import qdq_asym_wo_round
+                for nname, p in best["_nb"].items():
+                    leaf = get_by_path(block, nname)
+                    qdq_block = set_by_path(
+                        qdq_block, nname,
+                        qdq_asym_wo_round(leaf, p["v"]).astype(leaf.dtype))
             for lname, scheme in schemes.items():
                 w_orig = get_by_path(block, lname)
                 ql = _finalize_layer(f"blocks.{bi}.{lname}", w_orig,

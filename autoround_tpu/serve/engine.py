@@ -23,6 +23,9 @@ import numpy as np
 
 from ..models import llama
 from ..ops.qmatmul import pack_w4_planes, w4a16_matmul
+from ..ops.qmatmul_ext import (decode_e2m1, fp8_matmul, mxfp4_matmul,
+                               pack_w2_planes, w2a16_matmul,
+                               w4a16_asym_matmul, w8a16_matmul)
 from ..ops.qmatmul_int8 import w4a8_matmul, w8a8_matmul
 from ..quantize.orchestrator import QuantizeResult
 from ..utils.logger import logger
@@ -95,12 +98,17 @@ def _fuse_packed(packed: Dict[str, Tuple[jax.Array, jax.Array]], cfg,
             member_kinds = {kinds.get(k, "w4a16") for k in keys}
             if len(member_kinds) != 1:
                 continue
-            qws = [packed[k][0] for k in keys]
-            scs = [packed[k][1] for k in keys]
+            arities = {len(packed[k]) for k in keys}
+            if len(arities) != 1:
+                continue
+            # concat every payload component (qweight, scales[, zp]) along
+            # O — all kinds lay their first axis out as output channels
+            entries = [packed[k] for k in keys]
             key = f"blocks.{bi}.{fused_name}"
-            out[key] = (jnp.concatenate(qws, axis=0),
-                        jnp.concatenate(scs, axis=0))
-            splits_table[key] = tuple(int(q.shape[0]) for q in qws)
+            out[key] = tuple(
+                jnp.concatenate([e[c] for e in entries], axis=0)
+                for c in range(arities.pop()))
+            splits_table[key] = tuple(int(e[0].shape[0]) for e in entries)
             kinds[key] = next(iter(member_kinds))
     return out, splits_table, kinds
 
@@ -122,15 +130,48 @@ def _serving_kind(s) -> Optional[str]:
     Activation quantization is dynamic per-token sym int8 (at least as
     tight as the tuned static scale; the reference's triton kernels make
     the same choice for dynamic-act schemes).  Returns None when the
-    scheme has no packed path (serves dense qdq bf16)."""
+    scheme has no packed path (serves dense qdq bf16).
+
+    Weight-only breadth beyond W4-sym (reference triton quant_matmul_248
+    covers 2/4/8-bit sym+asym; backend table routes FP8/MXFP4):
+
+      * ``w4a16_asym`` — int4 with per-group zero-point (rank-1 zp
+        correction fused, ``ops/qmatmul_ext``)
+      * ``w2a16`` / ``w8a16`` — 2-bit (16-plane words) / int8 group
+      * ``fp8`` — e4m3 weights, per-channel scale epilogue
+      * ``mxfp4_g32`` / ``mxfp4_g16`` — E2M1 codes + 32/16-wide group
+        scales (NVFP4's global scale pre-multiplied at pack time)"""
     act_int8 = (s.act_bits == 8 and s.act_data_type == "int" and s.act_sym)
     g = s.group_size if isinstance(s.group_size, int) else 0
-    if s.data_type == "int" and s.bits == 4 and s.sym and g >= 128:
-        return "w4a8" if act_int8 else "w4a16"
-    if (s.data_type == "int" and s.bits == 8 and s.sym and g <= 0
-            and act_int8):
-        return "w8a8"
+    if s.data_type == "int" and s.bits == 4 and g >= 128:
+        if s.sym:
+            return "w4a8" if act_int8 else "w4a16"
+        return "w4a16_asym"
+    if s.data_type == "int" and s.bits == 2 and s.sym and g >= 128:
+        return "w2a16"
+    if s.data_type == "int" and s.bits == 8 and s.sym:
+        if g <= 0 and act_int8:
+            return "w8a8"
+        return "w8a16"
+    if s.data_type == "fp8" and g <= 0 and not isinstance(s.group_size,
+                                                          tuple):
+        return "fp8"
+    if s.data_type in ("mx_fp", "nv_fp") and s.bits == 4 and g in (16, 32):
+        return f"mxfp4_g{g}"
     return None
+
+
+_E2M1_TABLE = np.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
+                        -0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0],
+                       np.float32)
+
+
+def _encode_e2m1(vals: np.ndarray) -> np.ndarray:
+    """Nearest-E2M1 code per element (tuned qdq values sit exactly on the
+    grid, so 'nearest' is exact; inverse of ops.qmatmul_ext.decode_e2m1)."""
+    d = np.abs(vals[..., None] - _E2M1_TABLE[None, None, :])
+    # prefer positive codes on ties (|v - 0.0| == |v - (-0.0)|)
+    return np.argmin(d, axis=-1).astype(np.int32)
 
 
 @dataclass(eq=False)
@@ -182,6 +223,32 @@ class QuantizedLlama:
                                 ).astype(np.uint32)
                 qw = pack_w4_planes(jnp.asarray(codes.astype(np.int32)), g)
                 packed[name] = (qw, jnp.asarray(scale))
+            elif (kind == "w4a16_asym" and ql.zp is not None
+                  and K % (8 * g) == 0):
+                scale = np.asarray(ql.scale, np.float32)
+                zp = np.asarray(ql.zp, np.float32)
+                srep = np.repeat(scale, g, axis=1)[:, :K]
+                zrep = np.repeat(zp, g, axis=1)[:, :K]
+                srep = np.where(np.abs(srep) < 1e-12, 1e-12, srep)
+                codes = np.clip(np.rint(qdq / srep + zrep), 0, 15
+                                ).astype(np.int32)
+                qw = pack_w4_planes(jnp.asarray(codes), g)
+                packed[name] = (qw, jnp.asarray(scale), jnp.asarray(zp))
+            elif kind == "w2a16" and K % (16 * g) == 0:
+                scale = np.asarray(ql.scale, np.float32)
+                srep = np.repeat(scale, g, axis=1)[:, :K]
+                srep = np.where(np.abs(srep) < 1e-12, 1e-12, srep)
+                codes = np.clip(np.rint(qdq / srep) + 2, 0, 3
+                                ).astype(np.int32)
+                qw = pack_w2_planes(jnp.asarray(codes), g)
+                packed[name] = (qw, jnp.asarray(scale))
+            elif kind == "w8a16" and K % 256 == 0 and O % 256 == 0:
+                gg = g if g > 0 else K
+                scale = np.asarray(ql.scale, np.float32).reshape(O, -1)
+                srep = np.repeat(scale, gg, axis=1)[:, :K]
+                srep = np.where(np.abs(srep) < 1e-12, 1e-12, srep)
+                wi = np.clip(np.rint(qdq / srep), -128, 127).astype(np.int8)
+                packed[name] = (jnp.asarray(wi), jnp.asarray(scale))
             elif kind == "w8a8" and K % 256 == 0 and O % 256 == 0:
                 # per-channel int8 codes straight off the tuned qdq grid
                 # (sym full-range scales are SIGNED — preserve the sign,
@@ -192,6 +259,25 @@ class QuantizedLlama:
                 wi = np.clip(np.rint(qdq / sc[:, None]), -128, 127
                              ).astype(np.int8)
                 packed[name] = (jnp.asarray(wi), jnp.asarray(sc))
+            elif kind == "fp8":
+                sc = np.asarray(ql.scale, np.float32).reshape(O, -1)[:, 0]
+                sc = np.where(np.abs(sc) < 1e-12, 1e-12, sc)
+                wf8 = jnp.asarray(qdq / sc[:, None]).astype(
+                    jnp.float8_e4m3fn)
+                packed[name] = (wf8, jnp.asarray(sc))
+            elif kind in ("mxfp4_g16", "mxfp4_g32") and K % 1024 == 0:
+                # E2M1 codes; scale carries the MX pow2 (and NVFP4's
+                # global x e4m3 product — already folded into ql.scale)
+                scale = np.asarray(ql.scale, np.float32).reshape(O, -1)
+                srep = np.repeat(scale, g, axis=1)[:, :K]
+                srep = np.where(np.abs(srep) < 1e-12, 1e-12, srep)
+                codes = _encode_e2m1(qdq / srep)
+                qw = pack_w4_planes(jnp.asarray(codes), 128)
+                from ..ops.qmatmul_ext import mx_scale_cols
+                scp = mx_scale_cols(K, g)   # lane-pad for the kernel layout
+                if scale.shape[1] != scp:
+                    scale = np.pad(scale, ((0, 0), (0, scp - scale.shape[1])))
+                packed[name] = (qw, jnp.asarray(scale))
             else:
                 continue  # stays as qdq bf16 weights (fake-quant serving)
             kinds[name] = kind
@@ -292,11 +378,32 @@ class QuantizedLlama:
 
     # -- linear interceptor: packed kernel or dense fallback --
     @staticmethod
-    def _packed_matmul(x, qw, scales, kind: str):
-        """Dispatch one packed projection to its serving kernel."""
+    def _packed_matmul(x, entry, kind: str):
+        """Dispatch one packed projection entry to its serving kernel.
+
+        ``entry`` is the packed payload tuple: (qweight, scales) for most
+        kinds, (qweight, scales, zp) for asym.  Group size is derived
+        from the static shapes so it never rides in the traced pytree."""
+        qw, scales = entry[0], entry[1]
         if kind == "w8a8":
             return w8a8_matmul(x, qw, scales)
+        if kind == "fp8":
+            return fp8_matmul(x, qw, scales)
+        if kind == "w8a16":
+            K = qw.shape[1]
+            ncols = scales.shape[1]
+            return w8a16_matmul(x, qw, scales, 0 if ncols == 1 else K // ncols)
+        if kind == "w2a16":
+            group_size = (qw.shape[1] * 16) // scales.shape[1]
+            return w2a16_matmul(x, qw, scales, group_size)
         group_size = (qw.shape[1] * 8) // scales.shape[1]
+        if kind == "w4a16_asym":
+            return w4a16_asym_matmul(x, qw, scales, entry[2], group_size)
+        if kind in ("mxfp4_g16", "mxfp4_g32"):
+            # group size rides in the STATIC kind string — shape-based
+            # recovery is ambiguous (padded g=32 cols == exact g=16 cols
+            # at K=2048)
+            return mxfp4_matmul(x, qw, scales, int(kind.rsplit("_g", 1)[1]))
         if kind == "w4a8":
             return w4a8_matmul(x, qw, scales, group_size)
         return w4a16_matmul(x, qw, scales, group_size)
@@ -306,9 +413,8 @@ class QuantizedLlama:
         def lf(name, x, w, b=None):
             key = f"blocks.{block_idx}.{name}"
             if key in packed:
-                qw, scales = packed[key][:2]
                 kind = (kinds or {}).get(key, "w4a16")
-                y = QuantizedLlama._packed_matmul(x, qw, scales, kind)
+                y = QuantizedLlama._packed_matmul(x, packed[key], kind)
             else:
                 y = jnp.einsum("...i,oi->...o", x, w)
             if b is not None:
@@ -326,9 +432,8 @@ class QuantizedLlama:
         entry = packed.get(key)
         if entry is None or splits_table is None or key not in splits_table:
             return None
-        qw, scales = entry
         kind = (kinds or {}).get(key, "w4a16")
-        y = QuantizedLlama._packed_matmul(x, qw, scales, kind)
+        y = QuantizedLlama._packed_matmul(x, entry, kind)
         outs = []
         off = 0
         for s in splits_table[key]:

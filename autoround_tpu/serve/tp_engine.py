@@ -97,9 +97,8 @@ def _make_tp_linear_fn(packed, block_idx: int, kinds=None):
     def lf(name, x, w, b=None):
         key = f"blocks.{block_idx}.{name}"
         if key in packed:
-            qw, scales = packed[key][:2]
             kind = (kinds or {}).get(key, "w4a16")
-            y = QuantizedLlama._packed_matmul(x, qw, scales, kind)
+            y = QuantizedLlama._packed_matmul(x, packed[key], kind)
         else:
             y = jnp.einsum("...i,oi->...o", x, w)
         if name in _ROW:

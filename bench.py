@@ -1,89 +1,177 @@
-"""Benchmark: W4A16 fused dequant-matmul decode throughput vs BF16.
+"""Benchmark: model-level Llama-3-8B W4A16 decode throughput vs BF16.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Shapes are the Llama-3-8B MLP projection (K=4096 -> O=14336) at decode
-batch 8 — the HBM-bound regime where weight-only int4 should approach a
-4x win over BF16 (BASELINE.json north star: >=4x BF16 decode tok/s/chip).
+This is the BASELINE.json target metric (Llama-3-8B decode tok/s/chip):
+a fully packed W4A16-g128 serving engine (all 32 blocks' projections in
+the nibble-plane Pallas layout, int8 KV cache) decodes at batch 32
+through ``generate_scan`` (one on-device ``lax.scan`` — no per-token
+dispatch over the tunnel).
 
-Timing is fully device-side (lax.scan over iterations with a data
-dependency between steps); only scalars cross the host link — the axon
-tunnel makes per-call dispatch and bulk transfers dominate otherwise.
+The BF16 32-layer model does not fit the 16 GB chip (16 GB of weights
+alone), so the BF16 baseline is measured at 16 and 4 layers and
+extrapolated affinely in layer count (decode cost is a + b*L: blocks are
+identical; embed/head/sampling is the intercept).  That impossibility is
+itself the headline: 8B BF16 cannot be served on this chip at all.
+
+Packed weights are synthesized DIRECTLY on device (random int32 words +
+group scales) — bit-identical layout/compute to a real quantized model,
+no 16 GB host->device stream over the ~30 MB/s tunnel.
+
+Timing notes (axon): generate_scan specializes on max_new_tokens, so
+both scan lengths are compiled AND run once before the timed pass; a
+scalar fetch forces completion (block_until_ready can return early over
+the tunnel).
 """
 
+import dataclasses
 import json
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def chained(fn, iters):
-    """Run fn iters times with a serializing data dependency, jitted once."""
+def make_packed_engine(cfg, max_seq, key, g=128):
+    """Fully packed W4A16 engine with device-synthesized weights."""
+    from autoround_tpu.serve import QuantizedLlama
+    from autoround_tpu.serve.engine import _fuse_packed
 
-    def body(x, _):
-        y = fn(x)
-        # fold a scalar of y back into x to serialize without reshaping
-        x = x * (1.0 + 0.0 * jax.lax.stop_gradient(y[0, 0]).astype(x.dtype))
-        return x, ()
+    H, hd = cfg.hidden_size, cfg.hd
+    qd, kvd = cfg.num_heads * hd, cfg.num_kv_heads * hd
+    shapes = {
+        "q_proj": (qd, H), "k_proj": (kvd, H), "v_proj": (kvd, H),
+        "o_proj": (H, qd),
+        "gate_proj": (cfg.intermediate_size, H),
+        "up_proj": (cfg.intermediate_size, H),
+        "down_proj": (H, cfg.intermediate_size),
+    }
+    packed = {}
+    keys = jax.random.split(key, 2 * len(shapes))
+    kit = iter(keys)
+    per_layer = {}
+    for n, (O, K) in shapes.items():
+        # one random payload per projection name, shared across blocks —
+        # identical compute/bytes, 32x less generation time
+        gl = g if K >= 8 * g else K // 8     # layout needs 8*g | K
+        qw = jax.random.randint(next(kit), (O, K // 8),
+                                jnp.iinfo(jnp.int32).min,
+                                jnp.iinfo(jnp.int32).max, jnp.int32)
+        sc = jax.random.uniform(next(kit), (O, K // gl), jnp.float32,
+                                0.008, 0.012)
+        per_layer[n] = (qw, sc)
+    for i in range(cfg.num_layers):
+        for n in shapes:
+            packed[f"blocks.{i}.{n}"] = per_layer[n]
+    kE = jax.random.split(key, 3)
+    blocks = [{**{n: None for n in shapes},
+               "input_layernorm": jnp.ones((H,), jnp.bfloat16),
+               "post_attention_layernorm": jnp.ones((H,), jnp.bfloat16)}
+              for _ in range(cfg.num_layers)]
+    params = {
+        "embed_tokens": (jax.random.normal(kE[0], (cfg.vocab_size, H),
+                                           jnp.bfloat16) * 0.02),
+        "norm": jnp.ones((H,), jnp.bfloat16),
+        "blocks": blocks,
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = (jax.random.normal(kE[1], (cfg.vocab_size, H),
+                                               jnp.bfloat16) * 0.02)
+    fused, splits, kinds = _fuse_packed(packed, cfg)
+    return QuantizedLlama(cfg=cfg, params=params, packed=fused,
+                          max_seq=max_seq, kv_quant="int8",
+                          fused_splits=splits, packed_kinds=kinds)
 
-    @jax.jit
-    def run(x):
-        x, _ = jax.lax.scan(body, x, None, length=iters)
-        return x
 
-    return run
+def make_bf16_engine(cfg, max_seq, key):
+    from autoround_tpu.serve import QuantizedLlama
+
+    H, hd = cfg.hidden_size, cfg.hd
+    qd, kvd = cfg.num_heads * hd, cfg.num_kv_heads * hd
+    shapes = {
+        "q_proj": (qd, H), "k_proj": (kvd, H), "v_proj": (kvd, H),
+        "o_proj": (H, qd),
+        "gate_proj": (cfg.intermediate_size, H),
+        "up_proj": (cfg.intermediate_size, H),
+        "down_proj": (H, cfg.intermediate_size),
+    }
+    ks = jax.random.split(key, len(shapes) + 2)
+    shared = {n: jax.random.normal(k, s, jnp.bfloat16) * 0.02
+              for (n, s), k in zip(shapes.items(), ks)}
+    blocks = [{**shared,
+               "input_layernorm": jnp.ones((H,), jnp.bfloat16),
+               "post_attention_layernorm": jnp.ones((H,), jnp.bfloat16)}
+              for _ in range(cfg.num_layers)]
+    params = {
+        "embed_tokens": jax.random.normal(ks[-2], (cfg.vocab_size, H),
+                                          jnp.bfloat16) * 0.02,
+        "norm": jnp.ones((H,), jnp.bfloat16),
+        "blocks": blocks,
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = jax.random.normal(
+            ks[-1], (cfg.vocab_size, H), jnp.bfloat16) * 0.02
+    return QuantizedLlama(cfg=cfg, params=params, packed={},
+                          max_seq=max_seq, kv_quant="int8")
 
 
-def time_it(run, x, iters, warmup=2):
-    for _ in range(warmup):
-        run(x).block_until_ready()
+def time_decode(engine, ids, steps=24):
+    """Per-step decode latency; warm BOTH scan lengths first (each
+    max_new_tokens is its own executable — a cold one would put a 10-40 s
+    remote compile inside the timed region)."""
+    for n in (2, 2 + steps):
+        toks = engine.generate_scan(ids, max_new_tokens=n)
+        _ = int(np.asarray(toks[0, -1]))
     t0 = time.perf_counter()
-    run(x).block_until_ready()
-    dt = time.perf_counter() - t0
-    return dt / iters
+    toks = engine.generate_scan(ids, max_new_tokens=2 + steps)
+    _ = int(np.asarray(toks[0, -1]))
+    t1 = time.perf_counter()
+    t0b = time.perf_counter()
+    toks = engine.generate_scan(ids, max_new_tokens=2)
+    _ = int(np.asarray(toks[0, -1]))
+    t1b = time.perf_counter()
+    return ((t1 - t0) - (t1b - t0b)) / steps
 
 
 def main():
-    from autoround_tpu.ops.qmatmul import pack_w4_planes, w4a16_matmul
+    from autoround_tpu.models import llama
 
-    B, K, O, g = 64, 4096, 14336, 128  # serving batch (continuous batching)
-    iters = 100
+    cfg = llama.CONFIG_PRESETS["llama3-8b"]
+    BS, MAX_SEQ, PROMPT = 32, 512, 128
     key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (B, K), jnp.bfloat16)
-    wbf = jax.random.normal(key, (O, K), jnp.bfloat16) * 0.02
-    codes = jax.random.randint(key, (O, K), 0, 16, jnp.int32)
-    qw = pack_w4_planes(codes, g)
-    scales = jax.random.uniform(key, (O, K // g), jnp.float32, 0.008, 0.012)
+    prompt = jax.device_put(np.random.default_rng(2).integers(
+        0, cfg.vocab_size, (BS, PROMPT)).astype(np.int32))
 
-    bf16_fn = lambda x: jax.lax.dot_general(
-        x, wbf, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    w4_fn = lambda x: w4a16_matmul(x, qw, scales, g)
+    eng = make_packed_engine(cfg, MAX_SEQ, key)
+    t_w4 = time_decode(eng, prompt)
+    toks_w4 = BS / t_w4
+    del eng
 
-    t_bf16 = time_it(chained(bf16_fn, iters), x, iters)
-    t_w4 = time_it(chained(w4_fn, iters), x, iters)
-
-    # tokens/s for this layer: each call processes B tokens
-    toks_w4 = B / t_w4
+    ts = {}
+    for L in (16, 4):
+        cfgL = dataclasses.replace(cfg, num_layers=L)
+        engL = make_bf16_engine(cfgL, MAX_SEQ, key)
+        ts[L] = time_decode(engL, prompt)
+        del engL
+    slope = (ts[16] - ts[4]) / 12.0
+    t_bf16 = ts[16] + slope * (cfg.num_layers - 16)
     speedup = t_bf16 / t_w4
-    hbm_bytes_w4 = O * K // 2 + O * (K // g) * 4
-    gbps = hbm_bytes_w4 / t_w4 / 1e9
 
     print(json.dumps({
-        "metric": "w4a16_decode_matmul_tokens_per_s",
+        "metric": "llama3_8b_w4a16_decode_tok_s_per_chip",
         "value": round(toks_w4, 1),
-        "unit": f"tok/s/chip (4Kx14K layer, bs{B})",
+        "unit": f"tok/s/chip (full 8B model, bs{BS}, int8 KV)",
         "vs_baseline": round(speedup, 3),
         "detail": {
-            "t_bf16_us": round(t_bf16 * 1e6, 1),
-            "t_w4_us": round(t_w4 * 1e6, 1),
-            "w4_hbm_gbps": round(gbps, 1),
-            "note": "this chip is MXU-pass-bound at decode batches; the "
-                    "W4 win is HBM residency + near-free batch scaling "
-                    "(measured: bs8 354us -> bs128 681us)",
+            "w4_step_ms": round(t_w4 * 1e3, 2),
+            "bf16_step_ms_extrapolated": round(t_bf16 * 1e3, 2),
+            "bf16_16L_ms": round(ts[16] * 1e3, 2),
+            "bf16_4L_ms": round(ts[4] * 1e3, 2),
+            "note": "BF16 8B does not fit the 16 GB chip (extrapolated "
+                    "affine in L from 16/4-layer engines); W4A16 serves "
+                    "the full model on-chip",
         },
     }))
 

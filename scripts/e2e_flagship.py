@@ -1,0 +1,177 @@
+"""Flagship end-to-end run on the real chip: quantize a Llama-3-8B-class
+model (W4A16 g128, default recipe) with host-offloaded FP weights, build
+the packed serving engine, and measure model-level decode tok/s vs a BF16
+baseline.
+
+The BF16 32-layer model does not fit the 16 GB chip, so the baseline is
+measured at 16 and 4 layers and extrapolated linearly in layer count
+(t(L) = a + b*L — decode cost is affine in blocks; embed/head/dispatch is
+the intercept).
+
+Usage:
+  python scripts/e2e_flagship.py --preset llama3-8b --iters 200 \
+      --nsamples 128 --seqlen 2048 [--skip-quant]
+
+Writes a JSON summary to --out (default /tmp/e2e_flagship.json).
+"""
+
+import argparse
+import dataclasses
+import gc
+import json
+import time
+
+import numpy as np
+
+
+def host_init_params(cfg, seed=0):
+    """Random-init the parameter pytree as HOST numpy bf16 (init_params
+    would allocate on the TPU — 16 GB for 8B — before offload kicks in)."""
+    import ml_dtypes
+    rng = np.random.default_rng(seed)
+    bf16 = ml_dtypes.bfloat16
+    H, hd = cfg.hidden_size, cfg.hd
+    qd, kvd = cfg.num_heads * hd, cfg.num_kv_heads * hd
+    shapes = {
+        "q_proj": (qd, H), "k_proj": (kvd, H), "v_proj": (kvd, H),
+        "o_proj": (H, qd),
+        "gate_proj": (cfg.intermediate_size, H),
+        "up_proj": (cfg.intermediate_size, H),
+        "down_proj": (H, cfg.intermediate_size),
+    }
+    blocks = []
+    for _ in range(cfg.num_layers):
+        b = {n: (rng.standard_normal(s, np.float32) * 0.02).astype(bf16)
+             for n, s in shapes.items()}
+        b["input_layernorm"] = np.ones((H,), bf16)
+        b["post_attention_layernorm"] = np.ones((H,), bf16)
+        blocks.append(b)
+    params = {
+        "embed_tokens": (rng.standard_normal((cfg.vocab_size, H), np.float32)
+                         * 0.02).astype(bf16),
+        "norm": np.ones((H,), bf16),
+        "blocks": blocks,
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = (rng.standard_normal((cfg.vocab_size, H),
+                                                 np.float32) * 0.02
+                             ).astype(bf16)
+    return params
+
+
+def time_decode(engine, ids, steps=24):
+    """Mean per-step decode latency via generate_scan (on-device loop).
+
+    Both scan lengths are compiled AND executed once before timing —
+    generate_scan specializes on max_new_tokens, so an unwarmed length
+    would put a 10-40 s remote compile inside the timed region."""
+    for n in (2, 2 + steps):  # warm both executables
+        toks = engine.generate_scan(ids, max_new_tokens=n)
+        _ = int(np.asarray(toks[0, -1]))  # force completion (axon quirk)
+    t0 = time.perf_counter()
+    toks = engine.generate_scan(ids, max_new_tokens=2 + steps)
+    _ = int(np.asarray(toks[0, -1]))
+    t1 = time.perf_counter()
+    t0b = time.perf_counter()
+    toks = engine.generate_scan(ids, max_new_tokens=2)
+    _ = int(np.asarray(toks[0, -1]))
+    t1b = time.perf_counter()
+    return ((t1 - t0) - (t1b - t0b)) / steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="llama3-8b")
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--nsamples", type=int, default=128)
+    ap.add_argument("--seqlen", type=int, default=2048)
+    ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--decode-bs", type=int, default=32)
+    ap.add_argument("--max-seq", type=int, default=1024)
+    ap.add_argument("--out", default="/tmp/e2e_flagship.json")
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from autoround_tpu import AutoRound
+    from autoround_tpu.models import llama
+    from autoround_tpu.serve import QuantizedLlama
+
+    summary = {"preset": args.preset, "iters": args.iters,
+               "nsamples": args.nsamples, "seqlen": args.seqlen}
+    cfg = llama.CONFIG_PRESETS[args.preset]
+    nparams = sum(int(np.prod(s)) for s in [
+        (cfg.vocab_size, cfg.hidden_size)]) * (
+        1 if cfg.tie_embeddings else 2)
+    print(f"== init {args.preset} on host ==", flush=True)
+    t0 = time.perf_counter()
+    params = host_init_params(cfg)
+    print(f"host init: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    ids = np.random.default_rng(1).integers(
+        0, cfg.vocab_size, (args.nsamples, args.seqlen)).astype(np.int32)
+
+    print("== quantize (offload, default recipe) ==", flush=True)
+    t0 = time.perf_counter()
+    ar = AutoRound((params, cfg), scheme="W4A16", iters=args.iters,
+                   batch_size=args.bs, offload_params=True)
+    res = ar.quantize(ids)
+    tq = time.perf_counter() - t0
+    summary["quant_wall_s"] = round(tq, 1)
+    print(f"quantize wall-clock: {tq/60:.1f} min", flush=True)
+
+    # free calibration leftovers before serving
+    gc.collect()
+
+    print("== build packed engine ==", flush=True)
+    t0 = time.perf_counter()
+    eng = QuantizedLlama.from_quantize_result(
+        res, cfg, max_seq=args.max_seq, kv_quant="int8")
+    del res
+    gc.collect()
+    summary["pack_wall_s"] = round(time.perf_counter() - t0, 1)
+
+    prompt = np.random.default_rng(2).integers(
+        0, cfg.vocab_size, (args.decode_bs, 128)).astype(np.int32)
+    print("== decode timing (W4A16 packed) ==", flush=True)
+    t_w4 = time_decode(eng, prompt)
+    toks_w4 = args.decode_bs / t_w4
+    summary["w4_decode_step_ms"] = round(t_w4 * 1e3, 2)
+    summary["w4_decode_tok_s"] = round(toks_w4, 1)
+    print(f"W4A16 decode: {t_w4*1e3:.1f} ms/step -> {toks_w4:.0f} tok/s "
+          f"@bs{args.decode_bs}", flush=True)
+    del eng
+    gc.collect()
+
+    if not args.skip_baseline:
+        print("== BF16 baseline (16L + 4L affine extrapolation) ==",
+              flush=True)
+        ts = {}
+        for L in (16, 4):
+            cfgL = dataclasses.replace(cfg, num_layers=L)
+            pL = {k: v for k, v in params.items() if k != "blocks"}
+            pL["blocks"] = params["blocks"][:L]
+            pL = jax.tree.map(jnp.asarray, pL)
+            engL = QuantizedLlama(cfg=cfgL, params=pL, packed={},
+                                  max_seq=args.max_seq, kv_quant="int8")
+            ts[L] = time_decode(engL, prompt)
+            print(f"bf16 {L}L: {ts[L]*1e3:.1f} ms/step", flush=True)
+            del engL, pL
+            gc.collect()
+        slope = (ts[16] - ts[4]) / 12.0
+        t_bf16 = ts[16] + slope * (cfg.num_layers - 16)
+        summary["bf16_decode_step_ms_extrap"] = round(t_bf16 * 1e3, 2)
+        summary["bf16_16L_ms"] = round(ts[16] * 1e3, 2)
+        summary["bf16_4L_ms"] = round(ts[4] * 1e3, 2)
+        summary["w4_vs_bf16"] = round(t_bf16 / t_w4, 3)
+        print(f"BF16 extrapolated {cfg.num_layers}L: {t_bf16*1e3:.1f} "
+              f"ms/step -> W4 speedup {t_bf16/t_w4:.2f}x", flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
