@@ -43,6 +43,12 @@ class AutoRound:
         self,
         model,
         scheme: Union[str, dict, QuantizationScheme] = "W4A16",
+        tokenizer=None,
+        dataset: Optional[str] = None,
+        nsamples: int = 128,
+        seqlen: int = 2048,
+        apply_chat_template: bool = False,
+        system_prompt: Optional[str] = None,
         iters: int = 200,
         lr: Optional[float] = None,
         minmax_lr: Optional[float] = None,
@@ -137,9 +143,29 @@ class AutoRound:
             dynamic_max_gap=dynamic_max_gap,
             gradient_accumulate_steps=gradient_accumulate_steps,
             **extra)
+        # dataset spec resolved lazily at quantize() time (reference
+        # passes dataset/tokenizer to the compressor and tokenizes during
+        # calibration, calib_dataset.py:1136)
+        self.tokenizer = tokenizer
+        self._dataset_spec = dict(
+            dataset=dataset, nsamples=nsamples, seqlen=seqlen,
+            apply_chat_template=apply_chat_template,
+            system_prompt=system_prompt)
         self.result: Optional[QuantizeResult] = None
 
-    def quantize(self, input_ids, mask=None) -> QuantizeResult:
+    def quantize(self, input_ids=None, mask=None) -> QuantizeResult:
+        if input_ids is None:
+            spec = self._dataset_spec
+            if spec["dataset"] is None:
+                raise ValueError("quantize() needs input_ids, or construct "
+                                 "AutoRound with dataset=...")
+            from .quantize.calib_data import get_calib_batch
+            input_ids, mask = get_calib_batch(
+                spec["dataset"], nsamples=spec["nsamples"],
+                seqlen=spec["seqlen"], tokenizer=self.tokenizer,
+                vocab_size=self.model_cfg.vocab_size, seed=self.cfg.seed,
+                apply_chat_template=spec["apply_chat_template"],
+                system_prompt=spec["system_prompt"])
         if isinstance(input_ids, dict):
             input_ids = {k: jnp.asarray(v) for k, v in input_ids.items()}
             ids_for_log = input_ids.get(

@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dataset name, local:<path>, or .npy token file")
     p.add_argument("--tokenizer", default=None,
                    help="tokenizer dir (defaults to --model)")
+    p.add_argument("--apply-chat-template", action="store_true",
+                   help="render calib text through the tokenizer's chat "
+                        "template (instruct models)")
+    p.add_argument("--system-prompt", default=None,
+                   help="optional system turn for --apply-chat-template")
     p.add_argument("--output", default="quantized/")
     p.add_argument("--format", default="fake",
                    help="fake | autoround | gptq | awq | llm_compressor | "
@@ -122,7 +127,9 @@ def main(argv=None) -> int:
     else:
         ids, mask = get_calib_batch(
             args.dataset, nsamples=nsamples, seqlen=seqlen,
-            tokenizer=tokenizer, vocab_size=cfg.vocab_size, seed=args.seed)
+            tokenizer=tokenizer, vocab_size=cfg.vocab_size, seed=args.seed,
+            apply_chat_template=args.apply_chat_template,
+            system_prompt=args.system_prompt)
 
     scheme = args.scheme
     if args.avg_bits is not None:

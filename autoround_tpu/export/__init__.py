@@ -104,13 +104,20 @@ def save_quantized(result, model_cfg, output_dir: str,
         save_file(tensors, os.path.join(output_dir, "model.safetensors"))
     elif format in ("autoround", "gptq", "awq", "llm_compressor"):
         from .formats import (
-            awq_pack_layer, gptq_pack_layer, llmcompressor_config)
+            awq_pack_layer, ct_float_layer, ct_pack_layer, gptq_pack_layer,
+            llmcompressor_config)
 
         flat = _flatten_params(result.params)
         quant_names = set(result.layers)
         tensors = {k: v for k, v in flat.items() if k not in quant_names}
         for name, ql in result.layers.items():
             gs = ql.scheme.group_size
+            if format == "llm_compressor" and ql.scheme.data_type.startswith(
+                    "fp8") and not isinstance(gs, tuple):
+                payload = ct_float_layer(ql)
+                for pk, pv in payload.items():
+                    tensors[f"{name}.{pk}"] = pv
+                continue
             if ql.scheme.data_type != "int" or isinstance(gs, tuple):
                 raise NotImplementedError(
                     f"{format} packed export currently covers int schemes; "
@@ -119,6 +126,8 @@ def save_quantized(result, model_cfg, output_dir: str,
                 payload = gptq_pack_layer(ql)
             elif format == "awq":
                 payload = awq_pack_layer(ql)
+            elif format == "llm_compressor":
+                payload = ct_pack_layer(ql)
             else:
                 qdq = np.asarray(ql.qdq, np.float32)
                 scale = np.asarray(ql.scale, np.float32)

@@ -118,6 +118,75 @@ def awq_unpack_layer(t: Dict[str, np.ndarray], O: int, I: int):
     return codes[:, :I], scale, zp
 
 
+def ct_pack_layer(ql) -> Dict[str, np.ndarray]:
+    """compressed-tensors ``pack-quantized`` tensor layout (the format the
+    reference's ``export_to_llmcompressor`` writer produces for vLLM).
+
+    Semantics note: compressed-tensors quantizes int types onto the
+    *signed* range [-2^(b-1), 2^(b-1)-1] (zero_point 0 when symmetric) and
+    its packer offsets codes by +2^(b-1) back to unsigned before packing
+    LSB-first into int32 — which is exactly this repo's unsigned code + zp
+    convention, so the words below are bit-compatible:
+
+      * ``weight_packed``    (O, ceil(I*bits/32)) int32 — codes packed
+        along the input axis.
+      * ``weight_scale``     (O, G) fp16.
+      * ``weight_zero_point``(ceil(O*bits/32), G) int32 — only when asym;
+        zero points packed along the output axis (packed_dim=0).
+      * ``weight_shape``     [O, I] int32.
+    """
+    codes, scale, zp, g = _codes_scale_zp(ql)
+    bits = ql.scheme.bits
+    if 32 % bits:
+        raise NotImplementedError(
+            f"compressed-tensors pack-quantized needs bits | 32, got {bits}")
+    O, I = codes.shape
+    out = {
+        "weight_packed": pack_rows(codes, bits),           # (O, I*bits/32)
+        "weight_scale": np.ascontiguousarray(scale).astype(np.float16),
+        "weight_shape": np.array([O, I], np.int32),
+    }
+    if ql.zp is not None and not ql.scheme.sym:
+        out["weight_zero_point"] = pack_rows(
+            np.ascontiguousarray(zp.T.astype(np.uint32)), bits).T
+    return out
+
+
+def ct_unpack_layer(t: Dict[str, np.ndarray], bits: int):
+    """Exact inverse of :func:`ct_pack_layer` → (codes, scale, zp|None)."""
+    O, I = (int(x) for x in t["weight_shape"])
+    codes = unpack_rows(t["weight_packed"], bits, I)[:O]
+    scale = t["weight_scale"].astype(np.float32)
+    zp = None
+    if "weight_zero_point" in t:
+        zp = unpack_rows(np.ascontiguousarray(t["weight_zero_point"].T),
+                         bits, O).T.astype(np.int64)
+    return codes, scale, zp
+
+
+def ct_float_layer(ql) -> Dict[str, np.ndarray]:
+    """compressed-tensors ``float-quantized`` layout for FP8 schemes:
+    ``weight`` stored as float8_e4m3fn bit patterns + per-channel/tensor
+    ``weight_scale``.  Uses ml_dtypes for the e4m3 cast (JAX's numpy
+    float8 support)."""
+    import ml_dtypes
+
+    qdq = np.asarray(ql.qdq, np.float32)
+    scale = np.asarray(ql.scale, np.float32)
+    if scale.ndim < 2:          # per-tensor (1,) or per-channel (O,)
+        scale = (scale.reshape(qdq.shape[0], 1)
+                 if scale.size == qdq.shape[0] else
+                 np.broadcast_to(scale.reshape(1, 1),
+                                 (qdq.shape[0], 1)).copy())
+    codes = (qdq / np.repeat(scale, qdq.shape[1] // scale.shape[1], 1)
+             ).astype(ml_dtypes.float8_e4m3fn)
+    return {
+        "weight": codes,
+        "weight_scale": scale.astype(np.float32),
+        "weight_shape": np.array(qdq.shape, np.int32),
+    }
+
+
 def llmcompressor_config(result) -> Dict:
     """compressed-tensors style config (vLLM) for the quantized layers."""
     groups = {}
@@ -136,9 +205,11 @@ def llmcompressor_config(result) -> Dict:
                                if isinstance(s.group_size, int) else None),
             },
         })["targets"].append(name)
+    all_fp8 = all(ql.scheme.data_type.startswith("fp8")
+                  for ql in result.layers.values()) and result.layers
     return {
         "quant_method": "compressed-tensors",
-        "format": "pack-quantized",
+        "format": "float-quantized" if all_fp8 else "pack-quantized",
         "config_groups": {f"group_{i}": v
                           for i, v in enumerate(groups.values())},
     }

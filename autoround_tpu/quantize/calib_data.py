@@ -33,17 +33,62 @@ def register_dataset(name: str):
     return deco
 
 
+def apply_chat_template_to_samples(samples, tokenizer,
+                                   system_prompt: Optional[str] = None
+                                   ) -> List[str]:
+    """Render raw calibration texts through the tokenizer's chat template
+    (role of the reference's ``apply_chat_template_to_samples``,
+    ``calib_dataset.py:86-114``): each sample becomes a user turn (plus an
+    optional system turn) with the generation prompt appended, so
+    instruct-tuned models are calibrated on the token distribution they
+    actually see.  Samples that are already message lists pass through as
+    the conversation.  Falls back to dropping the system turn when the
+    template rejects it (e.g. gemma)."""
+    rendered = []
+    for text in samples:
+        msgs = []
+        if system_prompt:
+            msgs.append({"role": "system", "content": system_prompt})
+        if isinstance(text, list) and text and isinstance(text[0], dict):
+            msgs += text
+        else:
+            msgs.append({"role": "user", "content": text})
+        try:
+            rendered.append(tokenizer.apply_chat_template(
+                msgs, tokenize=False, add_generation_prompt=True))
+        except Exception:
+            warning_once(
+                "chat template rejected the system role; retrying without")
+            msgs = [m for m in msgs if m["role"] != "system"]
+            rendered.append(tokenizer.apply_chat_template(
+                msgs, tokenize=False, add_generation_prompt=True))
+    return rendered
+
+
 def _pack_texts(texts: List[str], tokenizer, nsamples: int, seqlen: int,
-                seed: int) -> Tuple[np.ndarray, np.ndarray]:
+                seed: int, apply_chat_template: bool = False,
+                system_prompt: Optional[str] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
     """Tokenize, keep samples >= half seqlen, pad/truncate to seqlen.
     Pad and trailing positions are masked 0 (the reference marks them -100,
     ``calibration/llm.py:340-360``)."""
     rng = np.random.default_rng(seed)
+    if apply_chat_template:
+        if getattr(tokenizer, "chat_template", None) is None:
+            warning_once("apply_chat_template requested but the tokenizer "
+                         "has no chat template; using raw text")
+        else:
+            texts = apply_chat_template_to_samples(texts, tokenizer,
+                                                   system_prompt)
+    # chat-rendered prompts are naturally short — keep any non-trivial
+    # sample there (the reference pads short chat samples too); raw text
+    # keeps the >= seqlen/2 floor so corpus calib stays information-dense
+    min_len = 4 if apply_chat_template else seqlen // 2
     ids_list = []
     for t in texts:
         toks = tokenizer(t)
         toks = toks["input_ids"] if isinstance(toks, dict) else toks
-        if len(toks) >= seqlen // 2:
+        if len(toks) >= min_len:
             ids_list.append(np.asarray(toks[: seqlen], np.int32))
         if len(ids_list) >= nsamples * 4:
             break
@@ -68,31 +113,37 @@ def _synthetic(nsamples, seqlen, tokenizer=None, vocab_size=32000, seed=42,
 
 
 @register_dataset("local")
-def _local(nsamples, seqlen, tokenizer=None, path=None, seed=42, **_):
+def _local(nsamples, seqlen, tokenizer=None, path=None, seed=42,
+           apply_chat_template=False, system_prompt=None, **_):
     """Local text/json/jsonl file: one sample per line, or a json list of
-    strings / {"text": ...} records (reference 'local' dataset)."""
+    strings / {"text": ...} / {"messages": [...]} records (reference
+    'local' dataset)."""
     assert tokenizer is not None, "local dataset needs a tokenizer"
     texts = []
+
+    def add(item):
+        if isinstance(item, dict):
+            texts.append(item.get("text") or item.get("messages"))
+        else:
+            texts.append(item)
+
     with open(path) as f:
         if path.endswith(".json"):
-            data = json.load(f)
-            for item in data:
-                texts.append(item["text"] if isinstance(item, dict) else item)
+            for item in json.load(f):
+                add(item)
         else:
             for line in f:
                 line = line.strip()
                 if not line:
                     continue
-                if path.endswith(".jsonl"):
-                    rec = json.loads(line)
-                    texts.append(rec["text"] if isinstance(rec, dict) else rec)
-                else:
-                    texts.append(line)
-    return _pack_texts(texts, tokenizer, nsamples, seqlen, seed)
+                add(json.loads(line) if path.endswith(".jsonl") else line)
+    return _pack_texts(texts, tokenizer, nsamples, seqlen, seed,
+                       apply_chat_template, system_prompt)
 
 
 def _hf_dataset(hub_name: str, text_key: str = "text", split: str = "train"):
-    def load(nsamples, seqlen, tokenizer=None, seed=42, **_):
+    def load(nsamples, seqlen, tokenizer=None, seed=42,
+             apply_chat_template=False, system_prompt=None, **_):
         assert tokenizer is not None, f"{hub_name} needs a tokenizer"
         try:
             import datasets
@@ -103,7 +154,7 @@ def _hf_dataset(hub_name: str, text_key: str = "text", split: str = "train"):
             ) from e
         texts = (row[text_key] for row in ds)
         return _pack_texts(list(texts)[: nsamples * 8], tokenizer, nsamples,
-                           seqlen, seed)
+                           seqlen, seed, apply_chat_template, system_prompt)
     return load
 
 
@@ -125,14 +176,19 @@ def get_calib_batch(
     tokenizer=None,
     vocab_size: int = 32000,
     seed: int = 42,
+    apply_chat_template: bool = False,
+    system_prompt: Optional[str] = None,
     **kw,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Resolve a dataset spec into (input_ids, mask).
 
     Accepts: a registered name ("pile-10k", "synthetic", "local:<path>"),
     a raw (nsamples, seqlen) token array, or a list of token lists.
-    Mixing syntax "name1:frac,name2" of the reference is deferred.
+    ``apply_chat_template`` renders text samples through the tokenizer's
+    chat template first (reference ``calib_dataset.py:86-114``).
     """
+    kw.update(apply_chat_template=apply_chat_template,
+              system_prompt=system_prompt)
     if isinstance(dataset, np.ndarray):
         ids = dataset.astype(np.int32)
         return ids, np.ones(ids.shape, np.float32)
@@ -175,7 +231,7 @@ def get_calib_batch(
         if dataset.startswith("local:"):
             return CALIB_DATASETS["local"](
                 nsamples, seqlen, tokenizer=tokenizer,
-                path=dataset.split(":", 1)[1], seed=seed)
+                path=dataset.split(":", 1)[1], seed=seed, **kw)
         if dataset in CALIB_DATASETS:
             return CALIB_DATASETS[dataset](
                 nsamples, seqlen, tokenizer=tokenizer,

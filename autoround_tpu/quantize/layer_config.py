@@ -145,4 +145,24 @@ def apply_gguf_cascade(
                                            data_type="int")
         else:
             out[flat] = type2scheme[t]
+
+    # GGUF files quantize the token embedding too (reference marks the
+    # Embedding module to-quantize on gguf formats and runs
+    # quantize_embedding_layer, quantization/base.py:79-145) — add it to
+    # the plan so the orchestrator quantizes it and re-caches the q-chain
+    if "embed_tokens" not in out:
+        try:
+            _, H = shape_of("embed_tokens")
+        except Exception:
+            H = 0
+        if H:
+            t = (select_layer_qtype(base_t, 0, num_layers, "token_embd", H)
+                 if mixed else base_t)
+            if H % BLOCK_ELEMS.get(t, 1):
+                t = GGMLType.Q8_0 if H % QK == 0 else GGMLType.F16
+            if t == GGMLType.Q8_0:
+                out["embed_tokens"] = QuantizationScheme(
+                    bits=8, group_size=32, sym=True, data_type="int")
+            elif t in type2scheme:
+                out["embed_tokens"] = type2scheme[t]
     return out

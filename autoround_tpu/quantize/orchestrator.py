@@ -323,7 +323,8 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
 
     new_params = dict(params)
     new_params["blocks"] = new_blocks
-    if "lm_head" in layer_schemes:
+    if "lm_head" in layer_schemes and not (
+            "lm_head" not in params and "embed_tokens" in layers):
         head_name = "lm_head" if "lm_head" in params else "embed_tokens"
         w = params.get("lm_head", params["embed_tokens"])
         r = rtn_quantize_layer(w, layer_schemes["lm_head"])
@@ -461,6 +462,26 @@ def quantize_model(
     layers: Dict[str, QuantizedLayer] = {}
     traces: Dict[int, np.ndarray] = {}
     attention_scales: Dict[int, Dict[str, Any]] = {}
+
+    # GGUF-path embedding quantization + q-chain re-cache (reference
+    # compress_embedding_layer, compressors/orchestrator.py:583-594 →
+    # quantization/base.py:79-145): embed_tokens is RTN-quantized up
+    # front and the quantized-input chain restarts from the QDQ embedding
+    # so block tuning compensates embedding damage; the FP reference
+    # chain keeps the FP embedding.
+    if "embed_tokens" in layer_schemes:
+        w_emb = params["embed_tokens"]
+        emb_scheme = layer_schemes["embed_tokens"]
+        r = rtn_quantize_layer(w_emb, emb_scheme)
+        layers["embed_tokens"] = QuantizedLayer(
+            name="embed_tokens", scheme=emb_scheme, qdq=r.qdq,
+            scale=r.scale, zp=r.zp, extras=getattr(r, "extras", None))
+        params = dict(params)
+        params["embed_tokens"] = r.qdq.astype(w_emb.dtype)
+        if x_q is not None:
+            x_q = mfns.embed_fwd(params, input_ids, model_cfg)
+        logger.info("embed_tokens quantized (%s); q-chain re-cached",
+                    emb_scheme.key())
 
     from .. import envs
     from ..utils.memory import MemoryMonitor
@@ -726,7 +747,10 @@ def quantize_model(
     # outside-block layers (lm_head): tuned against the final hidden
     # states when iters > 0 (reference quantize_layer_outside_block,
     # sign_round/quantizer.py:527-722), else RTN
-    if "lm_head" in layer_schemes:
+    if "lm_head" in layer_schemes and not (
+            "lm_head" not in params and "embed_tokens" in layers):
+        # (tied embeddings already quantized above → the output head
+        # reuses the quantized embedding, as llama.cpp does)
         head_name = "lm_head" if "lm_head" in params else "embed_tokens"
         w = params.get("lm_head", params["embed_tokens"])
         scheme = layer_schemes["lm_head"]

@@ -19,9 +19,14 @@ import argparse
 import dataclasses
 import gc
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# repo root on sys.path regardless of invocation directory
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def host_init_params(cfg, seed=0):

@@ -91,6 +91,55 @@ class TestAwq:
             assert nib == codes[logical_o, 0]
 
 
+class TestCompressedTensors:
+    def test_pack_quantized_roundtrip_asym(self):
+        from autoround_tpu.export.formats import ct_pack_layer, ct_unpack_layer
+        ql = make_ql(bits=4, sym=False)
+        t = ct_pack_layer(ql)
+        assert t["weight_packed"].shape == (32, 64 * 4 // 32)
+        assert t["weight_packed"].dtype == np.int32
+        assert t["weight_scale"].shape == (32, 2)
+        assert list(t["weight_shape"]) == [32, 64]
+        assert "weight_zero_point" in t
+        assert t["weight_zero_point"].shape == (32 * 4 // 32, 2)
+        codes, scale, zp = ct_unpack_layer(t, 4)
+        dq = (codes.astype(np.float64)
+              - np.repeat(zp, 32, 1)[:, :64]) * np.repeat(
+                  scale.astype(np.float64), 32, 1)[:, :64]
+        np.testing.assert_allclose(dq, np.asarray(ql.qdq, np.float64),
+                                   rtol=1e-2, atol=1e-3)
+
+    def test_pack_quantized_sym_no_zp(self):
+        from autoround_tpu.export.formats import ct_pack_layer, ct_unpack_layer
+        for bits in (2, 4, 8):
+            ql = make_ql(bits=bits, sym=True)
+            t = ct_pack_layer(ql)
+            assert "weight_zero_point" not in t
+            codes, scale, zp = ct_unpack_layer(t, bits)
+            assert zp is None
+            dq = (codes.astype(np.float64) - 2 ** (bits - 1)) * np.repeat(
+                scale.astype(np.float64), 32, 1)[:, :64]
+            np.testing.assert_allclose(dq, np.asarray(ql.qdq, np.float64),
+                                       rtol=1e-2, atol=1e-3)
+
+    def test_float_quantized_fp8(self):
+        import ml_dtypes
+        from autoround_tpu.dtypes.fp8 import qdq_fp8_sym
+        from autoround_tpu.export.formats import ct_float_layer
+        w = jax.random.normal(jax.random.PRNGKey(3), (16, 32)) * 0.2
+        r = qdq_fp8_sym(w)
+        scheme = parse_scheme("FP8_STATIC")
+        ql = QuantizedLayer(name="l", scheme=scheme, qdq=r.qdq, scale=r.scale,
+                            zp=None)
+        t = ct_float_layer(ql)
+        assert t["weight"].dtype == ml_dtypes.float8_e4m3fn
+        dq = (t["weight"].astype(np.float64)
+              * np.repeat(t["weight_scale"].astype(np.float64),
+                          32 // t["weight_scale"].shape[1], 1))
+        np.testing.assert_allclose(dq, np.asarray(ql.qdq, np.float64),
+                                   rtol=1e-2, atol=1e-3)
+
+
 class TestEndToEnd:
     def test_save_formats(self, tmp_path):
         params = llama.init_params(CFG, jax.random.PRNGKey(0))
@@ -105,3 +154,8 @@ class TestEndToEnd:
                                                "quantization_config.json")))
             if fmt == "llm_compressor":
                 assert "compressed_tensors" in qcfg
+                assert qcfg["compressed_tensors"]["format"] == "pack-quantized"
+                from safetensors.numpy import load_file
+                t = load_file(os.path.join(out, "model.safetensors"))
+                assert any(k.endswith(".weight_packed") for k in t)
+                assert any(k.endswith(".weight_shape") for k in t)

@@ -107,4 +107,6 @@ class TestRegistry:
         ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 128)
         res = AutoRound((params, cfg), scheme="GGUF:Q4_K_S",
                         iters=3, batch_size=2).quantize(ids)
-        assert len(res.layers) == 7
+        # 7 block projections + embed_tokens (GGUF quantizes the embedding)
+        assert len(res.layers) == 8
+        assert "embed_tokens" in res.layers

@@ -278,6 +278,83 @@ class TestPlanTimeCascade:
         # q_proj never upgrades
         assert plan["blocks.0.q_proj"].bits == 4
 
+    def test_embed_tokens_joins_plan(self):
+        """GGUF plans include the token embedding (reference
+        quantize_embedding_layer, quantization/base.py:79-145): mixed
+        rule lifts token_embd to >= Q6_K, plain stays at base type."""
+        import jax.numpy as jnp
+        from autoround_tpu.quantize.layer_config import (
+            apply_gguf_cascade, resolve_layer_schemes)
+
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=256,
+                                intermediate_size=256, num_layers=2,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        plan_s = apply_gguf_cascade(
+            resolve_layer_schemes(cfg.num_layers, ["q_proj"], "GGUF:Q4_K_S"),
+            params, cfg.num_layers, "GGUF:Q4_K_S")
+        assert plan_s["embed_tokens"].bits == 4
+        plan_m = apply_gguf_cascade(
+            resolve_layer_schemes(cfg.num_layers, ["q_proj"], "GGUF:Q4_K_M"),
+            params, cfg.num_layers, "GGUF:Q4_K_M")
+        assert plan_m["embed_tokens"].bits == 6
+
+    def test_embed_quantized_and_qchain_recached(self, tmp_path):
+        """Quantizing a GGUF scheme RTN-quantizes embed_tokens up front,
+        records it in result.layers, and the exported token_embd bytes
+        decode to the embedding qdq."""
+        import jax.numpy as jnp
+        from autoround_tpu import AutoRound
+        from autoround_tpu.export.gguf import dequant_q4_k
+
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=256,
+                                intermediate_size=256, num_layers=2,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 64)
+        ar = AutoRound((params, cfg), scheme="GGUF:Q4_K_S", iters=2,
+                       batch_size=2)
+        res = ar.quantize(ids)
+        assert "embed_tokens" in res.layers
+        orig = np.asarray(params["embed_tokens"], np.float32)
+        qdq = np.asarray(res.params["embed_tokens"], np.float32)
+        assert np.abs(orig - qdq).max() > 0  # actually quantized
+        np.testing.assert_allclose(
+            qdq, np.asarray(res.layers["embed_tokens"].qdq, np.float32),
+            rtol=0, atol=1e-6)
+        out = ar.save_quantized(str(tmp_path / "g"), format="gguf:q4_k_s")
+        import os
+        raws = _read_gguf_tensors(os.path.join(out, "model.gguf"))
+        dq = dequant_q4_k(raws["token_embd.weight"],
+                          qdq.size).reshape(qdq.shape)
+        denom = max(np.abs(qdq).max(), 1e-9)
+        assert np.abs(dq - qdq).max() / denom < 2e-3
+
+    def test_tied_head_reuses_quantized_embedding(self):
+        import jax.numpy as jnp
+        from autoround_tpu import AutoRound
+
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=256,
+                                intermediate_size=256, num_layers=2,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.float32,
+                                tie_embeddings=True)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        assert "lm_head" not in params
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 64)
+        ar = AutoRound((params, cfg), scheme="GGUF:Q4_K_S", iters=0,
+                       quant_lm_head=True)
+        res = ar.quantize(ids)
+        # embed quantized once; no separate lm_head pass re-quantizing it
+        assert "embed_tokens" in res.layers
+        assert "lm_head" not in res.layers
+        np.testing.assert_allclose(
+            np.asarray(res.params["embed_tokens"], np.float32),
+            np.asarray(res.layers["embed_tokens"].qdq, np.float32),
+            rtol=0, atol=1e-6)
+
     def test_divisibility_fallback(self):
         import jax.numpy as jnp
         from autoround_tpu.quantize.layer_config import (
