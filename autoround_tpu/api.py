@@ -108,9 +108,22 @@ class AutoRound:
                 layer_config=layer_config, ignore_layers=ignore_layers,
                 quant_lm_head=quant_lm_head)
         else:
+            from .quantize.layer_config import handle_special_scheme
+            lnames = self._mfns.block_linear_names(cfg)
+            special = handle_special_scheme(scheme, lnames, quant_lm_head)
+            pinned = ()
+            if special is not None:
+                # GGUF:Q2_K_MIXED / W4A16_MIXED recipes (reference
+                # _handle_special_schemes, schemes.py:822) — recipe
+                # overrides lose to explicit user layer_config
+                scheme, overrides, quant_lm_head, _gguf_base = special
+                pinned = tuple(overrides)
+                merged = dict(overrides)
+                merged.update(layer_config or {})
+                layer_config = merged
             self.scheme = parse_scheme(scheme)
             self.layer_schemes = resolve_layer_schemes(
-                cfg.num_layers, self._mfns.block_linear_names(cfg),
+                cfg.num_layers, lnames,
                 self.scheme, layer_config=layer_config,
                 ignore_layers=ignore_layers, quant_lm_head=quant_lm_head)
             if isinstance(scheme, str) and scheme.upper().startswith("GGUF:"):
@@ -120,7 +133,13 @@ class AutoRound:
                 from .quantize.layer_config import apply_gguf_cascade
                 self.layer_schemes = apply_gguf_cascade(
                     self.layer_schemes, params, cfg.num_layers, scheme,
-                    quant_lm_head=quant_lm_head)
+                    quant_lm_head=quant_lm_head, pinned=pinned)
+                if special is not None and "embed_tokens" in \
+                        self.layer_schemes:
+                    # Q2_K_MIXED pins the embedding at Q8_0 (reference
+                    # assigns Embedding modules GGUF:Q8_0)
+                    self.layer_schemes["embed_tokens"] = parse_scheme(
+                        "GGUF:Q8_0")
         # extra kwargs naming QuantizeConfig fields pass through (e.g.
         # quant_attention, resume_dir, immediate_save_dir, cache_batch);
         # anything unrecognized is a loud warning, not a silent no-op

@@ -53,17 +53,28 @@ _E8M0_MAX = 127.0
 
 
 def quant_fp_elements(x: jax.Array, fmt: MxFormat,
-                      v: Optional[jax.Array] = None) -> jax.Array:
+                      v: Optional[jax.Array] = None,
+                      rand: Optional[jax.Array] = None) -> jax.Array:
     """Quantize (already scale-divided) values to the narrow element format.
 
     FP formats: per-element private exponent with subnormal support, RTNE
     mantissa rounding (STE) with optional additive rounding offset ``v``.
     INT formats: fixed-point with ``mbits`` fraction bits.
+
+    ``rand`` (uniform [0,1) per element) switches the mantissa round to
+    stochastic rounding — ``floor(y + u)`` is unbiased in expectation
+    (role of the reference's stochastic element rounding, mxfp.py:49-85).
     """
     vv = 0.0 if v is None else v
+
+    def _round(y):
+        if rand is not None:
+            return floor_ste(y + rand)
+        return round_ste(y + vv)
+
     if fmt.ebits == 0:
         step = 2.0 ** (-fmt.mbits)
-        q = round_ste(x / step + vv) * step
+        q = _round(x / step) * step
         return jnp.clip(q, -fmt.max_norm, fmt.max_norm)
     if (fmt.ebits, fmt.mbits) == (2, 1):
         # E2M1 fast path: the grid {0,±.5,±1,±1.5,±2,±3,±4,±6} is three
@@ -71,9 +82,9 @@ def quant_fp_elements(x: jax.Array, fmt: MxFormat,
         # which compiles and differentiates far cheaper (MX act-quant
         # tuning scans went from pathological to ordinary compile times)
         ax = jnp.abs(x)
-        lo = round_ste(2.0 * x + vv) * 0.5            # |x| < 2, step .5
-        mid = round_ste(x + vv)                       # 2 <= |x| < 4, step 1
-        hi = round_ste(0.5 * x + vv) * 2.0            # |x| >= 4, step 2
+        lo = _round(2.0 * x) * 0.5            # |x| < 2, step .5
+        mid = _round(x)                       # 2 <= |x| < 4, step 1
+        hi = _round(0.5 * x) * 2.0            # |x| >= 4, step 2
         q = jnp.where(ax < 2.0, lo, jnp.where(ax < 4.0, mid, hi))
         return jnp.clip(q, -fmt.max_norm, fmt.max_norm)
     # min normal exponent of a format with bias 2^(ebits-1)-1 and no inf/nan
@@ -83,7 +94,7 @@ def quant_fp_elements(x: jax.Array, fmt: MxFormat,
     private_exp = jnp.floor(jnp.log2(jnp.maximum(ax, 1e-30)))
     private_exp = jnp.maximum(private_exp, float(emin))
     lsb = jnp.exp2(private_exp - fmt.mbits)
-    q = round_ste(x / lsb + vv) * lsb
+    q = _round(x / lsb) * lsb
     return jnp.clip(q, -fmt.max_norm, fmt.max_norm)
 
 
@@ -95,6 +106,7 @@ def qdq_mx(
     max_scale: Optional[jax.Array] = None,
     rounding: str = "floor",
     divisor: Optional[float] = None,
+    stochastic_key: Optional[jax.Array] = None,
     **_,
 ) -> QdqResult:
     """Shared-exponent MX qdq.
@@ -104,6 +116,8 @@ def qdq_mx(
               'rceil_7_25' → like rceil but divide by 7.25 (FP4 only)
     ``max_scale`` (per group, tunable) multiplies the group amax before the
     exponent is taken — this is how minmax tuning reaches the shared scale.
+    ``stochastic_key`` (a PRNG key) switches mantissa rounding to unbiased
+    stochastic rounding (reference mxfp.py:49-85).
     """
     fmt = MX_FORMATS[data_type]
     O, I = w.shape
@@ -130,7 +144,9 @@ def qdq_mx(
     shared_exp = jnp.clip(shared_exp, _E8M0_MIN, _E8M0_MAX)
     scale = jnp.exp2(shared_exp)
 
-    q = quant_fp_elements(wg / scale, fmt, vg)
+    rand = (jax.random.uniform(stochastic_key, wg.shape, compute_dtype)
+            if stochastic_key is not None else None)
+    q = quant_fp_elements(wg / scale, fmt, vg, rand=rand)
     qdq = q * scale
 
     qdq = from_groups(qdq, (O, I), pad).astype(w.dtype)

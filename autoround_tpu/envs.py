@@ -26,6 +26,8 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "AR_WORK_SPACE": lambda: os.environ.get("AR_WORK_SPACE", "/tmp/ar_tpu"),
     # memory log verbosity (per-block memory summaries)
     "AR_LOG_MEMORY": lambda: os.environ.get("AR_LOG_MEMORY", "0") == "1",
+    # jax.profiler trace of the tuning run (utils/profiling.py)
+    "AR_TRACE_DIR": lambda: os.environ.get("AR_TRACE_DIR"),
 }
 
 

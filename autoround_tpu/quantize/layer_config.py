@@ -17,7 +17,36 @@ from typing import Dict, Iterable, Optional, Union
 
 from ..schemes import QuantizationScheme, parse_scheme
 
-__all__ = ["resolve_layer_schemes"]
+__all__ = ["resolve_layer_schemes", "handle_special_scheme"]
+
+
+def handle_special_scheme(scheme, linear_names, quant_lm_head: bool):
+    """Expand the special auto-round recipes (reference
+    ``_handle_special_schemes``, ``schemes.py:822-888``) into
+    (base_scheme, per-layer overrides, effective_quant_lm_head, gguf_base):
+
+      * ``GGUF:Q2_K_MIXED`` — MoE recipe: routed experts tune on the
+        Q2_K grid, everything else Q4_K_S, lm_head/embedding Q8_0.
+      * ``W4A16_MIXED``     — routed experts int4, the rest int8; the
+        lm_head int8 when quant_lm_head.
+
+    Returns None for non-special schemes.
+    """
+    if not isinstance(scheme, str):
+        return None
+    s = scheme.lower()
+    if s == "gguf:q2_k_mixed":
+        overrides = {ln: "GGUF:Q2_K_S" for ln in linear_names
+                     if "experts." in ln and "shared" not in ln}
+        # lm_head/embedding -> Q8_0 (reference assigns both unconditionally)
+        overrides["lm_head"] = QuantizationScheme(
+            bits=8, group_size=32, sym=True, data_type="int")
+        return "GGUF:Q4_K_S", overrides, True, "GGUF:Q4_K_S"
+    if s == "w4a16_mixed":
+        overrides = {ln: "W4A16" for ln in linear_names
+                     if "experts." in ln and "shared" not in ln}
+        return "W8A16", overrides, quant_lm_head, None
+    return None
 
 
 def resolve_layer_schemes(
@@ -54,6 +83,7 @@ def resolve_layer_schemes(
             matched = False
             for n in names:
                 if (n == pattern or n.split(".")[-1] == pattern
+                        or n.endswith("." + pattern)
                         or re.fullmatch(pattern, n)):
                     matched = True
                     plan[n] = (plan[n].with_overrides(**ov_scheme)
@@ -66,6 +96,7 @@ def resolve_layer_schemes(
         for pattern in ignore_layers:
             for n in list(plan):
                 if (n == pattern or n.split(".")[-1] == pattern
+                        or n.endswith("." + pattern)
                         or re.fullmatch(pattern, n)):
                     del plan[n]
 
@@ -79,6 +110,7 @@ def apply_gguf_cascade(
     num_layers: int,
     gguf_name: str,
     quant_lm_head: bool = False,
+    pinned: Iterable[str] = (),
 ) -> Dict[str, QuantizationScheme]:
     """Rewrite a uniform GGUF plan with the export-time per-layer type
     cascade (reference ``backends/gguf.py:485-617``) so each layer TUNES on
@@ -115,6 +147,9 @@ def apply_gguf_cascade(
         from ..utils.pytree import get_by_path
         return get_by_path(params, flat).shape
 
+    pinned = set(pinned)
+    scheme2type = {sch.key(): t for t, sch in type2scheme.items()}
+
     out: Dict[str, QuantizationScheme] = {}
     for flat, s in plan.items():
         parts = flat.split(".")
@@ -130,7 +165,17 @@ def apply_gguf_cascade(
         except Exception:
             out[flat] = s
             continue
-        if mixed:
+        if flat in pinned or any(flat.endswith("." + p) or flat == p
+                                 for p in pinned):
+            # recipe-pinned layer (special mixed schemes): keep its type,
+            # apply only the 256-divisibility fallback
+            t = scheme2type.get(s.key())
+            if t is None:
+                out[flat] = s
+                continue
+            if I % BLOCK_ELEMS.get(t, 1):
+                t = GGMLType.Q8_0 if I % QK == 0 else None
+        elif mixed:
             t = select_layer_qtype(base_t, bi, num_layers, kind, I)
         else:
             # match the export writer's non-mixed path exactly:

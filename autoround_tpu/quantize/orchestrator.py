@@ -529,8 +529,18 @@ def quantize_model(
                                  x_q, cos, sin, tcfg, cfg, mask, layers,
                                  traces, layer_schemes, attention_scales)
 
+    import contextlib as _contextlib
     import time as _time
+    from ..utils.profiling import block_step, maybe_trace
+    _trace = _contextlib.ExitStack()
+    _trace.enter_context(maybe_trace())
+    _ann = None                    # current per-block StepTraceAnnotation
     for bi, block in enumerate(params["blocks"]):
+        if envs.AR_TRACE_DIR:
+            if _ann is not None:
+                _ann.__exit__(None, None, None)
+            _ann = block_step(bi)
+            _ann.__enter__()
         _t_block = _time.time()
         schemes = per_block.get(bi, {})
         if resume is not None and bi < start_block:
@@ -740,6 +750,10 @@ def quantize_model(
             resume.mark_block_done(
                 bi, payload, np.asarray(x_fp),
                 None if x_q is None else np.asarray(x_q))
+
+    if _ann is not None:
+        _ann.__exit__(None, None, None)
+    _trace.close()
 
     new_params = dict(params)
     new_params["blocks"] = new_blocks

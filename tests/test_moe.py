@@ -137,3 +137,61 @@ class TestMoEServing:
             nxt = int(jnp.argmax(lg[0, -1]))
             seq.append(nxt)
         np.testing.assert_array_equal(toks, np.asarray(seq[3:]))
+
+
+class TestSpecialMixedRecipes:
+    """GGUF:Q2_K_MIXED / W4A16_MIXED (reference schemes.py:822-888)."""
+
+    def test_w4a16_mixed_plan(self):
+        params = mixtral.init_params(CFG, jax.random.PRNGKey(0))
+        ar = AutoRound((params, CFG), scheme="W4A16_MIXED", iters=0)
+        plan = ar.layer_schemes
+        assert plan["blocks.0.experts.0.w1"].bits == 4
+        assert plan["blocks.0.experts.3.w3"].bits == 4
+        assert plan["blocks.0.q_proj"].bits == 8
+        assert plan["blocks.1.o_proj"].bits == 8
+        assert "lm_head" not in plan  # quant_lm_head defaults off
+
+    def test_w4a16_mixed_lm_head(self):
+        params = mixtral.init_params(CFG, jax.random.PRNGKey(0))
+        ar = AutoRound((params, CFG), scheme="W4A16_MIXED", iters=0,
+                       quant_lm_head=True)
+        assert ar.layer_schemes["lm_head"].bits == 8
+
+    def test_gguf_q2k_mixed_plan(self):
+        cfg = mixtral.MixtralConfig(
+            vocab_size=256, hidden_size=256, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=2, num_experts=2,
+            top_k=2, rope_theta=1e4, dtype=jnp.float32)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        ar = AutoRound((params, cfg), scheme="GGUF:Q2_K_MIXED", iters=0)
+        plan = ar.layer_schemes
+        # routed experts on the Q2_K grid
+        assert plan["blocks.0.experts.0.w1"].bits == 2
+        assert plan["blocks.0.experts.1.w2"].bits == 2
+        assert plan["blocks.1.experts.0.w3"].bits == 2
+        # everything else Q4_K_S
+        assert plan["blocks.0.q_proj"].bits == 4
+        assert plan["blocks.1.o_proj"].bits == 4
+        # head + embedding at Q8_0 grid
+        assert plan["lm_head"].bits == 8
+        assert plan["embed_tokens"].bits == 8
+
+    def test_user_layer_config_wins(self):
+        params = mixtral.init_params(CFG, jax.random.PRNGKey(0))
+        ar = AutoRound((params, CFG), scheme="W4A16_MIXED", iters=0,
+                       layer_config={"blocks.0.experts.0.w1": "W2A16G64"})
+        assert ar.layer_schemes["blocks.0.experts.0.w1"].bits == 2
+        assert ar.layer_schemes["blocks.0.experts.1.w1"].bits == 4
+
+    def test_q2k_mixed_quantizes(self):
+        cfg = mixtral.MixtralConfig(
+            vocab_size=256, hidden_size=256, intermediate_size=256,
+            num_layers=1, num_heads=4, num_kv_heads=2, num_experts=2,
+            top_k=2, rope_theta=1e4, dtype=jnp.float32)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 256)
+        res = AutoRound((params, cfg), scheme="GGUF:Q2_K_MIXED",
+                        iters=1, batch_size=2).quantize(ids)
+        assert res.layers["blocks.0.experts.0.w1"].scheme.bits == 2
+        assert res.layers["blocks.0.q_proj"].scheme.bits == 4
