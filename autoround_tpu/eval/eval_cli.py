@@ -48,6 +48,12 @@ def _load_model(name, seed):
         cfg = ALL_PRESETS[name]
         return get_model_fns(cfg).init_params(
             cfg, jax.random.PRNGKey(seed)), cfg, None
+    if name.endswith(".gguf"):
+        # GGUF-file eval (reference eval/evaluation.py:187-255): dequant
+        # the k-quant tensors and score the dense model
+        from ..export.gguf import load_gguf_checkpoint
+        params, cfg = load_gguf_checkpoint(name)
+        return params, cfg, None
     if os.path.exists(os.path.join(name, "quantization_config.json")):
         from ..serve import QuantizedLlama
         eng = QuantizedLlama.from_pretrained(name)

@@ -830,6 +830,132 @@ def _tuned_payload(ql, t: int) -> Optional[Dict[str, np.ndarray]]:
     return out
 
 
+_T_BY_CODE = {4: "<I", 5: "<i", 6: "<f", 10: "<Q",
+              0: "<B", 1: "<b", 2: "<H", 3: "<h", 7: "<?",
+              11: "<q", 12: "<d"}
+
+
+def read_gguf(path: str):
+    """Parse a GGUF v3 file → (metadata dict, {name: (ne, ggml_type, raw
+    uint8 bytes)}).  Inverse of :func:`write_gguf` (role of the
+    reference's GGUF eval loader, ``eval/evaluation.py:187-255``, which
+    defers to gguf-py; this one reads the container directly)."""
+    with open(path, "rb") as f:
+        magic, version, n_tensors, n_kv = struct.unpack("<IIQQ", f.read(24))
+        if magic != _GGUF_MAGIC:
+            raise ValueError(f"{path} is not a GGUF file")
+
+        def rstr():
+            (n,) = struct.unpack("<Q", f.read(8))
+            return f.read(n).decode()
+
+        def rval(t):
+            if t == _T_STR:
+                return rstr()
+            if t == _T_ARR:
+                et, n = struct.unpack("<IQ", f.read(12))
+                return [rval(et) for _ in range(n)]
+            fmt = _T_BY_CODE[t]
+            return struct.unpack(fmt, f.read(struct.calcsize(fmt)))[0]
+
+        meta: Dict[str, Any] = {}
+        for _ in range(n_kv):
+            k = rstr()
+            (t,) = struct.unpack("<I", f.read(4))
+            meta[k] = rval(t)
+        align = int(meta.get("general.alignment", 32))
+        infos = []
+        for _ in range(n_tensors):
+            nm = rstr()
+            (nd,) = struct.unpack("<I", f.read(4))
+            ne = struct.unpack(f"<{nd}Q", f.read(8 * nd))
+            tt, off = struct.unpack("<IQ", f.read(12))
+            infos.append((nm, ne, tt, off))
+        base = f.tell()
+        base += (-base) % align
+        tensors = {}
+        for nm, ne, tt, off in infos:
+            n_el = int(np.prod(ne))
+            if tt in BLOCK_BYTES:
+                nbytes = n_el // BLOCK_ELEMS[tt] * BLOCK_BYTES[tt]
+            elif tt == GGMLType.F32:
+                nbytes = n_el * 4
+            elif tt == GGMLType.F16:
+                nbytes = n_el * 2
+            else:
+                raise ValueError(f"unsupported ggml type {tt} for {nm}")
+            f.seek(base + off)
+            tensors[nm] = (ne, tt, np.frombuffer(f.read(nbytes), np.uint8))
+    return meta, tensors
+
+
+def dequant_tensor(ne, ttype: int, raw: np.ndarray) -> np.ndarray:
+    """Raw GGUF tensor bytes → float32 array in this repo's (O, I) layout
+    (GGUF ne is fastest-first: a 2-D tensor stores ne=(I, O))."""
+    n_el = int(np.prod(ne))
+    if ttype == GGMLType.F32:
+        arr = raw.view(np.float32)[:n_el]
+    elif ttype == GGMLType.F16:
+        arr = raw.view(np.float16)[:n_el].astype(np.float32)
+    else:
+        arr = DEQUANTIZERS[ttype](raw, n_el)
+    if len(ne) == 2:
+        return np.asarray(arr, np.float32).reshape(ne[1], ne[0])
+    return np.asarray(arr, np.float32).reshape(tuple(reversed(ne)))
+
+
+_GGUF_BLOCK_INV = {v: k for k, v in _GGUF_BLOCK_NAME.items()}
+
+
+def load_gguf_checkpoint(path: str, dtype=None):
+    """Load a llama-architecture .gguf file back into (params, LlamaConfig)
+    with dequantized weights — the GGUF-file eval path (reference
+    ``eval/evaluation.py:187-255``)."""
+    import jax.numpy as jnp
+
+    from ..models import llama
+
+    dtype = dtype or jnp.bfloat16
+    meta, tensors = read_gguf(path)
+    arch = meta.get("general.architecture", "llama")
+    if arch != "llama":
+        raise NotImplementedError(f"gguf arch {arch!r}; llama-family only")
+    num_layers = int(meta["llama.block_count"])
+    cfg = llama.LlamaConfig(
+        vocab_size=int(meta["llama.vocab_size"]),
+        hidden_size=int(meta["llama.embedding_length"]),
+        intermediate_size=int(meta["llama.feed_forward_length"]),
+        num_layers=num_layers,
+        num_heads=int(meta["llama.attention.head_count"]),
+        num_kv_heads=int(meta["llama.attention.head_count_kv"]),
+        rope_theta=float(meta.get("llama.rope.freq_base", 10000.0)),
+        rms_eps=float(meta.get("llama.attention.layer_norm_rms_epsilon",
+                               1e-5)),
+        dtype=dtype)
+
+    def get(nm):
+        ne, tt, raw = tensors[nm]
+        return jnp.asarray(dequant_tensor(ne, tt, raw), dtype)
+
+    params: Dict[str, Any] = {
+        "embed_tokens": get("token_embd.weight"),
+        "norm": get("output_norm.weight"),
+        "blocks": [],
+    }
+    if "output.weight" in tensors:
+        params["lm_head"] = get("output.weight")
+    for bi in range(num_layers):
+        block = {}
+        for kind, ours in _GGUF_BLOCK_INV.items():
+            nm = f"blk.{bi}.{kind}.weight"
+            if nm in tensors:
+                block[ours] = get(nm)
+        params["blocks"].append(block)
+    logger.info("loaded GGUF %s: %d tensors, %d blocks", path, len(tensors),
+                num_layers)
+    return params, cfg
+
+
 def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
                          path: str, base_type: int = GGMLType.Q4_K,
                          mixed: bool = True,

@@ -407,3 +407,60 @@ class TestTokenizerExtraction:
         write_gguf(fp, kvs, [("w", (4,), 0,
                               np.zeros(4, np.float32))])
         assert os.path.getsize(fp) > 0
+
+
+class TestGgufLoadback:
+    """read_gguf / load_gguf_checkpoint — the GGUF-file eval path."""
+
+    def _mk(self, tmp_path, nl=2):
+        import jax.numpy as jnp
+        from autoround_tpu import AutoRound
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=256,
+                                intermediate_size=256, num_layers=nl,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 64)
+        ar = AutoRound((params, cfg), scheme="GGUF:Q4_K_S", iters=0)
+        res = ar.quantize(ids)
+        out = ar.save_quantized(str(tmp_path / "g"), format="gguf:q4_k_s")
+        import os
+        return res, cfg, os.path.join(out, "model.gguf")
+
+    def test_metadata_and_shapes(self, tmp_path):
+        import jax.numpy as jnp
+        from autoround_tpu.export.gguf import load_gguf_checkpoint, read_gguf
+        res, cfg, fp = self._mk(tmp_path)
+        meta, tensors = read_gguf(fp)
+        assert meta["general.architecture"] == "llama"
+        assert meta["llama.block_count"] == cfg.num_layers
+        p2, cfg2 = load_gguf_checkpoint(fp, dtype=jnp.float32)
+        assert cfg2.hidden_size == cfg.hidden_size
+        assert cfg2.num_kv_heads == cfg.num_kv_heads
+        assert len(p2["blocks"]) == cfg.num_layers
+        assert p2["embed_tokens"].shape == (64, 256)
+
+    def test_logits_match_qdq(self, tmp_path):
+        import jax.numpy as jnp
+        from autoround_tpu.export.gguf import load_gguf_checkpoint
+        res, cfg, fp = self._mk(tmp_path)
+        p2, cfg2 = load_gguf_checkpoint(fp, dtype=jnp.float32)
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 12), 0, 64)
+        l1 = np.asarray(llama.model_fwd(res.params, ids, cfg), np.float32)
+        l2 = np.asarray(llama.model_fwd(p2, ids, cfg2), np.float32)
+        # tuned weights sit on the byte grid; loadback differs only by
+        # fp16 scale storage
+        rms = np.sqrt(np.mean((l1 - l2) ** 2))
+        assert rms < 0.1 * np.sqrt(np.mean(l1 ** 2)) + 1e-3
+
+    def test_eval_cli_gguf_ppl(self, tmp_path, capsys):
+        import json as _json
+        from autoround_tpu.eval.eval_cli import main
+        res, cfg, fp = self._mk(tmp_path, nl=1)
+        toks = np.random.default_rng(0).integers(
+            0, 64, (2, 32)).astype(np.int32)
+        npy = str(tmp_path / "toks.npy")
+        np.save(npy, toks)
+        assert main(["--model", fp, "--ppl", npy]) == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert np.isfinite(rep["ppl"]) and rep["ppl"] > 0
