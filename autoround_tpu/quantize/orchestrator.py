@@ -225,13 +225,19 @@ def _finalize_layer(name, w, scheme, tune_params, tcfg,
 
 def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
                       sin, tcfg, cfg, mask, layers, traces, layer_schemes,
-                      attention_scales) -> "QuantizeResult":
+                      attention_scales, shard_writer=None, pack_layer=None,
+                      resume=None, start_block=0) -> "QuantizeResult":
     """nblocks>1: tune N consecutive blocks jointly (reference
     WrapperMultiblock, ``wrapper.py:748``).  The tuning pytree is
     {"blocks": [block_i, ..., block_{i+N-1}]} with dotted scheme paths, and
-    the forward chains the group — everything else reuses tune_block."""
+    the forward chains the group — everything else reuses tune_block.
+    Resume (group-granular) and immediate streaming pack are supported;
+    AWQ preproc is rejected loudly by the caller."""
     n = len(params["blocks"])
     new_blocks: List[Dict[str, Any]] = []
+    # resume restarts at a group boundary (chains are checkpointed at
+    # group ends only)
+    start_block = (start_block // cfg.nblocks) * cfg.nblocks
 
     # sliding-window mask for Gemma2-style alternating layers at S > window
     seqlen = x_fp.shape[1]
@@ -279,6 +285,30 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
             for lname, s in per_block.get(gstart + j, {}).items():
                 schemes[f"blocks.{j}.{lname}"] = s
 
+        if resume is not None and gstart + len(group) <= start_block:
+            # group already done in a previous run: restore qdq leaves
+            qdq_group = list(group)
+            for j in range(len(group)):
+                bi = gstart + j
+                payload = resume.load_block(bi)
+                for lname, scheme in per_block.get(bi, {}).items():
+                    w_orig = get_by_path(group[j], lname)
+                    qdq = jnp.asarray(payload[f"{lname}.qdq"])
+                    qdq_group[j] = set_by_path(qdq_group[j], lname,
+                                               qdq.astype(w_orig.dtype))
+                    zk = f"{lname}.zp"
+                    layers[f"blocks.{bi}.{lname}"] = QuantizedLayer(
+                        name=f"blocks.{bi}.{lname}", scheme=scheme, qdq=qdq,
+                        scale=jnp.asarray(payload[f"{lname}.scale"]),
+                        zp=(jnp.asarray(payload[zk]) if zk in payload
+                            else None))
+            new_blocks.extend(qdq_group)
+            if gstart + len(group) == start_block:
+                fp_np, q_np = resume.load_chain(start_block - 1)
+                x_fp = jnp.asarray(fp_np, x_fp.dtype)
+                x_q = None if q_np is None else jnp.asarray(q_np, x_fp.dtype)
+            continue
+
         ref = x_fp
         for j, b in enumerate(group):
             ref = _batched_block_apply(b, ref, cos, sin, model_cfg,
@@ -320,6 +350,30 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
                 x_q = _batched_block_apply(b, x_q, cos, sin, model_cfg,
                                            cfg.cache_batch,
                                            attn_mask=_am(gstart + j))
+        if shard_writer is not None:
+            for path in schemes:
+                j = int(path.split(".")[1])
+                lname = path.split(".", 2)[2]
+                shard_writer.add_many(pack_layer(
+                    layers[f"blocks.{gstart + j}.{lname}"]))
+        if resume is not None:
+            fp_np = np.asarray(x_fp)
+            q_np = None if x_q is None else np.asarray(x_q)
+            for j in range(len(group)):
+                bi = gstart + j
+                payload = {}
+                for lname in per_block.get(bi, {}):
+                    ql = layers[f"blocks.{bi}.{lname}"]
+                    payload[f"{lname}.qdq"] = np.asarray(ql.qdq, np.float32)
+                    payload[f"{lname}.scale"] = np.asarray(ql.scale,
+                                                           np.float32)
+                    if ql.zp is not None:
+                        payload[f"{lname}.zp"] = np.asarray(ql.zp,
+                                                            np.float32)
+                # the group-end chain is stored on every member so
+                # next_block() stays contiguous; restart rounds down to
+                # the group boundary anyway
+                resume.mark_block_done(bi, payload, fp_np, q_np)
 
     new_params = dict(params)
     new_params["blocks"] = new_blocks
@@ -332,6 +386,16 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
         layers["lm_head"] = QuantizedLayer(
             name="lm_head", scheme=layer_schemes["lm_head"], qdq=r.qdq,
             scale=r.scale, zp=r.zp, extras=getattr(r, "extras", None))
+    if shard_writer is not None:
+        from ..export import _flatten_params
+        flat = _flatten_params(new_params)
+        quant_names = set(layers)
+        for k, v in flat.items():
+            if k not in quant_names:
+                shard_writer.add(k, np.asarray(v))
+        if "lm_head" in layers:
+            shard_writer.add_many(pack_layer(layers["lm_head"]))
+        shard_writer.finalize()
     return QuantizeResult(params=new_params, layers=layers,
                           loss_traces=traces,
                           attention_scales=attention_scales)
@@ -522,12 +586,21 @@ def quantize_model(
         start_block = resume.next_block()
 
     if cfg.nblocks > 1 and cfg.iters > 0:
-        if resume is not None or cfg.enable_awq or shard_writer is not None:
-            logger.warning("nblocks>1 ignores resume/awq/immediate-save "
-                           "in this milestone")
+        if cfg.enable_awq:
+            # AWQ smoothing is a per-block preproc; inside a jointly-tuned
+            # group the later blocks' inputs shift as earlier ones tune,
+            # invalidating the smoothing stats — reject loudly rather
+            # than silently dropping the feature
+            raise ValueError("enable_awq is not supported with nblocks>1; "
+                             "use nblocks=1 (reference tunes AWQ per "
+                             "block too)")
         return _quantize_grouped(params, model_cfg, mfns, per_block, x_fp,
                                  x_q, cos, sin, tcfg, cfg, mask, layers,
-                                 traces, layer_schemes, attention_scales)
+                                 traces, layer_schemes, attention_scales,
+                                 shard_writer=shard_writer,
+                                 pack_layer=(_pack_layer if shard_writer
+                                             is not None else None),
+                                 resume=resume, start_block=start_block)
 
     import contextlib as _contextlib
     import time as _time

@@ -367,14 +367,18 @@ class QuantizedLlama:
     @classmethod
     def from_gptq(cls, path: str, max_seq: int = 2048,
                   kv_quant: Optional[str] = None) -> "QuantizedLlama":
-        """Load an HF-layout GPTQ checkpoint (the CUDA-ecosystem format
-        the reference exports) straight into the serving engine."""
-        from .gptq_loader import load_gptq_checkpoint
-        params, cfg, packed = load_gptq_checkpoint(path)
-        fused, splits, kinds = _fuse_packed(packed, cfg)
+        """Load an HF-layout GPTQ or AWQ checkpoint (the CUDA-ecosystem
+        formats the reference exports/consumes) straight into the serving
+        engine; the layout is auto-detected from quantization_config."""
+        from .gptq_loader import load_quantized_checkpoint
+        params, cfg, packed, kinds = load_quantized_checkpoint(path)
+        fused, splits, kinds = _fuse_packed(packed, cfg, kinds)
         return cls(cfg=cfg, params=params, packed=fused,
                    max_seq=max_seq, kv_quant=kv_quant, fused_splits=splits,
                    packed_kinds=kinds)
+
+    # AWQ checkpoints route through the same auto-detecting loader
+    from_awq = from_gptq
 
     # -- linear interceptor: packed kernel or dense fallback --
     @staticmethod

@@ -19,28 +19,54 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..export.formats import gptq_unpack_layer
+from ..export.formats import awq_unpack_layer, gptq_unpack_layer
 from ..models.llama import LlamaConfig
 from ..ops.qmatmul import pack_w4_planes
 from ..utils.hf_loader import _BLOCK_MAP, _TOP_MAP, config_from_hf
 from ..utils.logger import logger
 from ..utils.pytree import set_by_path
 
-__all__ = ["load_gptq_checkpoint"]
+__all__ = ["load_gptq_checkpoint", "load_awq_checkpoint",
+           "load_quantized_checkpoint"]
 
 
 def load_gptq_checkpoint(path: str, dtype=jnp.bfloat16):
-    """HF-layout GPTQ checkpoint dir → (params, cfg, packed).
+    """HF-layout GPTQ checkpoint dir → (params, cfg, packed).  See
+    :func:`load_quantized_checkpoint` (kinds dropped for compatibility)."""
+    params, cfg, packed, _ = load_quantized_checkpoint(path, dtype,
+                                                       method="gptq")
+    return params, cfg, packed
 
-    ``packed`` maps flat layer names to (qweight_planes, scales) for
-    layers servable by the fused kernel (4-bit sym-ish, g >= 128 and
-    plane-divisible); other layers are dequantized to dense.
+
+def load_awq_checkpoint(path: str, dtype=jnp.bfloat16):
+    """HF-layout AWQ (gemm) checkpoint dir → (params, cfg, packed, kinds)."""
+    return load_quantized_checkpoint(path, dtype, method="awq")
+
+
+def load_quantized_checkpoint(path: str, dtype=jnp.bfloat16,
+                              method: str = None):
+    """HF-layout external quantized checkpoint → (params, cfg, packed,
+    kinds).
+
+    Handles both CUDA-ecosystem layouts the reference exports/consumes
+    (``inference/convert_model.py:812``):
+
+      * GPTQ v1 — qweight (I*bits/32, O), qzeros off-by-one, g_idx
+      * AWQ gemm — qweight (I, O/8) output-interleaved, real zero-points
+
+    ``packed`` maps flat layer names to serving-kernel payloads
+    ((qw, scales) sym / (qw, scales, zp) asym) for eligible 4-bit layers;
+    others are dequantized dense.  ``kinds`` names the kernel per entry.
     """
     with open(os.path.join(path, "config.json")) as f:
         hf_cfg = json.load(f)
     qcfg = hf_cfg.get("quantization_config", {})
-    bits = int(qcfg.get("bits", 4))
-    group_size = int(qcfg.get("group_size", 128))
+    if method is None:
+        method = str(qcfg.get("quant_method", "gptq")).lower()
+        if method not in ("gptq", "awq"):
+            method = "awq" if qcfg.get("version") == "gemm" else "gptq"
+    bits = int(qcfg.get("bits", qcfg.get("w_bit", 4)))
+    group_size = int(qcfg.get("group_size", qcfg.get("q_group_size", 128)))
     sym = bool(qcfg.get("sym", False))
     cfg = config_from_hf(hf_cfg, dtype)
 
@@ -62,9 +88,33 @@ def load_gptq_checkpoint(path: str, dtype=jnp.bfloat16):
     blocks = [dict() for _ in range(cfg.num_layers)]
     params: Dict[str, Any] = {"blocks": blocks}
     packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
+    kinds: Dict[str, str] = {}
+
+    def ingest_awq(flat_ours, hf_prefix):
+        qn = f"{hf_prefix}.qweight"
+        payload = {"qweight": tensors[qn],
+                   "qzeros": tensors[f"{hf_prefix}.qzeros"],
+                   "scales": tensors[f"{hf_prefix}.scales"]}
+        I = payload["qweight"].shape[0]
+        O = payload["qweight"].shape[1] * (32 // bits)
+        codes, scale, zp = awq_unpack_layer(payload, O, I)
+        g = group_size if group_size > 0 else I
+        if bits == 4 and group_size >= 128 and I % (8 * group_size) == 0:
+            qw = pack_w4_planes(jnp.asarray(codes.astype(np.int32)),
+                                group_size)
+            packed[flat_ours] = (qw, jnp.asarray(scale.astype(np.float32)),
+                                 jnp.asarray(zp.astype(np.float32)))
+            kinds[flat_ours] = "w4a16_asym"
+            return jnp.zeros((O, I), dtype)  # placeholder leaf
+        dq = ((codes.astype(np.float32)
+               - np.repeat(zp, g, 1)[:, :I].astype(np.float32))
+              * np.repeat(scale, g, 1)[:, :I])
+        return jnp.asarray(dq, dtype)
 
     def ingest(flat_ours, hf_prefix):
         qn = f"{hf_prefix}.qweight"
+        if qn in tensors and method == "awq":
+            return ingest_awq(flat_ours, hf_prefix)
         if qn in tensors:
             payload = {"qweight": tensors[qn],
                        "qzeros": tensors[f"{hf_prefix}.qzeros"],
@@ -91,6 +141,7 @@ def load_gptq_checkpoint(path: str, dtype=jnp.bfloat16):
                 qw = pack_w4_planes(jnp.asarray(codes.astype(np.int32)),
                                     group_size)
                 packed[flat_ours] = (qw, jnp.asarray(scale.astype(np.float32)))
+                kinds[flat_ours] = "w4a16"
                 return jnp.zeros((O, I), dtype)  # placeholder leaf
             if not contiguous:
                 logger.info("gptq loader: %s has act-order g_idx; "
@@ -128,6 +179,6 @@ def load_gptq_checkpoint(path: str, dtype=jnp.bfloat16):
                     blocks[li][ours] = jnp.asarray(tensors[bn]).astype(dtype)
     if cfg.tie_embeddings:
         params.pop("lm_head", None)
-    logger.info("gptq loader: %d packed layers, bits=%d g=%d", len(packed),
-                bits, group_size)
-    return params, cfg, packed
+    logger.info("%s loader: %d packed layers, bits=%d g=%d", method,
+                len(packed), bits, group_size)
+    return params, cfg, packed, kinds
