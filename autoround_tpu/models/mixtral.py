@@ -32,6 +32,14 @@ __all__ = ["MixtralConfig", "init_params", "block_fwd", "model_fwd",
 class MixtralConfig(LlamaConfig):
     num_experts: int = 8
     top_k: int = 2
+    # Qwen2-MoE / DeepSeek-style always-on shared expert (0 = none);
+    # ``intermediate_size`` is the routed experts' width
+    shared_expert_intermediate: int = 0
+    # sigmoid gate on the shared expert output (Qwen2-MoE)
+    shared_expert_gate: bool = False
+    # renormalize top-k router probs (Mixtral yes; Qwen2-MoE
+    # norm_topk_prob=False)
+    norm_topk_prob: bool = True
 
 
 CONFIG_PRESETS: Dict[str, MixtralConfig] = {
@@ -52,7 +60,9 @@ def block_linear_names(cfg: MixtralConfig) -> Tuple[str, ...]:
     experts = tuple(
         f"experts.{e}.{w}" for e in range(cfg.num_experts)
         for w in ("w1", "w2", "w3"))
-    return attn + experts
+    shared = (tuple(f"shared_expert.{w}" for w in ("w1", "w2", "w3"))
+              if cfg.shared_expert_intermediate else ())
+    return attn + experts + shared
 
 
 def init_params(cfg: MixtralConfig, key: jax.Array) -> Dict[str, Any]:
@@ -86,6 +96,20 @@ def init_params(cfg: MixtralConfig, key: jax.Array) -> Dict[str, Any]:
                 for e in range(cfg.num_experts)
             ],
         }
+        if cfg.shared_expert_intermediate:
+            si = cfg.shared_expert_intermediate
+            sk = jax.random.fold_in(keys[li], 99)
+            b["shared_expert"] = {
+                "w1": jax.random.normal(sk, (si, H), cfg.dtype) * 0.02,
+                "w2": jax.random.normal(jax.random.fold_in(sk, 1), (H, si),
+                                        cfg.dtype) * 0.02
+                      / np.sqrt(2 * cfg.num_layers),
+                "w3": jax.random.normal(jax.random.fold_in(sk, 2), (si, H),
+                                        cfg.dtype) * 0.02,
+            }
+            if cfg.shared_expert_gate:
+                b["shared_expert_gate"] = jax.random.normal(
+                    jax.random.fold_in(sk, 3), (1, H), cfg.dtype) * 0.02
         blocks.append(b)
     params = {
         "embed_tokens": jax.random.normal(keys[-2], (cfg.vocab_size, H),
@@ -105,7 +129,8 @@ def _moe_mlp(weights, h, cfg: MixtralConfig, lf):
     router_logits = lf("router", h, weights["router"])  # (B,S,E)
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     topv, topi = jax.lax.top_k(probs, cfg.top_k)
-    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)  # renormalize
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
     out = jnp.zeros_like(h, dtype=jnp.float32)
     for e, ew in enumerate(weights["experts"]):
         gate = jax.nn.silu(lf(f"experts.{e}.w1", h, ew["w1"]))
@@ -114,6 +139,19 @@ def _moe_mlp(weights, h, cfg: MixtralConfig, lf):
         # weight of expert e per token (0 when not in top-k)
         w_e = jnp.sum(jnp.where(topi == e, topv, 0.0), axis=-1)  # (B,S)
         out = out + y * w_e[..., None]
+    if "shared_expert" in weights:
+        # Qwen2-MoE/DeepSeek always-on shared expert, optionally gated by
+        # a sigmoid scalar per token
+        sw = weights["shared_expert"]
+        gate = jax.nn.silu(lf("shared_expert.w1", h, sw["w1"]))
+        up = lf("shared_expert.w3", h, sw["w3"])
+        y = lf("shared_expert.w2", gate * up, sw["w2"]).astype(jnp.float32)
+        if "shared_expert_gate" in weights:
+            g = jax.nn.sigmoid(
+                lf("shared_expert_gate", h, weights["shared_expert_gate"])
+                .astype(jnp.float32))
+            y = y * g
+        out = out + y
     return out.astype(h.dtype)
 
 

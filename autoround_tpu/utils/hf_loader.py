@@ -62,16 +62,31 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
     qpas = cfg.get("query_pre_attn_scalar")
     cls = LlamaConfig
     moe_kw = {}
+    intermediate = cfg["intermediate_size"]
     if cfg.get("num_local_experts") or mt == "mixtral":
         from ..models.mixtral import MixtralConfig
         cls = MixtralConfig
         moe_kw = dict(num_experts=cfg.get("num_local_experts", 8),
                       top_k=cfg.get("num_experts_per_tok", 2))
+    elif mt == "qwen2_moe" or cfg.get("num_experts"):
+        # Qwen2-MoE: routed experts at moe_intermediate_size + an
+        # always-on sigmoid-gated shared expert
+        from ..models.mixtral import MixtralConfig
+        cls = MixtralConfig
+        intermediate = cfg.get("moe_intermediate_size", intermediate)
+        moe_kw = dict(
+            num_experts=cfg.get("num_experts", 8),
+            top_k=cfg.get("num_experts_per_tok", 2),
+            shared_expert_intermediate=cfg.get(
+                "shared_expert_intermediate_size", 0),
+            shared_expert_gate=cfg.get(
+                "shared_expert_intermediate_size", 0) > 0,
+            norm_topk_prob=cfg.get("norm_topk_prob", True))
     return cls(
         **moe_kw,
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
-        intermediate_size=cfg["intermediate_size"],
+        intermediate_size=intermediate,
         num_layers=cfg["num_hidden_layers"],
         num_heads=cfg["num_attention_heads"],
         num_kv_heads=cfg.get("num_key_value_heads",
@@ -80,7 +95,7 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
         rope_theta=cfg.get("rope_theta", 10000.0),
         rms_eps=cfg.get("rms_norm_eps", 1e-5),
         tie_embeddings=cfg.get("tie_word_embeddings", gemma),
-        attn_bias=cfg.get("attention_bias", mt == "qwen2"),
+        attn_bias=cfg.get("attention_bias", mt in ("qwen2", "qwen2_moe")),
         qk_norm=mt == "qwen3",
         norm_offset=1.0 if gemma else 0.0,
         # Gemma2 names the field hidden_activation; others hidden_act
@@ -156,6 +171,48 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
                     blocks[int(li)]["experts"][e][wname] = arr
                     n += 1
                     continue
+            # Phi-3 fused projections: split on load so every projection
+            # quantizes/tunes independently (role of the reference's
+            # fused-layer handling, utils/model.py)
+            if sub == "self_attn.qkv_proj.weight":
+                qd = cfg.num_heads * cfg.hd
+                kvd = cfg.num_kv_heads * cfg.hd
+                blocks[int(li)]["q_proj"] = arr[:qd]
+                blocks[int(li)]["k_proj"] = arr[qd: qd + kvd]
+                blocks[int(li)]["v_proj"] = arr[qd + kvd:]
+                n += 1
+                continue
+            if sub == "mlp.gate_up_proj.weight":
+                half = arr.shape[0] // 2
+                blocks[int(li)]["gate_proj"] = arr[:half]
+                blocks[int(li)]["up_proj"] = arr[half:]
+                n += 1
+                continue
+            # Qwen2-MoE keys: mlp.gate -> router, per-expert
+            # gate/up/down -> w1/w3/w2, plus the shared expert
+            qmap = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}
+            if sub == "mlp.gate.weight":
+                blocks[int(li)]["router"] = arr
+                n += 1
+                continue
+            if sub.startswith("mlp.experts."):
+                parts = sub.split(".")
+                e, wname = int(parts[2]), qmap.get(parts[3])
+                if wname:
+                    blocks[int(li)]["experts"][e][wname] = arr
+                    n += 1
+                    continue
+            if sub.startswith("mlp.shared_expert."):
+                wname = qmap.get(sub.split(".")[2])
+                if wname:
+                    blocks[int(li)].setdefault("shared_expert", {})[wname] \
+                        = arr
+                    n += 1
+                    continue
+            if sub == "mlp.shared_expert_gate.weight":
+                blocks[int(li)]["shared_expert_gate"] = arr
+                n += 1
+                continue
         logger.debug("skipping unmapped tensor %s", key)
     if cfg.tie_embeddings:
         params.pop("lm_head", None)
@@ -173,6 +230,8 @@ def save_hf_checkpoint(params: Dict[str, Any], cfg: LlamaConfig, path: str,
 
     os.makedirs(path, exist_ok=True)
     inv_block = {v: k for k, v in _BLOCK_MAP.items()}
+    qwen_moe = bool(getattr(cfg, "shared_expert_intermediate", 0))
+    inv_q = {"w1": "gate_proj", "w3": "up_proj", "w2": "down_proj"}
     tensors: Dict[str, np.ndarray] = {}
     for hf_key, ours in _TOP_MAP.items():
         if ours in params:
@@ -182,18 +241,28 @@ def save_hf_checkpoint(params: Dict[str, Any], cfg: LlamaConfig, path: str,
             if ours in inv_block:
                 tensors[f"model.layers.{li}.{inv_block[ours]}"] = np.asarray(arr)
             elif ours == "router":
-                tensors[f"model.layers.{li}.block_sparse_moe.gate.weight"] = \
-                    np.asarray(arr)
+                key = ("mlp.gate.weight" if qwen_moe
+                       else "block_sparse_moe.gate.weight")
+                tensors[f"model.layers.{li}.{key}"] = np.asarray(arr)
             elif ours == "experts":
                 for e, ew in enumerate(arr):
                     for wn, wv in ew.items():
-                        tensors[f"model.layers.{li}.block_sparse_moe."
-                                f"experts.{e}.{wn}.weight"] = np.asarray(wv)
+                        key = (f"mlp.experts.{e}.{inv_q[wn]}.weight"
+                               if qwen_moe else
+                               f"block_sparse_moe.experts.{e}.{wn}.weight")
+                        tensors[f"model.layers.{li}.{key}"] = np.asarray(wv)
+            elif ours == "shared_expert":
+                for wn, wv in arr.items():
+                    tensors[f"model.layers.{li}.mlp.shared_expert."
+                            f"{inv_q[wn]}.weight"] = np.asarray(wv)
+            elif ours == "shared_expert_gate":
+                tensors[f"model.layers.{li}.mlp.shared_expert_gate"
+                        ".weight"] = np.asarray(arr)
     save_file(tensors, os.path.join(path, "model.safetensors"))
 
     n_experts = getattr(cfg, "num_experts", 0)
     hf_cfg = {
-        "model_type": ("mixtral" if n_experts
+        "model_type": ("qwen2_moe" if qwen_moe else "mixtral" if n_experts
                        else "qwen2" if cfg.attn_bias else "llama"),
         "vocab_size": cfg.vocab_size,
         "hidden_size": cfg.hidden_size,
@@ -208,7 +277,14 @@ def save_hf_checkpoint(params: Dict[str, Any], cfg: LlamaConfig, path: str,
         "attention_bias": cfg.attn_bias,
         "torch_dtype": "bfloat16",
     }
-    if n_experts:
+    if qwen_moe:
+        hf_cfg["num_experts"] = n_experts
+        hf_cfg["num_experts_per_tok"] = getattr(cfg, "top_k", 2)
+        hf_cfg["moe_intermediate_size"] = cfg.intermediate_size
+        hf_cfg["shared_expert_intermediate_size"] = \
+            cfg.shared_expert_intermediate
+        hf_cfg["norm_topk_prob"] = cfg.norm_topk_prob
+    elif n_experts:
         hf_cfg["num_local_experts"] = n_experts
         hf_cfg["num_experts_per_tok"] = getattr(cfg, "top_k", 2)
     if hf_extra:

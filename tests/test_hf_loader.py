@@ -60,3 +60,110 @@ class TestHfRoundtrip:
             "num_attention_heads": 4, "rope_theta": 1e6,
         })
         assert cfg.attn_bias and cfg.num_kv_heads == 4
+
+
+class TestPhi3Loader:
+    """Phi-3 fused qkv_proj / gate_up_proj checkpoints split on load."""
+
+    def test_fused_split_logits_match(self, tmp_path):
+        import json
+        from safetensors.numpy import save_file
+        from autoround_tpu.utils.hf_loader import load_hf_checkpoint
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=64,
+                                intermediate_size=128, num_layers=2,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        tensors = {
+            "model.embed_tokens.weight": np.asarray(params["embed_tokens"]),
+            "model.norm.weight": np.asarray(params["norm"]),
+            "lm_head.weight": np.asarray(params["lm_head"]),
+        }
+        for li, b in enumerate(params["blocks"]):
+            p = f"model.layers.{li}."
+            tensors[p + "self_attn.qkv_proj.weight"] = np.concatenate(
+                [np.asarray(b["q_proj"]), np.asarray(b["k_proj"]),
+                 np.asarray(b["v_proj"])], axis=0)
+            tensors[p + "self_attn.o_proj.weight"] = np.asarray(b["o_proj"])
+            tensors[p + "mlp.gate_up_proj.weight"] = np.concatenate(
+                [np.asarray(b["gate_proj"]), np.asarray(b["up_proj"])],
+                axis=0)
+            tensors[p + "mlp.down_proj.weight"] = np.asarray(b["down_proj"])
+            tensors[p + "input_layernorm.weight"] = np.asarray(
+                b["input_layernorm"])
+            tensors[p + "post_attention_layernorm.weight"] = np.asarray(
+                b["post_attention_layernorm"])
+        d = tmp_path / "phi3"
+        d.mkdir()
+        save_file(tensors, str(d / "model.safetensors"))
+        json.dump({"model_type": "phi3", "vocab_size": 64,
+                   "hidden_size": 64, "intermediate_size": 128,
+                   "num_hidden_layers": 2, "num_attention_heads": 4,
+                   "num_key_value_heads": 2, "rope_theta": 1e4,
+                   "rms_norm_eps": 1e-5, "tie_word_embeddings": False},
+                  open(d / "config.json", "w"))
+        p2, cfg2 = load_hf_checkpoint(str(d), dtype=jnp.float32)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 64)
+        l1 = np.asarray(llama.model_fwd(params, ids, cfg), np.float32)
+        l2 = np.asarray(llama.model_fwd(p2, ids, cfg2), np.float32)
+        np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-5)
+
+
+class TestQwen2MoeLoader:
+    """Qwen2-MoE: shared expert + sigmoid gate + norm_topk_prob=False."""
+
+    def _cfg(self):
+        from autoround_tpu.models import mixtral
+        return mixtral.MixtralConfig(
+            vocab_size=64, hidden_size=64, intermediate_size=96,
+            num_layers=2, num_heads=4, num_kv_heads=2, num_experts=4,
+            top_k=2, shared_expert_intermediate=128,
+            shared_expert_gate=True, norm_topk_prob=False,
+            rope_theta=1e4, dtype=jnp.float32)
+
+    def test_roundtrip(self, tmp_path):
+        from autoround_tpu.models import mixtral
+        from autoround_tpu.utils.hf_loader import (load_hf_checkpoint,
+                                                   save_hf_checkpoint)
+        cfg = self._cfg()
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        assert "shared_expert" in params["blocks"][0]
+        save_hf_checkpoint(params, cfg, str(tmp_path / "q"))
+        from safetensors import safe_open
+        with safe_open(str(tmp_path / "q" / "model.safetensors"),
+                       framework="numpy") as f:
+            keys = set(f.keys())
+        assert "model.layers.0.mlp.gate.weight" in keys
+        assert "model.layers.0.mlp.experts.2.gate_proj.weight" in keys
+        assert "model.layers.1.mlp.shared_expert.up_proj.weight" in keys
+        assert "model.layers.1.mlp.shared_expert_gate.weight" in keys
+        p2, cfg2 = load_hf_checkpoint(str(tmp_path / "q"),
+                                      dtype=jnp.float32)
+        assert cfg2.shared_expert_intermediate == 128
+        assert cfg2.norm_topk_prob is False
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 64)
+        l1 = np.asarray(mixtral.model_fwd(params, ids, cfg), np.float32)
+        l2 = np.asarray(mixtral.model_fwd(p2, ids, cfg2), np.float32)
+        np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-5)
+
+    def test_shared_expert_contributes_and_quantizes(self):
+        import dataclasses
+        from autoround_tpu import AutoRound
+        from autoround_tpu.models import mixtral
+        cfg = self._cfg()
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 64)
+        l1 = mixtral.model_fwd(params, ids, cfg)
+        # zeroing the shared expert changes logits -> it is active
+        import jax as _jax
+        p0 = _jax.tree.map(lambda x: x, params)
+        p0["blocks"] = [dict(b) for b in p0["blocks"]]
+        for b in p0["blocks"]:
+            b["shared_expert"] = {k: jnp.zeros_like(v)
+                                  for k, v in b["shared_expert"].items()}
+        l0 = mixtral.model_fwd(p0, ids, cfg)
+        assert not np.allclose(np.asarray(l1), np.asarray(l0))
+        # the quantization plan covers shared-expert linears
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        assert "blocks.0.shared_expert.w1" in res.layers
+        assert "blocks.1.shared_expert.w2" in res.layers
