@@ -37,6 +37,12 @@ class LlavaConfig(LlamaConfig):
     v_layers: int = 2
     v_heads: int = 4
     image_token_id: int = 0   # placeholder token replaced by image embeds
+    # CLIP-faithful options (real llava-hf checkpoints): class token +
+    # pre-LN, quick_gelu activation, and llava's vision_feature_layer
+    # (-2 = features taken before the last encoder layer, class dropped)
+    v_class_token: bool = False
+    v_quick_gelu: bool = False
+    v_feature_layer: int = -1   # -1 = final post-LN output (synthetic ViT)
 
     @property
     def num_patches(self) -> int:
@@ -100,21 +106,42 @@ def init_params(cfg: LlavaConfig, key: jax.Array) -> Dict[str, Any]:
     return params
 
 
+def _lin(x, w, b=None):
+    y = jnp.einsum("bpd,od->bpo", x, w)
+    return y if b is None else y + b
+
+
 def _vit_fwd(vt: Dict[str, Any], pixels: jax.Array,
              cfg: LlavaConfig) -> jax.Array:
-    """pixels (B, H, W, 3) → patch features (B, num_patches, v_hidden)."""
+    """pixels (B, H, W, 3) → patch features (B, num_patches, v_hidden).
+
+    CLIP-faithful when the checkpoint carries the extras (class token,
+    qkv/proj/fc biases, pre-LN, quick_gelu, llava feature-layer
+    selection); the synthetic tiny tower simply omits them."""
     B = pixels.shape[0]
     P = cfg.patch_size
     n = cfg.image_size // P
     x = pixels.reshape(B, n, P, n, P, 3).transpose(0, 1, 3, 2, 4, 5)
     x = x.reshape(B, n * n, P * P * 3).astype(vt["patch_embed"].dtype)
     x = jnp.einsum("bpi,di->bpd", x, vt["patch_embed"])
+    if cfg.v_class_token:
+        cls = jnp.broadcast_to(vt["class_embed"][None, None],
+                               (B, 1, cfg.v_hidden)).astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
     x = x + vt["pos_embed"][None]
+    if "pre_ln_g" in vt:  # CLIP pre_layrnorm
+        x = _layer_norm(x, vt["pre_ln_g"], vt["pre_ln_b"])
+    act = ((lambda y: y * jax.nn.sigmoid(1.702 * y)) if cfg.v_quick_gelu
+           else jax.nn.gelu)
     nh = cfg.v_heads
     hd = cfg.v_hidden // nh
-    for blk in vt["blocks"]:
+    # llava takes features from an intermediate layer (vision_feature_layer
+    # -2 = run all but the last block, skip the final LN)
+    n_run = (len(vt["blocks"]) if cfg.v_feature_layer == -1
+             else len(vt["blocks"]) + 1 + cfg.v_feature_layer)
+    for blk in vt["blocks"][:n_run]:
         h = _layer_norm(x, blk["ln1_g"], blk["ln1_b"])
-        qkv = jnp.einsum("bpd,od->bpo", h, blk["qkv"])
+        qkv = _lin(h, blk["qkv"], blk.get("qkv_b"))
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, -1, nh, hd)
         k = k.reshape(B, -1, nh, hd)
@@ -123,11 +150,15 @@ def _vit_fwd(vt: Dict[str, Any], pixels: jax.Array,
                        preferred_element_type=jnp.float32) / np.sqrt(hd)
         p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
         a = jnp.einsum("bnst,btnh->bsnh", p, v).reshape(B, -1, cfg.v_hidden)
-        x = x + jnp.einsum("bpd,od->bpo", a, blk["proj"])
+        x = x + _lin(a, blk["proj"], blk.get("proj_b"))
         h = _layer_norm(x, blk["ln2_g"], blk["ln2_b"])
-        h = jax.nn.gelu(jnp.einsum("bpd,od->bpo", h, blk["fc1"]))
-        x = x + jnp.einsum("bpd,od->bpo", h, blk["fc2"])
-    return _layer_norm(x, vt["ln_f_g"], vt["ln_f_b"])
+        h = act(_lin(h, blk["fc1"], blk.get("fc1_b")))
+        x = x + _lin(h, blk["fc2"], blk.get("fc2_b"))
+    if cfg.v_feature_layer == -1:
+        x = _layer_norm(x, vt["ln_f_g"], vt["ln_f_b"])
+    if cfg.v_class_token:
+        x = x[:, 1:]   # llava "patch" feature selection drops the class tok
+    return x
 
 
 def embed_fwd(params: Dict[str, Any],
@@ -148,8 +179,13 @@ def embed_fwd(params: Dict[str, Any],
         return x
     feats = _vit_fwd(params["vision_tower"], pixels, cfg)
     mm = params["mm_projector"]
-    feats = jax.nn.gelu(jnp.einsum("bpd,hd->bph", feats, mm["fc1"]))
+    feats = jnp.einsum("bpd,hd->bph", feats, mm["fc1"])
+    if "fc1_b" in mm:
+        feats = feats + mm["fc1_b"]
+    feats = jax.nn.gelu(feats)
     feats = jnp.einsum("bph,oh->bpo", feats, mm["fc2"])  # (B, P, H)
+    if "fc2_b" in mm:
+        feats = feats + mm["fc2_b"]
 
     is_img = ids == cfg.image_token_id                    # (B, S)
     # k-th image token of each row takes patch k

@@ -1,0 +1,327 @@
+"""Real llava-hf VLM checkpoint loading + image processing.
+
+Role of the reference's MLLM plumbing (``compressors/mllm/processor.py``
+BasicProcessor, ``mllm/template.py`` templates, and ``utils/model.py``
+``mllm_load_model``): map a HuggingFace ``LlavaForConditionalGeneration``
+checkpoint (CLIP ViT tower + 2-layer projector + llama LM) into the
+functional pytree of ``models.llava``, preprocess images the CLIP way,
+and expand ``<image>`` placeholders into the per-patch image token runs
+the embedding splice consumes.
+
+Key layout handled (both the classic ``language_model.model.*`` and the
+newer ``model.language_model.*`` prefixes):
+
+  vision_tower.vision_model.embeddings.{class_embedding,
+      patch_embedding.weight, position_embedding.weight}
+  vision_tower.vision_model.pre_layrnorm.{weight,bias}
+  vision_tower.vision_model.encoder.layers.N.{self_attn.{q,k,v,out}_proj,
+      layer_norm1, layer_norm2, mlp.fc1, mlp.fc2}.{weight,bias}
+  vision_tower.vision_model.post_layernorm.{weight,bias}
+  multi_modal_projector.linear_{1,2}.{weight,bias}
+  language_model.model.layers.N.* (llama keys)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llava import LlavaConfig
+from .hf_loader import _BLOCK_MAP, config_from_hf
+from .logger import logger
+
+__all__ = ["load_llava_checkpoint", "save_llava_checkpoint",
+           "preprocess_images", "expand_image_prompt"]
+
+# CLIP normalization constants (openai/clip-vit preprocessing)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def _llava_config(hf: Dict[str, Any], dtype) -> LlavaConfig:
+    tc = dict(hf.get("text_config", {}))
+    tc.setdefault("model_type", "llama")
+    tc.setdefault("vocab_size", hf.get("vocab_size", 32000))
+    base = config_from_hf(tc, dtype)
+    vc = hf.get("vision_config", {})
+    fields = {f.name: getattr(base, f.name)
+              for f in dataclasses.fields(type(base))}
+    return LlavaConfig(
+        **fields,
+        image_size=vc.get("image_size", 336),
+        patch_size=vc.get("patch_size", 14),
+        v_hidden=vc.get("hidden_size", 1024),
+        v_layers=vc.get("num_hidden_layers", 24),
+        v_heads=vc.get("num_attention_heads", 16),
+        image_token_id=hf.get("image_token_index", 32000),
+        v_class_token=True,
+        v_quick_gelu=vc.get("hidden_act", "quick_gelu") == "quick_gelu",
+        v_feature_layer=hf.get("vision_feature_layer", -2),
+    )
+
+
+def _strip_lm(key: str) -> Optional[str]:
+    """Normalize language-model key prefixes to llama-checkpoint form."""
+    for pre, rep in (("language_model.model.", "model."),
+                     ("model.language_model.", "model."),
+                     ("language_model.lm_head.", "lm_head."),
+                     ("lm_head.", "lm_head.")):
+        if key.startswith(pre):
+            return rep + key[len(pre):]
+    return None
+
+
+def load_llava_checkpoint(path: str, dtype=None
+                          ) -> Tuple[Dict[str, Any], LlavaConfig]:
+    dtype = dtype or jnp.bfloat16
+    with open(os.path.join(path, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = _llava_config(hf_cfg, dtype)
+
+    from .hf_loader import _iter_shards
+    blocks = [dict() for _ in range(cfg.num_layers)]
+    vt: Dict[str, Any] = {"blocks": [dict() for _ in range(cfg.v_layers)]}
+    mm: Dict[str, Any] = {}
+    params: Dict[str, Any] = {"blocks": blocks, "vision_tower": vt,
+                              "mm_projector": mm}
+
+    vln = {"layer_norm1.weight": "ln1_g", "layer_norm1.bias": "ln1_b",
+           "layer_norm2.weight": "ln2_g", "layer_norm2.bias": "ln2_b",
+           "mlp.fc1.weight": "fc1", "mlp.fc1.bias": "fc1_b",
+           "mlp.fc2.weight": "fc2", "mlp.fc2.bias": "fc2_b",
+           "self_attn.out_proj.weight": "proj",
+           "self_attn.out_proj.bias": "proj_b"}
+    qkv_parts: Dict[int, Dict[str, np.ndarray]] = {}
+
+    n = 0
+    for key, tensor in _iter_shards(path):
+        arr = jnp.asarray(tensor).astype(dtype)
+        lm_key = _strip_lm(key)
+        if lm_key is not None:
+            if lm_key == "model.embed_tokens.weight":
+                params["embed_tokens"] = arr
+            elif lm_key == "model.norm.weight":
+                params["norm"] = arr
+            elif lm_key == "lm_head.weight":
+                params["lm_head"] = arr
+            elif lm_key.startswith("model.layers."):
+                rest = lm_key[len("model.layers."):]
+                li, sub = rest.split(".", 1)
+                if sub in _BLOCK_MAP:
+                    blocks[int(li)][_BLOCK_MAP[sub]] = arr
+            n += 1
+            continue
+        vkey = key
+        for pre in ("model.vision_tower.vision_model.",
+                    "vision_tower.vision_model."):
+            if vkey.startswith(pre):
+                vkey = vkey[len(pre):]
+                break
+        else:
+            if key.startswith(("multi_modal_projector.",
+                               "model.multi_modal_projector.")):
+                sub = key.split("multi_modal_projector.", 1)[1]
+                name = {"linear_1.weight": "fc1", "linear_1.bias": "fc1_b",
+                        "linear_2.weight": "fc2", "linear_2.bias": "fc2_b"
+                        }.get(sub)
+                if name:
+                    mm[name] = arr
+                    n += 1
+            continue
+        if vkey == "embeddings.class_embedding":
+            vt["class_embed"] = arr.reshape(-1)
+        elif vkey == "embeddings.patch_embedding.weight":
+            # conv (D, 3, P, P) -> (D, P*P*3) matching the (P, P, 3)
+            # row-major patch flattening of _vit_fwd
+            w = np.asarray(tensor)
+            vt["patch_embed"] = jnp.asarray(
+                w.transpose(0, 2, 3, 1).reshape(w.shape[0], -1)).astype(dtype)
+        elif vkey == "embeddings.position_embedding.weight":
+            vt["pos_embed"] = arr
+        elif vkey == "pre_layrnorm.weight":
+            vt["pre_ln_g"] = arr
+        elif vkey == "pre_layrnorm.bias":
+            vt["pre_ln_b"] = arr
+        elif vkey == "post_layernorm.weight":
+            vt["ln_f_g"] = arr
+        elif vkey == "post_layernorm.bias":
+            vt["ln_f_b"] = arr
+        elif vkey.startswith("encoder.layers."):
+            rest = vkey[len("encoder.layers."):]
+            li, sub = rest.split(".", 1)
+            li = int(li)
+            if sub in vln:
+                vt["blocks"][li][vln[sub]] = arr
+            else:
+                # q/k/v projections fuse row-wise into qkv/qkv_b
+                for pn in ("q_proj", "k_proj", "v_proj"):
+                    for suffix, tag in ((".weight", "w"), (".bias", "b")):
+                        if sub == f"self_attn.{pn}{suffix}":
+                            qkv_parts.setdefault(li, {})[f"{pn}.{tag}"] = \
+                                np.asarray(tensor)
+        else:
+            logger.debug("skipping unmapped vlm tensor %s", key)
+            continue
+        n += 1
+
+    for li, parts in qkv_parts.items():
+        if all(f"{p}.w" in parts for p in ("q_proj", "k_proj", "v_proj")):
+            vt["blocks"][li]["qkv"] = jnp.asarray(np.concatenate(
+                [parts["q_proj.w"], parts["k_proj.w"], parts["v_proj.w"]],
+                axis=0)).astype(dtype)
+        if all(f"{p}.b" in parts for p in ("q_proj", "k_proj", "v_proj")):
+            vt["blocks"][li]["qkv_b"] = jnp.asarray(np.concatenate(
+                [parts["q_proj.b"], parts["k_proj.b"], parts["v_proj.b"]]
+            )).astype(dtype)
+
+    if cfg.tie_embeddings:
+        params.pop("lm_head", None)
+    logger.info("loaded llava checkpoint: %d tensors, %d LM blocks, "
+                "%d ViT blocks", n, cfg.num_layers, cfg.v_layers)
+    return params, cfg
+
+
+def save_llava_checkpoint(params: Dict[str, Any], cfg: LlavaConfig,
+                          path: str) -> str:
+    """Write params in llava-hf key layout (fixture fabrication + fake
+    export)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    inv_block = {v: k for k, v in _BLOCK_MAP.items()}
+    t: Dict[str, np.ndarray] = {}
+    t["language_model.model.embed_tokens.weight"] = np.asarray(
+        params["embed_tokens"])
+    t["language_model.model.norm.weight"] = np.asarray(params["norm"])
+    if "lm_head" in params:
+        t["language_model.lm_head.weight"] = np.asarray(params["lm_head"])
+    for li, b in enumerate(params["blocks"]):
+        for ours, arr in b.items():
+            if ours in inv_block:
+                t[f"language_model.model.layers.{li}.{inv_block[ours]}"] = \
+                    np.asarray(arr)
+    vt = params["vision_tower"]
+    vp = "vision_tower.vision_model."
+    P, D = cfg.patch_size, cfg.v_hidden
+    t[vp + "embeddings.patch_embedding.weight"] = np.ascontiguousarray(
+        np.asarray(vt["patch_embed"]).reshape(D, P, P, 3)
+        .transpose(0, 3, 1, 2))
+    t[vp + "embeddings.position_embedding.weight"] = np.asarray(
+        vt["pos_embed"])
+    if "class_embed" in vt:
+        t[vp + "embeddings.class_embedding"] = np.asarray(vt["class_embed"])
+    if "pre_ln_g" in vt:
+        t[vp + "pre_layrnorm.weight"] = np.asarray(vt["pre_ln_g"])
+        t[vp + "pre_layrnorm.bias"] = np.asarray(vt["pre_ln_b"])
+    t[vp + "post_layernorm.weight"] = np.asarray(vt["ln_f_g"])
+    t[vp + "post_layernorm.bias"] = np.asarray(vt["ln_f_b"])
+    vln = {"ln1_g": "layer_norm1.weight", "ln1_b": "layer_norm1.bias",
+           "ln2_g": "layer_norm2.weight", "ln2_b": "layer_norm2.bias",
+           "fc1": "mlp.fc1.weight", "fc1_b": "mlp.fc1.bias",
+           "fc2": "mlp.fc2.weight", "fc2_b": "mlp.fc2.bias",
+           "proj": "self_attn.out_proj.weight",
+           "proj_b": "self_attn.out_proj.bias"}
+    for li, blk in enumerate(vt["blocks"]):
+        bp = vp + f"encoder.layers.{li}."
+        for ours, hf in vln.items():
+            if ours in blk:
+                t[bp + hf] = np.asarray(blk[ours])
+        qkv = np.asarray(blk["qkv"])
+        qw, kw, vw = np.split(qkv, 3, axis=0)
+        t[bp + "self_attn.q_proj.weight"] = qw
+        t[bp + "self_attn.k_proj.weight"] = kw
+        t[bp + "self_attn.v_proj.weight"] = vw
+        if "qkv_b" in blk:
+            qb, kb, vb = np.split(np.asarray(blk["qkv_b"]), 3)
+            t[bp + "self_attn.q_proj.bias"] = qb
+            t[bp + "self_attn.k_proj.bias"] = kb
+            t[bp + "self_attn.v_proj.bias"] = vb
+    mm = params["mm_projector"]
+    t["multi_modal_projector.linear_1.weight"] = np.asarray(mm["fc1"])
+    t["multi_modal_projector.linear_2.weight"] = np.asarray(mm["fc2"])
+    if "fc1_b" in mm:
+        t["multi_modal_projector.linear_1.bias"] = np.asarray(mm["fc1_b"])
+        t["multi_modal_projector.linear_2.bias"] = np.asarray(mm["fc2_b"])
+    save_file(t, os.path.join(path, "model.safetensors"))
+
+    hf_cfg = {
+        "model_type": "llava",
+        "image_token_index": cfg.image_token_id,
+        "vision_feature_layer": cfg.v_feature_layer,
+        "vision_feature_select_strategy": "default",
+        "text_config": {
+            "model_type": "llama",
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "intermediate_size": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "num_key_value_heads": cfg.num_kv_heads,
+            "head_dim": cfg.head_dim,
+            "rope_theta": cfg.rope_theta,
+            "rms_norm_eps": cfg.rms_eps,
+            "tie_word_embeddings": cfg.tie_embeddings,
+        },
+        "vision_config": {
+            "image_size": cfg.image_size,
+            "patch_size": cfg.patch_size,
+            "hidden_size": cfg.v_hidden,
+            "num_hidden_layers": cfg.v_layers,
+            "num_attention_heads": cfg.v_heads,
+            "hidden_act": "quick_gelu" if cfg.v_quick_gelu else "gelu",
+        },
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+    return path
+
+
+def preprocess_images(images: List[Any], image_size: int) -> np.ndarray:
+    """CLIP preprocessing: resize shortest edge → center crop → scale to
+    [0,1] → normalize with the CLIP mean/std.  Accepts PIL images or
+    (H, W, 3) uint8/float arrays; returns (B, S, S, 3) float32 (the
+    channels-last layout ``_vit_fwd`` patches)."""
+    out = np.empty((len(images), image_size, image_size, 3), np.float32)
+    for i, img in enumerate(images):
+        if not hasattr(img, "convert"):         # numpy -> PIL
+            from PIL import Image
+            a = np.asarray(img)
+            if a.dtype != np.uint8:
+                a = np.clip(a * 255.0 if a.max() <= 1.0 else a,
+                            0, 255).astype(np.uint8)
+            img = Image.fromarray(a)
+        img = img.convert("RGB")
+        w, h = img.size
+        scale = image_size / min(w, h)
+        img = img.resize((max(image_size, round(w * scale)),
+                          max(image_size, round(h * scale))))
+        w, h = img.size
+        left, top = (w - image_size) // 2, (h - image_size) // 2
+        img = img.crop((left, top, left + image_size, top + image_size))
+        a = np.asarray(img, np.float32) / 255.0
+        out[i] = (a - CLIP_MEAN) / CLIP_STD
+    return out
+
+
+def expand_image_prompt(tokenizer, text: str, cfg: LlavaConfig,
+                        seqlen: int, placeholder: str = "<image>"
+                        ) -> np.ndarray:
+    """Tokenize a prompt and expand each ``<image>`` placeholder into
+    ``num_patches`` image tokens (role of the reference templates'
+    ``_encode`` image splicing).  Pads/truncates to seqlen."""
+    parts = text.split(placeholder)
+    ids: List[int] = []
+    for i, part in enumerate(parts):
+        if i > 0:
+            ids.extend([cfg.image_token_id] * cfg.num_patches)
+        toks = tokenizer(part)
+        toks = toks["input_ids"] if isinstance(toks, dict) else toks
+        ids.extend(toks)
+    ids = ids[:seqlen]
+    ids += [0] * (seqlen - len(ids))
+    return np.asarray(ids, np.int32)
