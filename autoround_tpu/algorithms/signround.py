@@ -160,7 +160,11 @@ def init_tune_params(
         if cfg.enable_round_tuning:
             layer["v"] = jnp.zeros((O, I), jnp.float32)
         if cfg.enable_minmax_tuning:
-            if cfg.enable_alg_ext and not isinstance(g, tuple):
+            if (cfg.enable_alg_ext and not isinstance(g, tuple)
+                    and not (scheme.super_bits is not None
+                             and scheme.data_type == "int_dq")):
+                # (dq schemes under alg_ext anchor on the frozen searched
+                # grid instead — min/max start at 1.0 on that grid)
                 init = _search_init_max_scale(w, scheme).reshape(groups_shape)
             else:
                 init = jnp.ones(groups_shape, jnp.float32)

@@ -70,9 +70,15 @@ def qdq_int_dq_sym(
     max_scale: Optional[jax.Array] = None,
     clip_lo: float = 0.5,
     clip_hi: float = 1.5,
+    frozen_d: Optional[jax.Array] = None,
     **_,
 ) -> QdqResult:
-    """Symmetric double-quant (Q3_K/Q6_K family)."""
+    """Symmetric double-quant (Q3_K/Q6_K family).
+
+    ``frozen_d`` (alg_ext iter-0 search re-run, reference
+    sign_roundv2/quantizer.py:268-281): a pre-searched per-sub-group scale
+    grid replaces the minmax derivation; tuning then moves only v (and a
+    multiplicative max_scale on the frozen grid)."""
     O, I = w.shape
     f32 = jnp.float32
     wg = _to_super_groups(w.astype(f32), group_size, super_group_size)
@@ -81,16 +87,22 @@ def qdq_int_dq_sym(
         vg = _to_super_groups(v.astype(f32), group_size, super_group_size)
 
     maxq = 2.0 ** (bits - 1)
-    # full-range signed extreme per sub-group (same trick as plain int_sym)
-    wmin = jnp.minimum(wg.min(axis=-1, keepdims=True), 0.0)
-    wmax = jnp.maximum(wg.max(axis=-1, keepdims=True), 0.0)
-    if max_scale is not None:
-        ms = jnp.clip(max_scale.reshape(wmax.shape).astype(f32),
-                      clip_lo, clip_hi)
-        wmax = wmax * ms
-        wmin = wmin * ms
-    extreme = jnp.where(-wmin > wmax, wmin, wmax)
-    d = -extreme / maxq                                   # (ns, sgs, 1)
+    if frozen_d is not None:
+        d = frozen_d.astype(f32).reshape(wg.shape[0], wg.shape[1], 1)
+        if max_scale is not None:
+            d = d * jnp.clip(max_scale.reshape(d.shape).astype(f32),
+                             clip_lo, clip_hi)
+    else:
+        # full-range signed extreme per sub-group (same trick as int_sym)
+        wmin = jnp.minimum(wg.min(axis=-1, keepdims=True), 0.0)
+        wmax = jnp.maximum(wg.max(axis=-1, keepdims=True), 0.0)
+        if max_scale is not None:
+            ms = jnp.clip(max_scale.reshape(wmax.shape).astype(f32),
+                          clip_lo, clip_hi)
+            wmax = wmax * ms
+            wmin = wmin * ms
+        extreme = jnp.where(-wmin > wmax, wmin, wmax)
+        d = -extreme / maxq                               # (ns, sgs, 1)
 
     # quantize sub-scales: signed super_bits codes against d_super
     smaxq = 2.0 ** (super_bits - 1) - 1
@@ -122,9 +134,15 @@ def qdq_int_dq_asym(
     max_scale: Optional[jax.Array] = None,
     clip_lo: float = 0.5,
     clip_hi: float = 1.5,
+    frozen_d: Optional[jax.Array] = None,
+    frozen_m: Optional[jax.Array] = None,
     **_,
 ) -> QdqResult:
-    """Asymmetric double-quant (Q2_K/Q4_K/Q5_K family): w ≈ d̂ q - m̂."""
+    """Asymmetric double-quant (Q2_K/Q4_K/Q5_K family): w ≈ d̂ q - m̂.
+
+    ``frozen_d``/``frozen_m``: pre-searched (scale, min) grid from
+    :func:`search_dq_grid` replaces the minmax derivation (alg_ext
+    iter-0 re-search; min/max_scale become multipliers on the grid)."""
     O, I = w.shape
     f32 = jnp.float32
     wg = _to_super_groups(w.astype(f32), group_size, super_group_size)
@@ -133,17 +151,28 @@ def qdq_int_dq_asym(
         vg = _to_super_groups(v.astype(f32), group_size, super_group_size)
 
     maxq = 2.0 ** bits - 1
-    wmin = jnp.minimum(wg.min(axis=-1, keepdims=True), 0.0)
-    wmax = jnp.maximum(wg.max(axis=-1, keepdims=True), 0.0)
-    if min_scale is not None:
-        wmin = wmin * jnp.clip(min_scale.reshape(wmin.shape).astype(f32),
-                               clip_lo, clip_hi)
-    if max_scale is not None:
-        wmax = wmax * jnp.clip(max_scale.reshape(wmax.shape).astype(f32),
-                               clip_lo, clip_hi)
+    if frozen_d is not None:
+        d = frozen_d.astype(f32).reshape(wg.shape[0], wg.shape[1], 1)
+        m = frozen_m.astype(f32).reshape(wg.shape[0], wg.shape[1], 1)
+        if max_scale is not None:
+            d = d * jnp.clip(max_scale.reshape(d.shape).astype(f32),
+                             clip_lo, clip_hi)
+        if min_scale is not None:
+            m = m * jnp.clip(min_scale.reshape(m.shape).astype(f32),
+                             clip_lo, clip_hi)
+        d = jnp.maximum(d, _EPS)
+    else:
+        wmin = jnp.minimum(wg.min(axis=-1, keepdims=True), 0.0)
+        wmax = jnp.maximum(wg.max(axis=-1, keepdims=True), 0.0)
+        if min_scale is not None:
+            wmin = wmin * jnp.clip(min_scale.reshape(wmin.shape).astype(f32),
+                                   clip_lo, clip_hi)
+        if max_scale is not None:
+            wmax = wmax * jnp.clip(max_scale.reshape(wmax.shape).astype(f32),
+                                   clip_lo, clip_hi)
 
-    d = jnp.maximum((wmax - wmin) / maxq, _EPS)           # (ns, sgs, 1)
-    m = -wmin                                             # ≥ 0
+        d = jnp.maximum((wmax - wmin) / maxq, _EPS)       # (ns, sgs, 1)
+        m = -wmin                                         # ≥ 0
 
     smaxq = 2.0 ** super_bits - 1
     d_super = jnp.maximum(jnp.max(d, axis=1, keepdims=True) / smaxq, _EPS)
@@ -168,6 +197,76 @@ def qdq_int_dq_asym(
 
 def _weighted_err(wg, dq, weight):
     return jnp.sum(weight * (wg - dq) ** 2, axis=-1)
+
+
+def search_dq_grid(w, bits, group_size, super_bits, super_group_size,
+                   sym: bool, imatrix=None):
+    """alg_ext iter-0 dq grid search (reference
+    sign_roundv2/quantizer.py:268-281 ``_run_search``): run the weighted
+    k-quant scale(/min) search ONCE and freeze the resulting raw grid for
+    the whole tuning scan — the tuner then moves v (and multiplicative
+    min/max scales) against a stationary grid instead of re-deriving
+    scales from the shifting minmax each step.
+
+    Returns {"frozen_d": (ns, sgs)} (+ "frozen_m" when asym) for the
+    ``extras`` channel of make_qdq_weights."""
+    f32 = jnp.float32
+    O, I = w.shape
+    wg = _to_super_groups(w.astype(f32), group_size, super_group_size)
+    if imatrix is None:
+        weight = jnp.ones_like(wg)
+    else:
+        im = jnp.broadcast_to(imatrix.astype(f32).reshape(1, -1), (O, I))
+        weight = _to_super_groups(im, group_size, super_group_size)
+
+    if sym:
+        maxq = 2.0 ** (bits - 1)
+        wmin = jnp.minimum(wg.min(axis=-1, keepdims=True), 0.0)
+        wmax = jnp.maximum(wg.max(axis=-1, keepdims=True), 0.0)
+        extreme = jnp.where(-wmin > wmax, wmin, wmax)
+        base_d = -extreme / maxq
+        base_d = jnp.where(jnp.abs(base_d) < _EPS, _EPS, base_d)
+        ratios = 1.0 - 0.01 * jnp.arange(20, dtype=f32)
+
+        def err_for(r):
+            d = base_d * r
+            q = jnp.clip(jnp.round(wg / d), -maxq, maxq - 1)
+            return _weighted_err(wg, q * d, weight)
+
+        errs = jax.vmap(err_for)(ratios)
+        d = base_d * ratios[jnp.argmin(errs, axis=0)][..., None]
+        return {"frozen_d": d[..., 0]}
+
+    maxq = 2.0 ** bits - 1
+    wmin = jnp.minimum(wg.min(axis=-1, keepdims=True), 0.0)
+    wmax = jnp.maximum(wg.max(axis=-1, keepdims=True), 0.0)
+    base_d = jnp.maximum((wmax - wmin) / maxq, _EPS)
+    ratios = 1.0 - 0.0125 * jnp.arange(16, dtype=f32)
+
+    def err_for(r):
+        d = base_d * r
+        q = jnp.clip(jnp.round((wg - wmin) / d), 0, maxq)
+        sw = jnp.sum(weight, -1)
+        sx = jnp.sum(weight * q, -1)
+        sxx = jnp.sum(weight * q * q, -1)
+        sy = jnp.sum(weight * wg, -1)
+        sxy = jnp.sum(weight * q * wg, -1)
+        det = sw * sxx - sx * sx
+        d_fit = jnp.where(jnp.abs(det) > _EPS,
+                          (sw * sxy - sx * sy) / jnp.maximum(det, _EPS),
+                          d[..., 0])
+        m_fit = jnp.where(jnp.abs(det) > _EPS,
+                          (sxx * sy - sx * sxy) / jnp.maximum(det, _EPS),
+                          wmin[..., 0])
+        d_fit = jnp.maximum(d_fit, _EPS)[..., None]
+        m_fit = jnp.minimum(m_fit, 0.0)[..., None]
+        return _weighted_err(wg, q * d_fit + m_fit, weight), d_fit, m_fit
+
+    errs, ds, ms = jax.vmap(err_for)(ratios)
+    best = jnp.argmin(errs, axis=0)
+    take = lambda arr: jnp.take_along_axis(
+        arr, best[None, ..., None], axis=0)[0]
+    return {"frozen_d": take(ds)[..., 0], "frozen_m": -take(ms)[..., 0]}
 
 
 def rtn_int_dq_sym(w, bits, group_size, super_bits=6, super_group_size=16,

@@ -685,6 +685,27 @@ _GGUF_BLOCK_NAME = {
     "down_proj": "ffn_down", "input_layernorm": "attn_norm",
     "post_attention_layernorm": "ffn_norm",
 }
+# per-arch name deltas (llama.cpp conventions): gemma2 sandwich norms get
+# their own slots; qwen3 carries per-head qk-norm gains; qwen2 has
+# attention biases (handled as .bias leaves of the same kinds)
+_ARCH_BLOCK_EXTRA = {
+    "gemma2": {"post_attention_layernorm": "post_attention_norm",
+               "pre_feedforward_layernorm": "ffn_norm",
+               "post_feedforward_layernorm": "post_ffw_norm"},
+    "qwen3": {"q_norm": "attn_q_norm", "k_norm": "attn_k_norm"},
+}
+_BIAS_NAME = {"q_bias": "attn_q", "k_bias": "attn_k", "v_bias": "attn_v"}
+
+
+def gguf_arch(model_cfg) -> str:
+    """llama.cpp architecture id for a model config."""
+    if getattr(model_cfg, "qk_norm", False):
+        return "qwen3"
+    if getattr(model_cfg, "sandwich_norms", False):
+        return "gemma2"
+    if getattr(model_cfg, "attn_bias", False):
+        return "qwen2"
+    return "llama"
 
 
 def tokenizer_payload_from_hf(path: str) -> Optional[Dict[str, Any]]:
@@ -918,24 +939,50 @@ def load_gguf_checkpoint(path: str, dtype=None):
     dtype = dtype or jnp.bfloat16
     meta, tensors = read_gguf(path)
     arch = meta.get("general.architecture", "llama")
-    if arch != "llama":
-        raise NotImplementedError(f"gguf arch {arch!r}; llama-family only")
-    num_layers = int(meta["llama.block_count"])
+    if arch not in ("llama", "qwen2", "qwen3", "gemma2"):
+        raise NotImplementedError(f"gguf arch {arch!r} not supported")
+    num_layers = int(meta[f"{arch}.block_count"])
+    n_heads = int(meta[f"{arch}.attention.head_count"])
+    hidden = int(meta[f"{arch}.embedding_length"])
+    hd_meta = meta.get(f"{arch}.attention.key_length")
+    qpas = meta.get(f"{arch}.attention.query_pre_attn_scalar")
     cfg = llama.LlamaConfig(
-        vocab_size=int(meta["llama.vocab_size"]),
-        hidden_size=int(meta["llama.embedding_length"]),
-        intermediate_size=int(meta["llama.feed_forward_length"]),
+        vocab_size=int(meta[f"{arch}.vocab_size"]),
+        hidden_size=hidden,
+        intermediate_size=int(meta[f"{arch}.feed_forward_length"]),
         num_layers=num_layers,
-        num_heads=int(meta["llama.attention.head_count"]),
-        num_kv_heads=int(meta["llama.attention.head_count_kv"]),
-        rope_theta=float(meta.get("llama.rope.freq_base", 10000.0)),
-        rms_eps=float(meta.get("llama.attention.layer_norm_rms_epsilon",
-                               1e-5)),
+        num_heads=n_heads,
+        num_kv_heads=int(meta[f"{arch}.attention.head_count_kv"]),
+        head_dim=(int(hd_meta) if hd_meta is not None
+                  and int(hd_meta) != hidden // n_heads else None),
+        rope_theta=float(meta.get(f"{arch}.rope.freq_base", 10000.0)),
+        rms_eps=float(meta.get(
+            f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
+        tie_embeddings="output.weight" not in tensors,
+        attn_bias=arch == "qwen2",
+        qk_norm=arch == "qwen3",
+        norm_offset=1.0 if arch == "gemma2" else 0.0,
+        hidden_act="gelu_tanh" if arch == "gemma2" else "silu",
+        embed_scale=arch == "gemma2",
+        sandwich_norms=arch == "gemma2",
+        attn_logit_softcap=float(meta.get(
+            f"{arch}.attn_logit_softcapping", 0.0)),
+        final_logit_softcap=float(meta.get(
+            f"{arch}.final_logit_softcapping", 0.0)),
+        attn_scale=(float(qpas) ** 0.5 if qpas else None),
+        sliding_window=(int(meta["gemma2.attention.sliding_window"])
+                        if meta.get("gemma2.attention.sliding_window")
+                        else None),
         dtype=dtype)
 
     def get(nm):
         ne, tt, raw = tensors[nm]
         return jnp.asarray(dequant_tensor(ne, tt, raw), dtype)
+
+    block_inv = dict(_GGUF_BLOCK_INV)
+    block_inv.update({v: k for k, v in
+                      _ARCH_BLOCK_EXTRA.get(arch, {}).items()})
+    bias_inv = {v: k for k, v in _BIAS_NAME.items()}
 
     params: Dict[str, Any] = {
         "embed_tokens": get("token_embd.weight"),
@@ -946,8 +993,12 @@ def load_gguf_checkpoint(path: str, dtype=None):
         params["lm_head"] = get("output.weight")
     for bi in range(num_layers):
         block = {}
-        for kind, ours in _GGUF_BLOCK_INV.items():
+        for kind, ours in block_inv.items():
             nm = f"blk.{bi}.{kind}.weight"
+            if nm in tensors:
+                block[ours] = get(nm)
+        for kind, ours in bias_inv.items():
+            nm = f"blk.{bi}.{kind}.bias"
             if nm in tensors:
                 block[ours] = get(nm)
         params["blocks"].append(block)
@@ -1004,6 +1055,10 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
             raw = QUANTIZERS[t](arr, **kwargs)
             tensors.append((name, (I, O), t, raw))
 
+    arch = gguf_arch(model_cfg)
+    block_names = dict(_GGUF_BLOCK_NAME)
+    block_names.update(_ARCH_BLOCK_EXTRA.get(arch, {}))
+
     add("token_embd.weight", params["embed_tokens"], "token_embd",
         flat_name="embed_tokens")
     add("output_norm.weight", params["norm"], "norm")
@@ -1012,9 +1067,12 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
             flat_name="lm_head")
     for bi, block in enumerate(params["blocks"]):
         for ours, arr in block.items():
-            if ours not in _GGUF_BLOCK_NAME:
+            if ours in _BIAS_NAME:
+                add(f"blk.{bi}.{_BIAS_NAME[ours]}.bias", arr, "bias", bi)
                 continue
-            kind = _GGUF_BLOCK_NAME[ours]
+            if ours not in block_names:
+                continue
+            kind = block_names[ours]
             add(f"blk.{bi}.{kind}.weight", arr, kind, bi,
                 flat_name=f"blocks.{bi}.{ours}")
     if layers:
@@ -1022,19 +1080,35 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
                     "scales", n_tuned, len(layers))
 
     metadata = [
-        ("general.architecture", _T_STR, "llama"),
+        ("general.architecture", _T_STR, arch),
         ("general.name", _T_STR, "autoround_tpu"),
-        ("llama.block_count", _T_U32, model_cfg.num_layers),
-        ("llama.context_length", _T_U32, 8192),
-        ("llama.embedding_length", _T_U32, model_cfg.hidden_size),
-        ("llama.feed_forward_length", _T_U32, model_cfg.intermediate_size),
-        ("llama.attention.head_count", _T_U32, model_cfg.num_heads),
-        ("llama.attention.head_count_kv", _T_U32, model_cfg.num_kv_heads),
-        ("llama.rope.freq_base", _T_F32, float(model_cfg.rope_theta)),
-        ("llama.attention.layer_norm_rms_epsilon", _T_F32,
+        (f"{arch}.block_count", _T_U32, model_cfg.num_layers),
+        (f"{arch}.context_length", _T_U32, 8192),
+        (f"{arch}.embedding_length", _T_U32, model_cfg.hidden_size),
+        (f"{arch}.feed_forward_length", _T_U32,
+         model_cfg.intermediate_size),
+        (f"{arch}.attention.head_count", _T_U32, model_cfg.num_heads),
+        (f"{arch}.attention.head_count_kv", _T_U32,
+         model_cfg.num_kv_heads),
+        (f"{arch}.rope.freq_base", _T_F32, float(model_cfg.rope_theta)),
+        (f"{arch}.attention.layer_norm_rms_epsilon", _T_F32,
          float(model_cfg.rms_eps)),
-        ("llama.vocab_size", _T_U32, model_cfg.vocab_size),
+        (f"{arch}.vocab_size", _T_U32, model_cfg.vocab_size),
+        (f"{arch}.attention.key_length", _T_U32, model_cfg.hd),
+        (f"{arch}.attention.value_length", _T_U32, model_cfg.hd),
     ]
+    if arch == "gemma2":
+        metadata += [
+            (f"{arch}.attn_logit_softcapping", _T_F32,
+             float(model_cfg.attn_logit_softcap or 0.0)),
+            (f"{arch}.final_logit_softcapping", _T_F32,
+             float(model_cfg.final_logit_softcap or 0.0)),
+            (f"{arch}.attention.sliding_window", _T_U32,
+             int(model_cfg.sliding_window or 0)),
+        ]
+        if model_cfg.attn_scale is not None:
+            metadata.append((f"{arch}.attention.query_pre_attn_scalar",
+                             _T_F32, float(model_cfg.attn_scale) ** 2))
     if tokenizer is not None:
         metadata.extend(tokenizer_metadata(tokenizer))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

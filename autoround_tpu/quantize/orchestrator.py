@@ -206,12 +206,15 @@ def _norm_bias_leaves_for(block: Dict[str, Any]) -> Tuple[str, ...]:
 
 
 def _finalize_layer(name, w, scheme, tune_params, tcfg,
-                    inner_name=None) -> QuantizedLayer:
-    """Re-run the qdq once with the best params to harvest scale/zp."""
+                    inner_name=None, extra_kw=None) -> QuantizedLayer:
+    """Re-run the qdq once with the best params to harvest scale/zp.
+    ``extra_kw`` carries the same per-layer statics (frozen dq grid,
+    imatrix) the tuning-scan qdq saw — baking must use the exact grid
+    the best-loss snapshot validated."""
     fn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym)
     key = inner_name if inner_name is not None else name.split(".")[-1]
     p = tune_params.get(key, {}) if tune_params else {}
-    kw = {}
+    kw = dict(extra_kw or {})
     if scheme.super_bits is not None:
         kw.update(super_bits=scheme.super_bits,
                   super_group_size=scheme.super_group_size)
@@ -725,10 +728,23 @@ def quantize_model(
 
             nb_leaves = (_norm_bias_leaves_for(block)
                          if tcfg.enable_norm_bias_tuning else None)
+            tune_extras = None
+            if tcfg.enable_alg_ext:
+                # alg_ext: GGUF-dq layers tune against a frozen searched
+                # grid (iter-0 search re-run, reference
+                # sign_roundv2/quantizer.py:268-281)
+                from ..dtypes.gguf import search_dq_grid
+                ex = {}
+                for lname, s in schemes.items():
+                    if s.super_bits is not None and s.data_type == "int_dq":
+                        ex[lname] = search_dq_grid(
+                            get_by_path(block, lname), s.bits, s.group_size,
+                            s.super_bits, s.super_group_size, s.sym)
+                tune_extras = ex or None
             best, info = tune_block(
                 block_fn, tune_weights, tune_in, ref_out, schemes, tcfg,
                 mask=mask, lfq_fn=lfq_fn, init_scales=init_scales,
-                norm_bias_leaves=nb_leaves)
+                norm_bias_leaves=nb_leaves, extras=tune_extras)
             traces[bi] = info["loss_trace"]
             logger.info(
                 "block %d: loss iter0 %.6f -> best %.6f (%.1fs)",
@@ -759,7 +775,8 @@ def quantize_model(
             for lname, scheme in schemes.items():
                 w_orig = get_by_path(block, lname)
                 ql = _finalize_layer(f"blocks.{bi}.{lname}", w_orig,
-                                     scheme, best, tcfg, inner_name=lname)
+                                     scheme, best, tcfg, inner_name=lname,
+                                     extra_kw=(tune_extras or {}).get(lname))
                 qdq_block = set_by_path(qdq_block, lname,
                                         ql.qdq.astype(w_orig.dtype))
                 layers[ql.name] = ql

@@ -571,6 +571,11 @@ def _decode_core(params, packed, token, cache, *, cfg, kv_quant, lf_maker,
     for i in range(cfg.num_layers):
         if kv_quant is None:
             kv = (new_k[i], new_v[i])
+        elif kv_quant == "int8":
+            # int8 caches flow to the fused decode-attention kernel
+            # unmaterialized (scales applied in-kernel)
+            kv = ("int8_cache", new_k[i], new_v[i],
+                  cache.k_scale[i], cache.v_scale[i])
         else:
             ks, vs = cache.k_scale[i], cache.v_scale[i]
             kv = (_kv_dequantize(new_k[i], ks, cfg.dtype),
@@ -631,6 +636,31 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
         mask = (llama.sliding_mask(cfg, S)
                 if sliding and S > cfg.sliding_window else None)
         attn = llama.attention(q, k, v, mask, cfg)
+    elif isinstance(kv, tuple) and len(kv) == 5 and kv[0] == "int8_cache":
+        # fused path: attend directly over the INT8 cache (per-head scales
+        # folded into score scale / output epilogue) — no bf16 cache
+        # materialization (ops/decode_attention.py)
+        from ..ops.decode_attention import decode_attention
+        _, k_all, v_all, ks, vs = kv          # int8 (B, T, n_kv, hd)
+        ksv = ks.reshape(-1)                  # (n_kv,)
+        vsv = vs.reshape(-1)
+        k_tok = _kv_quantize(k, ks, "int8")
+        v_tok = _kv_quantize(v, vs, "int8")
+        if jnp.ndim(pos) == 0:
+            k_full = jax.lax.dynamic_update_slice(k_all, k_tok,
+                                                  (0, pos, 0, 0))
+            v_full = jax.lax.dynamic_update_slice(v_all, v_tok,
+                                                  (0, pos, 0, 0))
+        else:
+            bidx = jnp.arange(B)
+            k_full = k_all.at[bidx, pos].set(k_tok[:, 0])
+            v_full = v_all.at[bidx, pos].set(v_tok[:, 0])
+        sm = 1.0 / (cfg.attn_scale if cfg.attn_scale is not None
+                    else float(np.sqrt(hd)))
+        attn = decode_attention(
+            q[:, 0], k_full, v_full, pos, ksv, vsv, sm,
+            softcap=cfg.attn_logit_softcap or 0.0,
+            window=cfg.sliding_window if sliding else None)[:, None]
     else:
         k_all, v_all = kv  # (B, T, n_kv, hd) preallocated
         T = k_all.shape[1]

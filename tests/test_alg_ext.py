@@ -72,3 +72,53 @@ class TestAlgExtTuning:
                                 {"w": parse_scheme("W2A16G64")}, cfg)
         assert np.isfinite(info["best_loss"])
         assert info["best_loss"] <= info["first_loss"] + 1e-9
+
+
+class TestFrozenDqGrid:
+    """alg_ext GGUF-dq iter-0 search re-run (reference
+    sign_roundv2/quantizer.py:268-281): tuning anchors on a frozen
+    searched grid instead of per-step minmax derivation."""
+
+    def test_frozen_matches_rtn_search_at_identity(self):
+        from autoround_tpu.dtypes.gguf import (qdq_int_dq_asym,
+                                               qdq_int_dq_sym,
+                                               rtn_int_dq_asym,
+                                               rtn_int_dq_sym,
+                                               search_dq_grid)
+        w = jax.random.normal(jax.random.PRNGKey(0), (8, 512)) * 0.1
+        # asym (q4_K family)
+        g = search_dq_grid(w, 4, 32, 6, 8, sym=False)
+        r_frozen = qdq_int_dq_asym(w, 4, 32, super_bits=6,
+                                   super_group_size=8, **g)
+        r_rtn = rtn_int_dq_asym(w, 4, 32, super_bits=6, super_group_size=8)
+        np.testing.assert_allclose(np.asarray(r_frozen.qdq),
+                                   np.asarray(r_rtn.qdq), atol=1e-6)
+        # sym (q6_K family)
+        gs = search_dq_grid(w, 6, 16, 8, 16, sym=True)
+        rf = qdq_int_dq_sym(w, 6, 16, super_bits=8, super_group_size=16,
+                            **gs)
+        rr = rtn_int_dq_sym(w, 6, 16, super_bits=8, super_group_size=16)
+        np.testing.assert_allclose(np.asarray(rf.qdq), np.asarray(rr.qdq),
+                                   atol=1e-6)
+
+    def test_alg_ext_gguf_tunes_on_frozen_grid(self):
+        from autoround_tpu import AutoRound
+        from autoround_tpu.models import llama
+        cfg = llama.LlamaConfig(vocab_size=128, hidden_size=256,
+                                intermediate_size=512, num_layers=1,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0, 128)
+        res = AutoRound((params, cfg), scheme="GGUF:Q4_K_S", iters=10,
+                        batch_size=4, enable_alg_ext=True).quantize(ids)
+        trace = res.loss_traces[0]
+        assert np.min(trace) <= trace[0] + 1e-9
+        # baked weights equal the layer qdq (finalize used the same grid)
+        for lname in ("q_proj", "down_proj"):
+            ql = res.layers[f"blocks.0.{lname}"]
+            from autoround_tpu.utils.pytree import get_by_path
+            baked = get_by_path(res.params["blocks"][0], lname)
+            np.testing.assert_allclose(np.asarray(baked, np.float32),
+                                       np.asarray(ql.qdq, np.float32),
+                                       atol=1e-6)

@@ -464,3 +464,48 @@ class TestGgufLoadback:
         assert main(["--model", fp, "--ppl", npy]) == 0
         rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert np.isfinite(rep["ppl"]) and rep["ppl"] > 0
+
+
+class TestGgufArchs:
+    """Non-llama GGUF architectures: qwen2 (biases), qwen3 (qk-norm),
+    gemma2 (sandwich norms + softcaps) metadata and tensor roundtrips."""
+
+    @pytest.mark.parametrize("preset,arch", [
+        ("tiny-qwen", "qwen2"), ("tiny-qwen3", "qwen3"),
+        ("tiny-gemma2", "gemma2")])
+    def test_roundtrip(self, tmp_path, preset, arch):
+        import jax.numpy as jnp
+        from autoround_tpu.export.gguf import (GGMLType, gguf_arch,
+                                               load_gguf_checkpoint,
+                                               read_gguf,
+                                               save_gguf_checkpoint)
+        import dataclasses
+        cfg = dataclasses.replace(llama.CONFIG_PRESETS[preset],
+                                  dtype=jnp.float32)
+        assert gguf_arch(cfg) == arch
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        fp = str(tmp_path / "m.gguf")
+        save_gguf_checkpoint(params, cfg, fp, base_type=GGMLType.Q4_K,
+                             mixed=False)
+        meta, tensors = read_gguf(fp)
+        assert meta["general.architecture"] == arch
+        assert meta[f"{arch}.block_count"] == cfg.num_layers
+        if arch == "qwen2":
+            assert "blk.0.attn_q.bias" in tensors
+        if arch == "qwen3":
+            assert "blk.0.attn_q_norm.weight" in tensors
+        if arch == "gemma2":
+            assert "blk.0.post_attention_norm.weight" in tensors
+            assert "blk.0.post_ffw_norm.weight" in tensors
+            assert meta["gemma2.attn_logit_softcapping"] == pytest.approx(
+                cfg.attn_logit_softcap)
+        p2, cfg2 = load_gguf_checkpoint(fp, dtype=jnp.float32)
+        assert cfg2.attn_bias == (arch == "qwen2")
+        assert cfg2.qk_norm == (arch == "qwen3")
+        assert cfg2.sandwich_norms == (arch == "gemma2")
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0,
+                                 cfg.vocab_size)
+        l1 = np.asarray(llama.model_fwd(params, ids, cfg), np.float32)
+        l2 = np.asarray(llama.model_fwd(p2, ids, cfg2), np.float32)
+        rms = np.sqrt(np.mean((l1 - l2) ** 2))
+        assert rms < 0.05 * np.sqrt(np.mean(l1 ** 2)) + 1e-3
