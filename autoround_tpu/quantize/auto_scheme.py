@@ -40,11 +40,13 @@ __all__ = ["AutoScheme", "gen_auto_scheme", "scheme_storage_bits"]
 @dataclass(frozen=True)
 class AutoScheme:
     """User-facing search spec (reference ``gen_auto_scheme.py:28``)."""
-
     avg_bits: float
     options: Tuple[Union[str, QuantizationScheme], ...]
     nsamples: int = 8
     seed: int = 42
+    # cache delta-loss score matrices under AR_WORK_SPACE so re-running
+    # with a different avg_bits target skips the scoring passes
+    enable_cache: bool = False
 
 
 def scheme_storage_bits(scheme: QuantizationScheme, shape) -> float:
@@ -98,13 +100,40 @@ def gen_auto_scheme(
 
     ids = input_ids[: auto_scheme.nsamples]
 
+    # score cache (reference work-space caching of delta-loss scores):
+    # keyed on model identity, layer set, options, and calib tokens —
+    # NOT on avg_bits, so budget re-targeting reuses the matrices
+    cache_path, cached = None, None
+    if auto_scheme.enable_cache:
+        import hashlib
+        import os as _os
+
+        from .. import envs
+        h = hashlib.sha1()
+        h.update(repr((type(model_cfg).__name__,
+                       {k: str(v) for k, v in model_cfg.__dict__.items()
+                        if k != "dtype"},
+                       tuple(layer_names),
+                       tuple(o.key() for o in options),
+                       int(auto_scheme.nsamples))).encode())
+        h.update(np.asarray(ids).tobytes())
+        h.update(np.asarray(params["embed_tokens"][:4],
+                            np.float32).tobytes())
+        cache_path = _os.path.join(envs.AR_WORK_SPACE, "auto_scheme_cache",
+                                   h.hexdigest() + ".npz")
+        if _os.path.exists(cache_path):
+            z = np.load(cache_path)
+            cached = (z["scores"], z["bits_cost"], z["nparams"])
+            logger.info("AutoScheme: score cache hit %s", cache_path)
+
     # one gradient pass over the quantizable leaves
     def loss_of_blocks(blocks):
         p = dict(params)
         p["blocks"] = blocks
         return _lm_loss(p, model_cfg, ids)
 
-    grads_blocks = jax.grad(loss_of_blocks)(params["blocks"])
+    grads_blocks = (jax.grad(loss_of_blocks)(params["blocks"])
+                    if cached is None else None)
 
     # activation-side damage (reference mix_score = weight_score +
     # act_score, delta_loss.py:100-160): capture each quantized linear's
@@ -113,7 +142,7 @@ def gen_auto_scheme(
     act_options = [o for o in options
                    if o.effective_act().is_act_quantized]
     act_x, act_g = {}, {}
-    if act_options:
+    if act_options and cached is None:
         from ..algorithms.actquant import qdq_act
         from ..models.registry import get_model_fns as _gmf
         mfns = _gmf(model_cfg)
@@ -186,97 +215,107 @@ def gen_auto_scheme(
     # per-pair float() syncs were hundreds of round-trips over a
     # tunneled link (round-1 weak #6)
     n_l, n_o = len(layer_names), len(options)
-    scores = np.zeros((n_l, n_o))
-    bits_cost = np.zeros((n_l, n_o))
-    nparams = np.zeros(n_l)
+    if cached is not None:
+        scores, bits_cost, nparams = cached
+        scores = scores.copy()
+    else:
+        scores = np.zeros((n_l, n_o))
+        bits_cost = np.zeros((n_l, n_o))
+        nparams = np.zeros(n_l)
 
-    def weight_score(w, g, opt: QuantizationScheme):
-        fn = get_quant_func(opt.data_type, opt.bits, opt.sym, mode="rtn")
-        kw = {}
-        if opt.super_bits is not None:
-            kw = dict(super_bits=opt.super_bits,
-                      super_group_size=opt.super_group_size)
-        qdq = fn(w, bits=opt.bits, group_size=opt.group_size, **kw).qdq
-        return jnp.sum(jnp.abs(
-            g.astype(jnp.float32)
-            * (w.astype(jnp.float32) - qdq.astype(jnp.float32))))
+        def weight_score(w, g, opt: QuantizationScheme):
+            fn = get_quant_func(opt.data_type, opt.bits, opt.sym, mode="rtn")
+            kw = {}
+            if opt.super_bits is not None:
+                kw = dict(super_bits=opt.super_bits,
+                          super_group_size=opt.super_group_size)
+            qdq = fn(w, bits=opt.bits, group_size=opt.group_size, **kw).qdq
+            return jnp.sum(jnp.abs(
+                g.astype(jnp.float32)
+                * (w.astype(jnp.float32) - qdq.astype(jnp.float32))))
 
-    from collections import defaultdict
-    by_shape = defaultdict(list)
-    for li, flat in enumerate(layer_names):
-        w = leaf_of(flat, params["blocks"], params)
-        nparams[li] = w.size
-        by_shape[tuple(w.shape)].append(li)
-
-    _stack_cache: Dict = {}
-
-    def scorer_for(opt):
-        key = opt
-        fn = _stack_cache.get(key)
-        if fn is None:
-            fn = jax.jit(jax.vmap(
-                lambda w, g, opt=opt: weight_score(w, g, opt)))
-            _stack_cache[key] = fn
-        return fn
-
-    pending = []  # (li_list, oi, device array) — fetched in one sync
-    grads_full = {"lm_head": None}
-    if "lm_head" in layer_names:
-        head_name = "lm_head" if "lm_head" in params else "embed_tokens"
-
-        def loss_of_head(hw):
-            p = dict(params)
-            p[head_name] = hw
-            return _lm_loss(p, model_cfg, ids)
-        grads_full["lm_head"] = jax.grad(loss_of_head)(params[head_name])
-
-    for shape, lis in by_shape.items():
-        W = jnp.stack([leaf_of(layer_names[li], params["blocks"], params)
-                       for li in lis])
-        G = jnp.stack([
-            grads_full["lm_head"] if layer_names[li] == "lm_head"
-            else get_leaf(grads_blocks, layer_names[li]) for li in lis])
-        for oi, opt in enumerate(options):
-            eff = effective_option(opt, shape)
-            pending.append((lis, oi, scorer_for(eff)(W, G)))
-            for li in lis:
-                bits_cost[li, oi] = scheme_storage_bits(eff, shape)
-
-    # activation-side damage: per-layer jitted scores, fetched in the
-    # same single sync (shapes differ per layer input width)
-    act_pending = []
-    if act_options:
-        from ..algorithms.actquant import qdq_act
-
-        act_score_fns = {}
-        for oi, opt in enumerate(options):
-            if not opt.effective_act().is_act_quantized:
-                continue
-
-            def make(opt=opt):
-                @jax.jit
-                def s(x, gx):
-                    dq = qdq_act(x, opt)
-                    return jnp.sum(jnp.abs(
-                        gx.astype(jnp.float32)
-                        * (x.astype(jnp.float32) - dq.astype(jnp.float32))))
-                return s
-            act_score_fns[oi] = make()
+        from collections import defaultdict
+        by_shape = defaultdict(list)
         for li, flat in enumerate(layer_names):
-            for oi in act_score_fns:
-                if flat in act_x:
-                    act_pending.append(
-                        (li, oi, act_score_fns[oi](act_x[flat],
-                                                   act_g[flat])))
+            w = leaf_of(flat, params["blocks"], params)
+            nparams[li] = w.size
+            by_shape[tuple(w.shape)].append(li)
 
-    # ONE host sync for everything
-    fetched = jax.device_get([p[2] for p in pending]
-                             + [p[2] for p in act_pending])
-    for (lis, oi, _), vals in zip(pending, fetched[:len(pending)]):
-        for j, li in enumerate(lis):
-            scores[li, oi] = float(vals[j])
-    for (li, oi, _), v in zip(act_pending, fetched[len(pending):]):
-        scores[li, oi] += float(v)
+        _stack_cache: Dict = {}
+
+        def scorer_for(opt):
+            key = opt
+            fn = _stack_cache.get(key)
+            if fn is None:
+                fn = jax.jit(jax.vmap(
+                    lambda w, g, opt=opt: weight_score(w, g, opt)))
+                _stack_cache[key] = fn
+            return fn
+
+        pending = []  # (li_list, oi, device array) — fetched in one sync
+        grads_full = {"lm_head": None}
+        if "lm_head" in layer_names:
+            head_name = "lm_head" if "lm_head" in params else "embed_tokens"
+
+            def loss_of_head(hw):
+                p = dict(params)
+                p[head_name] = hw
+                return _lm_loss(p, model_cfg, ids)
+            grads_full["lm_head"] = jax.grad(loss_of_head)(params[head_name])
+
+        for shape, lis in by_shape.items():
+            W = jnp.stack([leaf_of(layer_names[li], params["blocks"], params)
+                           for li in lis])
+            G = jnp.stack([
+                grads_full["lm_head"] if layer_names[li] == "lm_head"
+                else get_leaf(grads_blocks, layer_names[li]) for li in lis])
+            for oi, opt in enumerate(options):
+                eff = effective_option(opt, shape)
+                pending.append((lis, oi, scorer_for(eff)(W, G)))
+                for li in lis:
+                    bits_cost[li, oi] = scheme_storage_bits(eff, shape)
+
+        # activation-side damage: per-layer jitted scores, fetched in the
+        # same single sync (shapes differ per layer input width)
+        act_pending = []
+        if act_options:
+            from ..algorithms.actquant import qdq_act
+
+            act_score_fns = {}
+            for oi, opt in enumerate(options):
+                if not opt.effective_act().is_act_quantized:
+                    continue
+
+                def make(opt=opt):
+                    @jax.jit
+                    def s(x, gx):
+                        dq = qdq_act(x, opt)
+                        return jnp.sum(jnp.abs(
+                            gx.astype(jnp.float32)
+                            * (x.astype(jnp.float32) - dq.astype(jnp.float32))))
+                    return s
+                act_score_fns[oi] = make()
+            for li, flat in enumerate(layer_names):
+                for oi in act_score_fns:
+                    if flat in act_x:
+                        act_pending.append(
+                            (li, oi, act_score_fns[oi](act_x[flat],
+                                                       act_g[flat])))
+
+        # ONE host sync for everything
+        fetched = jax.device_get([p[2] for p in pending]
+                                 + [p[2] for p in act_pending])
+        for (lis, oi, _), vals in zip(pending, fetched[:len(pending)]):
+            for j, li in enumerate(lis):
+                scores[li, oi] = float(vals[j])
+        for (li, oi, _), v in zip(act_pending, fetched[len(pending):]):
+            scores[li, oi] += float(v)
+        if cache_path is not None:
+            import os as _os
+            _os.makedirs(_os.path.dirname(cache_path), exist_ok=True)
+            np.savez(cache_path, scores=scores,
+                     bits_cost=bits_cost, nparams=nparams)
+            logger.info("AutoScheme: scores cached -> %s", cache_path)
 
     # lm-head trick (reference ``delta_loss.py:1439`` _apply_head_trick):
     # logits take lm_head error undampened — bias its candidates toward

@@ -158,15 +158,26 @@ def _hf_dataset(hub_name: str, text_key: str = "text", split: str = "train"):
     return load
 
 
-# reference dataset registry surface (calib_dataset.py:62+)
-for _name, _hub, _key in [
-    ("pile-10k", "NeelNanda/pile-10k", "text"),
-    ("pile-val-backup", "mit-han-lab/pile-val-backup", "text"),
-    ("ultrachat_200k", "HuggingFaceH4/ultrachat_200k", "prompt"),
-    ("mbpp", "mbpp", "text"),
-    ("github-code-clean", "codeparrot/github-code-clean", "code"),
+# reference dataset registry surface (calib_dataset.py:165-685) — hub id
+# aliases registered alongside the short names, like the reference
+for _names, _hub, _key in [
+    (("pile-10k", "NeelNanda/pile-10k"), "NeelNanda/pile-10k", "text"),
+    (("pile-val-backup", "swift/pile-val-backup"),
+     "mit-han-lab/pile-val-backup", "text"),
+    (("ultrachat_200k", "HuggingFaceH4/ultrachat_200k"),
+     "HuggingFaceH4/ultrachat_200k", "prompt"),
+    (("mbpp", "google-research-datasets/mbpp"), "mbpp", "text"),
+    (("github-code-clean", "codeparrot/github-code-clean"),
+     "codeparrot/github-code-clean", "code"),
+    (("CCI3-HQ", "BAAI/CCI3-HQ"), "BAAI/CCI3-HQ", "text"),
+    (("opencode-instruct", "nvidia/OpenCodeInstruct"),
+     "nvidia/OpenCodeInstruct", "input"),
+    (("openbmb/Ultra-FineWeb",), "openbmb/Ultra-FineWeb", "content"),
+    (("new-title-chinese", "madao33/new-title-chinese"),
+     "madao33/new-title-chinese", "content"),
 ]:
-    CALIB_DATASETS[_name] = _hf_dataset(_hub, _key)
+    for _name in _names:
+        CALIB_DATASETS[_name] = _hf_dataset(_hub, _key)
 
 
 def get_calib_batch(

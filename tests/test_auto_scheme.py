@@ -156,3 +156,42 @@ class TestAutoSchemeHardening:
                                    options=("W2A16", "W4A16", "W8A16"),
                                    nsamples=2), ids)
         assert sum(calls) <= 2
+
+
+class TestScoreCache:
+    def test_cache_roundtrip(self, tmp_path, monkeypatch):
+        """Second run with enable_cache hits the npz and yields the same
+        plan; a different avg_bits reuses the same cached matrices."""
+        monkeypatch.setenv("AR_WORK_SPACE", str(tmp_path))
+        import os
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 CFG.vocab_size)
+        spec = AutoScheme(avg_bits=3.0, options=("W2A16", "W4A16G32"),
+                          enable_cache=True)
+        plan1 = gen_auto_scheme(params, CFG, spec, ids)
+        cdir = os.path.join(str(tmp_path), "auto_scheme_cache")
+        files = os.listdir(cdir)
+        assert len(files) == 1
+        # cache hit: same plan, no gradient pass (jax.grad monkeypatched
+        # to explode proves the expensive path is skipped)
+        real_grad = jax.grad
+
+        def boom(*a, **k):
+            raise AssertionError("gradient pass ran despite cache hit")
+
+        monkeypatch.setattr(jax, "grad", boom)
+        plan2 = gen_auto_scheme(params, CFG, spec, ids)
+        monkeypatch.setattr(jax, "grad", real_grad)
+        assert {k: v.key() for k, v in plan1.items()} == \
+               {k: v.key() for k, v in plan2.items()}
+        # budget re-target reuses the same matrices (no new cache file)
+        spec2 = AutoScheme(avg_bits=3.5, options=("W2A16", "W4A16G32"),
+                          enable_cache=True)
+        monkeypatch.setattr(jax, "grad", boom)
+        plan3 = gen_auto_scheme(params, CFG, spec2, ids)
+        monkeypatch.setattr(jax, "grad", real_grad)
+        assert os.listdir(cdir) == files
+        b1 = np.mean([p.bits for p in plan1.values()])
+        b3 = np.mean([p.bits for p in plan3.values()])
+        assert b3 >= b1
