@@ -64,9 +64,42 @@ def _quantize_tensor(name: str, w: np.ndarray, scheme_dict: dict,
     return {f"{name}.{k}": v for k, v in payload.items()}
 
 
+def _load_fp8_as_f32(shard_path: str, key: str) -> np.ndarray:
+    """FP8-stored tensor → float32 numpy (numpy safetensors cannot decode
+    float8; torch-cpu can)."""
+    from safetensors import safe_open
+    with safe_open(shard_path, framework="pt") as f:
+        return f.get_tensor(key).float().numpy()
+
+
+def _dequant_fp8_source(w: np.ndarray, scale: Optional[np.ndarray]
+                        ) -> np.ndarray:
+    """Apply a DeepSeek-style ``weight_scale_inv`` — per-tensor scalar or
+    (O/128, I/128) 2-D block grid (reference ModelFreeCompressor FP8
+    source handling)."""
+    if scale is None:
+        return w
+    s = np.asarray(scale, np.float32)
+    if s.ndim <= 1 and s.size == 1:
+        return w * float(s.reshape(()))
+    O, I = w.shape
+    bo, bi = -(-O // s.shape[0]), -(-I // s.shape[1])
+    s_full = np.repeat(np.repeat(s, bo, axis=0), bi, axis=1)[:O, :I]
+    return w * s_full
+
+
 def _process_shard(args) -> Tuple[str, Dict[str, list], List[str]]:
     """Worker: quantize all eligible tensors of one shard, write output
-    shard, return (outfile, tensor->outfile map entries, quantized names)."""
+    shard, return (outfile, tensor->outfile map entries, quantized names).
+
+    Handles two reference ModelFreeCompressor specials:
+      * FP8-source checkpoints (float8 weights + ``weight_scale_inv``):
+        dequant to f32 first, then quantize; the scale tensors are
+        consumed, not copied through.
+      * Fused-MoE 3-D expert stacks (E, O, I): split per expert and
+        quantize each slice independently (reference
+        ``fused_moe/replace_modules.py`` role).
+    """
     (shard_path, out_dir, scheme_dict, include, exclude, pack) = args
     _worker_init()
     from safetensors import safe_open
@@ -77,13 +110,54 @@ def _process_shard(args) -> Tuple[str, Dict[str, list], List[str]]:
     out: Dict[str, np.ndarray] = {}
     quantized: List[str] = []
     with safe_open(shard_path, framework="numpy") as f:
-        for key in f.keys():
-            t = f.get_tensor(key)
-            if (t.ndim == 2 and inc.fullmatch(key) and not exc.fullmatch(key)
-                    and t.shape[0] >= 32 and t.shape[1] >= 32):
-                base = key[: -len(".weight")] if key.endswith(".weight") else key
+        keys = set(f.keys())
+
+        def scale_for(key):
+            base = key[: -len(".weight")] if key.endswith(".weight") else key
+            for suffix in (".weight_scale_inv", ".weight_scale"):
+                sk = base + suffix
+                if sk in keys:
+                    return f.get_tensor(sk)
+            return None
+
+        consumed_scales = {
+            k for k in keys
+            if k.endswith((".weight_scale_inv", ".weight_scale"))
+            and (k.rsplit(".", 1)[0] + ".weight" in keys
+                 or k.rsplit(".", 1)[0] in keys)}
+        for key in sorted(keys):
+            if key in consumed_scales:
+                continue
+            try:
+                t = f.get_tensor(key)
+                fp8_src = False
+            except Exception:
+                t = _load_fp8_as_f32(shard_path, key)
+                fp8_src = True
+            eligible = (inc.fullmatch(key) and not exc.fullmatch(key)
+                        and t.shape[-1] >= 32 and t.shape[-2] >= 32
+                        if t.ndim >= 2 else False)
+            if t.ndim == 2 and eligible:
+                if fp8_src:
+                    t = _dequant_fp8_source(t, scale_for(key))
+                base = key[: -len(".weight")] if key.endswith(".weight") \
+                    else key
                 out.update(_quantize_tensor(base, t, scheme_dict, pack))
                 quantized.append(base)
+            elif t.ndim == 3 and eligible:
+                # fused MoE stack: one 2-D quantization per expert slice
+                base = key[: -len(".weight")] if key.endswith(".weight") \
+                    else key
+                s3 = scale_for(key) if fp8_src else None
+                for e in range(t.shape[0]):
+                    we = t[e]
+                    if fp8_src:
+                        se = s3[e] if (s3 is not None
+                                       and np.ndim(s3) == 3) else s3
+                        we = _dequant_fp8_source(we, se)
+                    out.update(_quantize_tensor(f"{base}.{e}", we,
+                                                scheme_dict, pack))
+                    quantized.append(f"{base}.{e}")
             else:
                 out[key] = t
     fname = os.path.basename(shard_path)

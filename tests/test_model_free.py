@@ -79,3 +79,64 @@ class TestModelFree:
         b = load_file(os.path.join(out2, "model-00001-of-00002.safetensors"))
         for k in a:
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+class TestFp8SourceAndFusedMoe:
+    def test_fp8_source_dequant(self, tmp_path):
+        """FP8 checkpoint (float8 weights + block weight_scale_inv) is
+        dequantized before quantization; scale tensors are consumed."""
+        import torch
+        from safetensors.torch import save_file as save_pt
+        from autoround_tpu.quantize.model_free import model_free_quantize
+
+        rng = np.random.default_rng(0)
+        w32 = (rng.standard_normal((256, 256)) * 0.05).astype(np.float32)
+        scale = np.full((2, 2), 2.0, np.float32)   # 128x128 blocks
+        w8 = torch.tensor(w32 / 2.0).to(torch.float8_e4m3fn)
+        src = tmp_path / "src"
+        src.mkdir()
+        save_pt({"model.layers.0.self_attn.q_proj.weight": w8,
+                 "model.layers.0.self_attn.q_proj.weight_scale_inv":
+                     torch.tensor(scale),
+                 "model.embed_tokens.weight":
+                     torch.zeros(8, 256)},
+                str(src / "model.safetensors"))
+        json.dump({"model_type": "llama"}, open(src / "config.json", "w"))
+        out = model_free_quantize(str(src), str(tmp_path / "out"),
+                                  scheme="W4A16G32", pack=False,
+                                  num_workers=1)
+        from safetensors import safe_open
+        with safe_open(os.path.join(out, "model.safetensors"),
+                       framework="numpy") as f:
+            keys = set(f.keys())
+            q = f.get_tensor("model.layers.0.self_attn.q_proj")
+        assert not any("weight_scale" in k for k in keys)
+        # qdq of the DEQUANTIZED (x2) weight, not the raw fp8 values
+        ref = w8.float().numpy() * 2.0
+        err = np.abs(q - ref).max()
+        assert err < np.abs(ref).max() * 0.2
+        # scale applied: raw-fp8 qdq would be ~half the magnitude
+        assert np.abs(q).max() > np.abs(w8.float().numpy()).max() * 1.5
+
+    def test_fused_moe_split(self, tmp_path):
+        """3-D (E, O, I) expert stacks split into per-expert entries."""
+        from safetensors.numpy import save_file
+        from autoround_tpu.quantize.model_free import model_free_quantize
+
+        rng = np.random.default_rng(1)
+        stack = (rng.standard_normal((4, 64, 64)) * 0.05).astype(np.float32)
+        src = tmp_path / "src"
+        src.mkdir()
+        save_file({"model.layers.0.mlp.experts.gate_proj.weight": stack},
+                  str(src / "model.safetensors"))
+        json.dump({"model_type": "mixtral"}, open(src / "config.json", "w"))
+        out = model_free_quantize(str(src), str(tmp_path / "out"),
+                                  scheme="W4A16G32", pack=True,
+                                  num_workers=1)
+        from safetensors import safe_open
+        with safe_open(os.path.join(out, "model.safetensors"),
+                       framework="numpy") as f:
+            keys = set(f.keys())
+        for e in range(4):
+            assert (f"model.layers.0.mlp.experts.gate_proj.{e}.qweight"
+                    in keys), keys
