@@ -1,0 +1,278 @@
+"""CLIP score for diffusion eval (role of the reference's
+``diffusion/eval.py:30-66`` CLIP/ImageReward metrics).
+
+A JAX CLIP: the vision tower reuses ``models.llava._vit_fwd`` (the
+CLIP-faithful ViT), plus a causal text transformer and the two
+projection heads.  ``load_clip_checkpoint`` maps an HF
+``CLIPModel`` safetensors checkpoint (openai/clip-vit-* layout) into the
+pytree; ``clip_score`` is the standard 100 · max(0, cos(image, text)).
+
+This container has no CLIP weights (zero egress) — tests exercise the
+machinery with random-init weights; point ``load_clip_checkpoint`` at a
+local HF dir to score real generations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llava import LlavaConfig, _layer_norm, _lin, _vit_fwd
+from ..utils.logger import logger
+
+__all__ = ["ClipConfig", "init_clip_params", "encode_image", "encode_text",
+           "clip_score", "load_clip_checkpoint"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipConfig:
+    # vision side (CLIP ViT)
+    image_size: int = 224
+    patch_size: int = 32
+    v_hidden: int = 768
+    v_layers: int = 12
+    v_heads: int = 12
+    # text side
+    t_vocab: int = 49408
+    t_hidden: int = 512
+    t_layers: int = 12
+    t_heads: int = 8
+    t_max_len: int = 77
+    # joint embedding
+    projection_dim: int = 512
+    eot_token_id: int = 49407
+
+    def vision_cfg(self) -> LlavaConfig:
+        """The ViT runs through the llava tower with CLIP semantics but
+        keeps its OWN final layer norm + class-token output."""
+        return LlavaConfig(
+            vocab_size=2, hidden_size=8, intermediate_size=8, num_layers=1,
+            num_heads=1, num_kv_heads=1, dtype=jnp.float32,
+            image_size=self.image_size, patch_size=self.patch_size,
+            v_hidden=self.v_hidden, v_layers=self.v_layers,
+            v_heads=self.v_heads, v_class_token=True, v_quick_gelu=True,
+            v_feature_layer=-1)
+
+
+def init_clip_params(cfg: ClipConfig, key: jax.Array) -> Dict[str, Any]:
+    ks = jax.random.split(key, 8 + cfg.v_layers + cfg.t_layers)
+    D, T = cfg.v_hidden, cfg.t_hidden
+    n_patch = (cfg.image_size // cfg.patch_size) ** 2
+    vt: Dict[str, Any] = {
+        "patch_embed": jax.random.normal(
+            ks[0], (D, 3 * cfg.patch_size ** 2), jnp.float32) * 0.02,
+        "pos_embed": jax.random.normal(ks[1], (n_patch + 1, D),
+                                       jnp.float32) * 0.02,
+        "class_embed": jax.random.normal(ks[2], (D,), jnp.float32) * 0.02,
+        "pre_ln_g": jnp.ones((D,)), "pre_ln_b": jnp.zeros((D,)),
+        "ln_f_g": jnp.ones((D,)), "ln_f_b": jnp.zeros((D,)),
+        "blocks": [],
+    }
+    for i in range(cfg.v_layers):
+        bk = jax.random.split(ks[3 + i], 4)
+        vt["blocks"].append({
+            "ln1_g": jnp.ones((D,)), "ln1_b": jnp.zeros((D,)),
+            "qkv": jax.random.normal(bk[0], (3 * D, D)) * 0.02,
+            "qkv_b": jnp.zeros((3 * D,)),
+            "proj": jax.random.normal(bk[1], (D, D)) * 0.02,
+            "proj_b": jnp.zeros((D,)),
+            "ln2_g": jnp.ones((D,)), "ln2_b": jnp.zeros((D,)),
+            "fc1": jax.random.normal(bk[2], (4 * D, D)) * 0.02,
+            "fc1_b": jnp.zeros((4 * D,)),
+            "fc2": jax.random.normal(bk[3], (D, 4 * D)) * 0.02,
+            "fc2_b": jnp.zeros((D,)),
+        })
+    tx: Dict[str, Any] = {
+        "token_embed": jax.random.normal(ks[-4], (cfg.t_vocab, T)) * 0.02,
+        "pos_embed": jax.random.normal(ks[-3], (cfg.t_max_len, T)) * 0.02,
+        "ln_f_g": jnp.ones((T,)), "ln_f_b": jnp.zeros((T,)),
+        "blocks": [],
+    }
+    for i in range(cfg.t_layers):
+        bk = jax.random.split(jax.random.fold_in(ks[-2], i), 4)
+        tx["blocks"].append({
+            "ln1_g": jnp.ones((T,)), "ln1_b": jnp.zeros((T,)),
+            "qkv": jax.random.normal(bk[0], (3 * T, T)) * 0.02,
+            "qkv_b": jnp.zeros((3 * T,)),
+            "proj": jax.random.normal(bk[1], (T, T)) * 0.02,
+            "proj_b": jnp.zeros((T,)),
+            "ln2_g": jnp.ones((T,)), "ln2_b": jnp.zeros((T,)),
+            "fc1": jax.random.normal(bk[2], (4 * T, T)) * 0.02,
+            "fc1_b": jnp.zeros((4 * T,)),
+            "fc2": jax.random.normal(bk[3], (T, 4 * T)) * 0.02,
+            "fc2_b": jnp.zeros((T,)),
+        })
+    return {
+        "vision": vt,
+        "text": tx,
+        "visual_projection": jax.random.normal(
+            ks[-1], (cfg.projection_dim, D)) * 0.02,
+        "text_projection": jax.random.normal(
+            jax.random.fold_in(ks[-1], 1), (cfg.projection_dim, T)) * 0.02,
+        "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
+    }
+
+
+def encode_image(params: Dict[str, Any], pixels: jax.Array,
+                 cfg: ClipConfig) -> jax.Array:
+    """pixels (B, S, S, 3) CLIP-normalized → L2-normalized (B, proj).
+    CLIP pooling: the post-LN CLASS token state."""
+    vcfg = cfg.vision_cfg()
+    feats = _vit_fwd(params["vision"], pixels, vcfg, keep_class=True)
+    pooled = feats[:, 0]
+    emb = jnp.einsum("bd,pd->bp", pooled, params["visual_projection"])
+    return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+
+def clip_score(params: Dict[str, Any], pixels: jax.Array,
+               token_ids: jax.Array, cfg: ClipConfig) -> jax.Array:
+    """Standard CLIP score per (image, text) pair: 100·max(0, cosine)."""
+    img = encode_image(params, pixels, cfg)
+    txt = encode_text(params, token_ids, cfg)
+    return jnp.maximum(jnp.sum(img * txt, axis=-1), 0.0) * 100.0
+
+
+def encode_text(params: Dict[str, Any], ids: jax.Array,
+                cfg: ClipConfig) -> jax.Array:
+    """ids (B, L) → L2-normalized (B, proj).  Causal transformer, pooled
+    at the EOT token (CLIP convention: argmax of ids == eot)."""
+    tx = params["text"]
+    B, L = ids.shape
+    x = tx["token_embed"][ids] + tx["pos_embed"][None, :L]
+    nh = cfg.t_heads
+    hd = cfg.t_hidden // nh
+    causal = jnp.tril(jnp.ones((L, L), bool))
+    for blk in tx["blocks"]:
+        h = _layer_norm(x, blk["ln1_g"], blk["ln1_b"])
+        qkv = _lin(h, blk["qkv"], blk.get("qkv_b"))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, L, nh, hd)
+        k = k.reshape(B, L, nh, hd)
+        v = v.reshape(B, L, nh, hd)
+        s = jnp.einsum("bsnh,btnh->bnst", q, k,
+                       preferred_element_type=jnp.float32) / np.sqrt(hd)
+        s = jnp.where(causal[None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        a = jnp.einsum("bnst,btnh->bsnh", p, v).reshape(B, L, -1)
+        x = x + _lin(a, blk["proj"], blk.get("proj_b"))
+        h = _layer_norm(x, blk["ln2_g"], blk["ln2_b"])
+        h = _lin(h, blk["fc1"], blk.get("fc1_b"))
+        h = h * jax.nn.sigmoid(1.702 * h)          # quick_gelu
+        x = x + _lin(h, blk["fc2"], blk.get("fc2_b"))
+    x = _layer_norm(x, tx["ln_f_g"], tx["ln_f_b"])
+    # pool at the last EOT (highest token id) position, CLIP-style
+    eot_pos = jnp.argmax(ids, axis=-1)
+    pooled = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)[:, 0]
+    emb = jnp.einsum("bd,pd->bp", pooled, params["text_projection"])
+    return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+
+def _cfg_from_hf(hf: Dict[str, Any]) -> ClipConfig:
+    vc, tc = hf.get("vision_config", {}), hf.get("text_config", {})
+    return ClipConfig(
+        image_size=vc.get("image_size", 224),
+        patch_size=vc.get("patch_size", 32),
+        v_hidden=vc.get("hidden_size", 768),
+        v_layers=vc.get("num_hidden_layers", 12),
+        v_heads=vc.get("num_attention_heads", 12),
+        t_vocab=tc.get("vocab_size", 49408),
+        t_hidden=tc.get("hidden_size", 512),
+        t_layers=tc.get("num_hidden_layers", 12),
+        t_heads=tc.get("num_attention_heads", 8),
+        t_max_len=tc.get("max_position_embeddings", 77),
+        projection_dim=hf.get("projection_dim", 512),
+        eot_token_id=tc.get("eos_token_id", 49407),
+    )
+
+
+_LN_MAP = {"layer_norm1.weight": "ln1_g", "layer_norm1.bias": "ln1_b",
+           "layer_norm2.weight": "ln2_g", "layer_norm2.bias": "ln2_b",
+           "mlp.fc1.weight": "fc1", "mlp.fc1.bias": "fc1_b",
+           "mlp.fc2.weight": "fc2", "mlp.fc2.bias": "fc2_b",
+           "self_attn.out_proj.weight": "proj",
+           "self_attn.out_proj.bias": "proj_b"}
+
+
+def load_clip_checkpoint(path: str) -> Tuple[Dict[str, Any], ClipConfig]:
+    """HF ``CLIPModel`` safetensors dir → (params, ClipConfig)."""
+    from ..utils.hf_loader import _iter_shards
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    cfg = _cfg_from_hf(hf)
+    vt: Dict[str, Any] = {"blocks": [dict() for _ in range(cfg.v_layers)]}
+    tx: Dict[str, Any] = {"blocks": [dict() for _ in range(cfg.t_layers)]}
+    params: Dict[str, Any] = {"vision": vt, "text": tx}
+    qkv_parts: Dict[Tuple[str, int], Dict[str, np.ndarray]] = {}
+
+    for key, tensor in _iter_shards(path):
+        arr = jnp.asarray(tensor, jnp.float32)
+        if key == "visual_projection.weight":
+            params["visual_projection"] = arr
+        elif key == "text_projection.weight":
+            params["text_projection"] = arr
+        elif key == "logit_scale":
+            params["logit_scale"] = arr
+        elif key.startswith("vision_model."):
+            sub = key[len("vision_model."):]
+            if sub == "embeddings.class_embedding":
+                vt["class_embed"] = arr.reshape(-1)
+            elif sub == "embeddings.patch_embedding.weight":
+                w = np.asarray(tensor, np.float32)
+                vt["patch_embed"] = jnp.asarray(
+                    w.transpose(0, 2, 3, 1).reshape(w.shape[0], -1))
+            elif sub == "embeddings.position_embedding.weight":
+                vt["pos_embed"] = arr
+            elif sub == "pre_layrnorm.weight":
+                vt["pre_ln_g"] = arr
+            elif sub == "pre_layrnorm.bias":
+                vt["pre_ln_b"] = arr
+            elif sub == "post_layernorm.weight":
+                vt["ln_f_g"] = arr
+            elif sub == "post_layernorm.bias":
+                vt["ln_f_b"] = arr
+            elif sub.startswith("encoder.layers."):
+                _ingest_layer(sub, tensor, vt, qkv_parts, "v")
+        elif key.startswith("text_model."):
+            sub = key[len("text_model."):]
+            if sub == "embeddings.token_embedding.weight":
+                tx["token_embed"] = arr
+            elif sub == "embeddings.position_embedding.weight":
+                tx["pos_embed"] = arr
+            elif sub == "final_layer_norm.weight":
+                tx["ln_f_g"] = arr
+            elif sub == "final_layer_norm.bias":
+                tx["ln_f_b"] = arr
+            elif sub.startswith("encoder.layers."):
+                _ingest_layer(sub, tensor, tx, qkv_parts, "t")
+
+    for (tower, li), parts in qkv_parts.items():
+        blk = (vt if tower == "v" else tx)["blocks"][li]
+        blk["qkv"] = jnp.asarray(np.concatenate(
+            [parts["q.w"], parts["k.w"], parts["v.w"]], axis=0), jnp.float32)
+        blk["qkv_b"] = jnp.asarray(np.concatenate(
+            [parts["q.b"], parts["k.b"], parts["v.b"]]), jnp.float32)
+    logger.info("loaded CLIP checkpoint from %s", path)
+    return params, cfg
+
+
+def _ingest_layer(sub, tensor, tower, qkv_parts, tag):
+    rest = sub[len("encoder.layers."):]
+    li, name = rest.split(".", 1)
+    li = int(li)
+    if name in _LN_MAP:
+        tower["blocks"][li][_LN_MAP[name]] = jnp.asarray(tensor, jnp.float32)
+        return
+    for pn, short in (("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v")):
+        if name == f"self_attn.{pn}.weight":
+            qkv_parts.setdefault((tag, li), {})[f"{short}.w"] = \
+                np.asarray(tensor, np.float32)
+        elif name == f"self_attn.{pn}.bias":
+            qkv_parts.setdefault((tag, li), {})[f"{short}.b"] = \
+                np.asarray(tensor, np.float32)

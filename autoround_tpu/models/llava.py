@@ -112,7 +112,7 @@ def _lin(x, w, b=None):
 
 
 def _vit_fwd(vt: Dict[str, Any], pixels: jax.Array,
-             cfg: LlavaConfig) -> jax.Array:
+             cfg: LlavaConfig, keep_class: bool = False) -> jax.Array:
     """pixels (B, H, W, 3) → patch features (B, num_patches, v_hidden).
 
     CLIP-faithful when the checkpoint carries the extras (class token,
@@ -156,7 +156,7 @@ def _vit_fwd(vt: Dict[str, Any], pixels: jax.Array,
         x = x + _lin(h, blk["fc2"], blk.get("fc2_b"))
     if cfg.v_feature_layer == -1:
         x = _layer_norm(x, vt["ln_f_g"], vt["ln_f_b"])
-    if cfg.v_class_token:
+    if cfg.v_class_token and not keep_class:
         x = x[:, 1:]   # llava "patch" feature selection drops the class tok
     return x
 

@@ -732,14 +732,25 @@ def quantize_model(
             if tcfg.enable_alg_ext:
                 # alg_ext: GGUF-dq layers tune against a frozen searched
                 # grid (iter-0 search re-run, reference
-                # sign_roundv2/quantizer.py:268-281)
+                # sign_roundv2/quantizer.py:268-281); with use_imatrix the
+                # search weights by FP-input second moments (reference
+                # _register_imatrix_hooks during tuning, :396-400)
                 from ..dtypes.gguf import search_dq_grid
+                dq_names = {ln for ln, s in schemes.items()
+                            if s.super_bits is not None
+                            and s.data_type == "int_dq"}
+                im_tune: Dict[str, jax.Array] = {}
+                if dq_names and cfg.use_imatrix:
+                    im_tune = collect_imatrix(
+                        _stats_fn_for(bi), block, x_fp[: cfg.cache_batch],
+                        dq_names)
                 ex = {}
-                for lname, s in schemes.items():
-                    if s.super_bits is not None and s.data_type == "int_dq":
-                        ex[lname] = search_dq_grid(
-                            get_by_path(block, lname), s.bits, s.group_size,
-                            s.super_bits, s.super_group_size, s.sym)
+                for lname in dq_names:
+                    s = schemes[lname]
+                    ex[lname] = search_dq_grid(
+                        get_by_path(block, lname), s.bits, s.group_size,
+                        s.super_bits, s.super_group_size, s.sym,
+                        imatrix=im_tune.get(lname))
                 tune_extras = ex or None
             best, info = tune_block(
                 block_fn, tune_weights, tune_in, ref_out, schemes, tcfg,

@@ -113,8 +113,11 @@ def make_bf16_engine(cfg, max_seq, key):
     if not cfg.tie_embeddings:
         params["lm_head"] = jax.random.normal(
             ks[-1], (cfg.vocab_size, H), jnp.bfloat16) * 0.02
+    # the baseline is a REAL bf16 deployment: bf16 weights AND bf16 KV
+    # (the quantized stack gets W4 + int8 KV + the fused int8-KV
+    # decode-attention kernel — apples-to-apples full-stack configs)
     return QuantizedLlama(cfg=cfg, params=params, packed={},
-                          max_seq=max_seq, kv_quant="int8")
+                          max_seq=max_seq, kv_quant=None)
 
 
 def time_decode(engine, ids, steps=24):

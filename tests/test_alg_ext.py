@@ -122,3 +122,28 @@ class TestFrozenDqGrid:
             np.testing.assert_allclose(np.asarray(baked, np.float32),
                                        np.asarray(ql.qdq, np.float32),
                                        atol=1e-6)
+
+    def test_alg_ext_gguf_with_imatrix(self):
+        """use_imatrix weights the frozen-grid search by FP-input second
+        moments (reference imatrix hooks during tuning)."""
+        from autoround_tpu import AutoRound
+        from autoround_tpu.models import llama
+        cfg = llama.LlamaConfig(vocab_size=128, hidden_size=256,
+                                intermediate_size=512, num_layers=1,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0, 128)
+        res_im = AutoRound((params, cfg), scheme="GGUF:Q4_K_S", iters=3,
+                           batch_size=4, enable_alg_ext=True,
+                           use_imatrix=True).quantize(ids)
+        for trace in res_im.loss_traces.values():
+            assert np.isfinite(trace).all()
+        # unit level: a skewed imatrix must move the searched grid
+        from autoround_tpu.dtypes.gguf import search_dq_grid
+        w = jax.random.normal(jax.random.PRNGKey(5), (8, 512)) * 0.1
+        im = jnp.concatenate([jnp.ones(256) * 100.0, jnp.ones(256)])
+        g0 = search_dq_grid(w, 4, 32, 6, 8, sym=False)
+        g1 = search_dq_grid(w, 4, 32, 6, 8, sym=False, imatrix=im)
+        assert np.abs(np.asarray(g0["frozen_d"])
+                      - np.asarray(g1["frozen_d"])).max() > 0
