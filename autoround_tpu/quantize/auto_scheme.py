@@ -47,6 +47,10 @@ class AutoScheme:
     # cache delta-loss score matrices under AR_WORK_SPACE so re-running
     # with a different avg_bits target skips the scoring passes
     enable_cache: bool = False
+    # score GGUF k-quant / opt-RTN options with an imatrix-weighted quant
+    # search (reference delta_loss.py:375-466 imatrix GGUF wrappers):
+    # one calibration forward accumulates per-input-channel x^2 means
+    use_imatrix: bool = False
 
 
 def scheme_storage_bits(scheme: QuantizationScheme, shape) -> float:
@@ -115,7 +119,8 @@ def gen_auto_scheme(
                         if k != "dtype"},
                        tuple(layer_names),
                        tuple(o.key() for o in options),
-                       int(auto_scheme.nsamples))).encode())
+                       int(auto_scheme.nsamples),
+                       bool(auto_scheme.use_imatrix))).encode())
         h.update(np.asarray(ids).tobytes())
         h.update(np.asarray(params["embed_tokens"][:4],
                             np.float32).tobytes())
@@ -142,7 +147,8 @@ def gen_auto_scheme(
     act_options = [o for o in options
                    if o.effective_act().is_act_quantized]
     act_x, act_g = {}, {}
-    if act_options and cached is None:
+    imatrices = {}
+    if (act_options or auto_scheme.use_imatrix) and cached is None:
         from ..algorithms.actquant import qdq_act
         from ..models.registry import get_model_fns as _gmf
         mfns = _gmf(model_cfg)
@@ -176,13 +182,22 @@ def gen_auto_scheme(
         x0 = mfns.embed_fwd(params, ids[:1, :-1], model_cfg)
         from ..utils.pytree import get_by_path as _gbp
         for flat in layer_names:
+            if not flat.startswith("blocks."):
+                continue
             w = _gbp(params["blocks"], flat.split(".", 1)[1])
             probe_shapes[flat] = (ids.shape[0], ids.shape[1] - 1, w.shape[1])
         probes = {k: jnp.zeros(s, x0.dtype) for k, s in probe_shapes.items()}
-        (loss_val, act_x), g = jax.jit(
-            lambda p: jax.value_and_grad(fwd_with_probes, has_aux=True)(p)
-        )(probes)
-        act_g = g
+        if act_options:
+            (loss_val, act_x), g = jax.jit(
+                lambda p: jax.value_and_grad(fwd_with_probes, has_aux=True)(p)
+            )(probes)
+            act_g = g
+        else:   # imatrix only: plain forward capture, no gradient
+            _, act_x = jax.jit(fwd_with_probes)(probes)
+        if auto_scheme.use_imatrix:
+            imatrices = {k: jnp.mean(jnp.square(v.astype(jnp.float32)),
+                                     axis=(0, 1))
+                         for k, v in act_x.items()}
 
     from ..utils.pytree import get_by_path
 
@@ -223,12 +238,17 @@ def gen_auto_scheme(
         bits_cost = np.zeros((n_l, n_o))
         nparams = np.zeros(n_l)
 
-        def weight_score(w, g, opt: QuantizationScheme):
+        def weight_score(w, g, opt: QuantizationScheme, im=None):
             fn = get_quant_func(opt.data_type, opt.bits, opt.sym, mode="rtn")
             kw = {}
             if opt.super_bits is not None:
                 kw = dict(super_bits=opt.super_bits,
                           super_group_size=opt.super_group_size)
+            if im is not None:
+                # imatrix-weighted k-quant search scores the qdq the
+                # export would actually produce (reference imatrix GGUF
+                # wrappers, delta_loss.py:375-466)
+                kw["imatrix"] = im
             qdq = fn(w, bits=opt.bits, group_size=opt.group_size, **kw).qdq
             return jnp.sum(jnp.abs(
                 g.astype(jnp.float32)
@@ -243,12 +263,17 @@ def gen_auto_scheme(
 
         _stack_cache: Dict = {}
 
-        def scorer_for(opt):
-            key = opt
+        def scorer_for(opt, with_im=False):
+            key = (opt, with_im)
             fn = _stack_cache.get(key)
             if fn is None:
-                fn = jax.jit(jax.vmap(
-                    lambda w, g, opt=opt: weight_score(w, g, opt)))
+                if with_im:
+                    fn = jax.jit(jax.vmap(
+                        lambda w, g, im, opt=opt: weight_score(w, g, opt,
+                                                               im)))
+                else:
+                    fn = jax.jit(jax.vmap(
+                        lambda w, g, opt=opt: weight_score(w, g, opt)))
                 _stack_cache[key] = fn
             return fn
 
@@ -269,9 +294,18 @@ def gen_auto_scheme(
             G = jnp.stack([
                 grads_full["lm_head"] if layer_names[li] == "lm_head"
                 else get_leaf(grads_blocks, layer_names[li]) for li in lis])
+            IM = None
+            if auto_scheme.use_imatrix and imatrices:
+                IM = jnp.stack([
+                    imatrices.get(layer_names[li],
+                                  jnp.ones((shape[1],), jnp.float32))
+                    for li in lis])
             for oi, opt in enumerate(options):
                 eff = effective_option(opt, shape)
-                pending.append((lis, oi, scorer_for(eff)(W, G)))
+                use_im = IM is not None and eff.super_bits is not None
+                pending.append((lis, oi,
+                                scorer_for(eff, use_im)(W, G, IM) if use_im
+                                else scorer_for(eff)(W, G)))
                 for li in lis:
                     bits_cost[li, oi] = scheme_storage_bits(eff, shape)
 
