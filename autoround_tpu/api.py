@@ -228,13 +228,26 @@ class AutoRound:
             raise RuntimeError("call quantize() first")
         from .export import save_quantized
         fmts = [f.strip() for f in format.split(",") if f.strip()]
+
+        def _with_tokenizer(path):
+            # the reference saves the tokenizer into every output dir so
+            # the checkpoint is directly loadable/evaluable
+            if self.tokenizer is not None and hasattr(self.tokenizer,
+                                                      "save_pretrained"):
+                try:
+                    self.tokenizer.save_pretrained(path)
+                except Exception as e:
+                    logger.warning("tokenizer save failed: %s", e)
+            return path
+
         if len(fmts) == 1:
-            return save_quantized(self.result, self.model_cfg, output_dir,
-                                  fmts[0])
+            return _with_tokenizer(save_quantized(
+                self.result, self.model_cfg, output_dir, fmts[0]))
         import os
         for f in fmts:
             sub = os.path.join(output_dir, f.replace(":", "_"))
-            save_quantized(self.result, self.model_cfg, sub, f)
+            _with_tokenizer(save_quantized(self.result, self.model_cfg,
+                                           sub, f))
         return output_dir
 
     def quantize_and_save(self, input_ids, output_dir: str,

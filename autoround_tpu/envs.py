@@ -28,6 +28,11 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "AR_LOG_MEMORY": lambda: os.environ.get("AR_LOG_MEMORY", "0") == "1",
     # jax.profiler trace of the tuning run (utils/profiling.py)
     "AR_TRACE_DIR": lambda: os.environ.get("AR_TRACE_DIR"),
+    # isolate hub dataset loading in a spawn subprocess (calib_data.py)
+    "AR_CALIB_SUBPROCESS": lambda: os.environ.get(
+        "AR_CALIB_SUBPROCESS", "0") == "1",
+    "AR_CALIB_SUBPROCESS_TIMEOUT": lambda: float(os.environ.get(
+        "AR_CALIB_SUBPROCESS_TIMEOUT", "300")),
 }
 
 

@@ -141,19 +141,59 @@ def _local(nsamples, seqlen, tokenizer=None, path=None, seed=42,
                        apply_chat_template, system_prompt)
 
 
+def _load_hub_texts(hub_name: str, text_key: str, split: str,
+                    limit: int) -> List[str]:
+    import datasets
+    ds = datasets.load_dataset(hub_name, split=split)
+    out = []
+    for row in ds:
+        out.append(row[text_key])
+        if len(out) >= limit:
+            break
+    return out
+
+
+def _subprocess_entry(q, hub_name, text_key, split, limit):
+    try:
+        q.put(("ok", _load_hub_texts(hub_name, text_key, split, limit)))
+    except Exception as e:  # pragma: no cover - depends on datasets state
+        q.put(("err", f"{type(e).__name__}: {e}"))
+
+
 def _hf_dataset(hub_name: str, text_key: str = "text", split: str = "train"):
     def load(nsamples, seqlen, tokenizer=None, seed=42,
              apply_chat_template=False, system_prompt=None, **_):
         assert tokenizer is not None, f"{hub_name} needs a tokenizer"
+        limit = nsamples * 8
+        from .. import envs
         try:
-            import datasets
-            ds = datasets.load_dataset(hub_name, split=split)
+            if envs.AR_CALIB_SUBPROCESS:
+                # isolate the datasets library in a spawn subprocess
+                # (reference runs hub dataset loading isolated so a
+                # segfault/hang in datasets cannot take the run down)
+                import multiprocessing as mp
+                ctx = mp.get_context("spawn")
+                q = ctx.Queue()
+                p = ctx.Process(target=_subprocess_entry,
+                                args=(q, hub_name, text_key, split, limit))
+                p.start()
+                timeout = envs.AR_CALIB_SUBPROCESS_TIMEOUT
+                try:
+                    status, payload = q.get(timeout=timeout)
+                finally:
+                    p.join(timeout=5)
+                    if p.is_alive():
+                        p.terminate()
+                if status != "ok":
+                    raise RuntimeError(payload)
+                texts = payload
+            else:
+                texts = _load_hub_texts(hub_name, text_key, split, limit)
         except Exception as e:  # zero-egress: no cache → actionable error
             raise RuntimeError(
                 f"dataset {hub_name!r} unavailable (no network/cache): {e}"
             ) from e
-        texts = (row[text_key] for row in ds)
-        return _pack_texts(list(texts)[: nsamples * 8], tokenizer, nsamples,
+        return _pack_texts(texts, tokenizer, nsamples,
                            seqlen, seed, apply_chat_template, system_prompt)
     return load
 

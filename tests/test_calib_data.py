@@ -144,3 +144,13 @@ class TestMixing:
             f"synthetic:0.5,local:{p}", nsamples=8, seqlen=32,
             tokenizer=FakeTokenizer(), vocab_size=250)
         assert ids.shape == (8, 32)
+
+
+class TestSubprocessIsolation:
+    def test_subprocess_error_propagates(self, monkeypatch):
+        """AR_CALIB_SUBPROCESS: the hub loader runs in a spawn child; a
+        failure there surfaces as the same actionable RuntimeError."""
+        monkeypatch.setenv("AR_CALIB_SUBPROCESS", "1")
+        monkeypatch.setenv("AR_CALIB_SUBPROCESS_TIMEOUT", "60")
+        with pytest.raises(RuntimeError, match="unavailable"):
+            CALIB_DATASETS["pile-10k"](2, 8, tokenizer=FakeTokenizer())
