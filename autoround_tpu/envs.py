@@ -28,6 +28,9 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "AR_LOG_MEMORY": lambda: os.environ.get("AR_LOG_MEMORY", "0") == "1",
     # jax.profiler trace of the tuning run (utils/profiling.py)
     "AR_TRACE_DIR": lambda: os.environ.get("AR_TRACE_DIR"),
+    # MoE serving: capacity-based expert dispatch factor (0 = dense)
+    "AR_MOE_CAPACITY_FACTOR": lambda: float(os.environ.get(
+        "AR_MOE_CAPACITY_FACTOR", "0")),
     # isolate hub dataset loading in a spawn subprocess (calib_data.py)
     "AR_CALIB_SUBPROCESS": lambda: os.environ.get(
         "AR_CALIB_SUBPROCESS", "0") == "1",

@@ -123,22 +123,62 @@ def init_params(cfg: MixtralConfig, key: jax.Array) -> Dict[str, Any]:
     return params
 
 
-def _moe_mlp(weights, h, cfg: MixtralConfig, lf):
-    """Dense-compute top-k routed SwiGLU experts."""
+def _moe_mlp(weights, h, cfg: MixtralConfig, lf,
+             capacity_factor: float = 0.0):
+    """Top-k routed SwiGLU experts.
+
+    capacity_factor == 0 → dense-then-mask (exact; every expert sees
+    every token — the calibration default, XLA-friendly, full gradient
+    signal).  capacity_factor > 0 → capacity-based dispatch (role of the
+    reference's fused-MoE grouped GEMM, ``modeling/fused_moe``): tokens
+    gather into fixed (E, C, H) slabs, each expert's kernels run on C
+    tokens instead of all N (C = ceil(N·k/E · factor)) — the serving
+    path's FLOP reduction; tokens beyond an expert's capacity drop (the
+    standard MoE capacity approximation).
+    """
     B, S, H = h.shape
     router_logits = lf("router", h, weights["router"])  # (B,S,E)
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     topv, topi = jax.lax.top_k(probs, cfg.top_k)
     if cfg.norm_topk_prob:
         topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
-    out = jnp.zeros_like(h, dtype=jnp.float32)
-    for e, ew in enumerate(weights["experts"]):
-        gate = jax.nn.silu(lf(f"experts.{e}.w1", h, ew["w1"]))
-        up = lf(f"experts.{e}.w3", h, ew["w3"])
-        y = lf(f"experts.{e}.w2", gate * up, ew["w2"]).astype(jnp.float32)
-        # weight of expert e per token (0 when not in top-k)
-        w_e = jnp.sum(jnp.where(topi == e, topv, 0.0), axis=-1)  # (B,S)
-        out = out + y * w_e[..., None]
+    E, k = cfg.num_experts, cfg.top_k
+
+    if capacity_factor and capacity_factor > 0:
+        N = B * S
+        C = max(1, int(np.ceil(N * k / E * capacity_factor)))
+        hf = h.reshape(N, H)
+        e_idx = topi.reshape(N * k)                    # expert per slot
+        w_slot = topv.reshape(N * k).astype(jnp.float32)
+        n_idx = jnp.repeat(jnp.arange(N), k)
+        # rank of each slot within its expert (first-come order)
+        oh = jax.nn.one_hot(e_idx, E, dtype=jnp.int32)      # (N*k, E)
+        pos_e = jnp.sum(jnp.cumsum(oh, axis=0) * oh, axis=1) - 1
+        keep = pos_e < C
+        pos_c = jnp.where(keep, pos_e, C)             # drops land in a
+        buf = jnp.zeros((E, C + 1, H), h.dtype)       # spill row
+        buf = buf.at[e_idx, pos_c].set(hf[n_idx])
+        out_slabs = []
+        for e, ew in enumerate(weights["experts"]):
+            xb = buf[e, :C]
+            gate = jax.nn.silu(lf(f"experts.{e}.w1", xb, ew["w1"]))
+            up = lf(f"experts.{e}.w3", xb, ew["w3"])
+            out_slabs.append(lf(f"experts.{e}.w2", gate * up, ew["w2"]))
+        ys = jnp.stack(out_slabs).astype(jnp.float32)  # (E, C, H)
+        contrib = ys[e_idx, pos_c.clip(0, C - 1)] * (
+            w_slot * keep.astype(jnp.float32))[:, None]
+        out = jnp.zeros((N, H), jnp.float32).at[n_idx].add(contrib)
+        out = out.reshape(B, S, H)
+    else:
+        out = jnp.zeros_like(h, dtype=jnp.float32)
+        for e, ew in enumerate(weights["experts"]):
+            gate = jax.nn.silu(lf(f"experts.{e}.w1", h, ew["w1"]))
+            up = lf(f"experts.{e}.w3", h, ew["w3"])
+            y = lf(f"experts.{e}.w2", gate * up, ew["w2"]).astype(
+                jnp.float32)
+            # weight of expert e per token (0 when not in top-k)
+            w_e = jnp.sum(jnp.where(topi == e, topv, 0.0), axis=-1)
+            out = out + y * w_e[..., None]
     if "shared_expert" in weights:
         # Qwen2-MoE/DeepSeek always-on shared expert, optionally gated by
         # a sigmoid scalar per token

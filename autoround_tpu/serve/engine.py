@@ -703,11 +703,14 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
         h = llama.rms_norm(x, weights["post_attention_layernorm"],
                            cfg.rms_eps, off)
     if "experts" in weights:
-        # Mixtral-style sparse MoE: dense-then-mask routed experts via
-        # the shared interceptor (packed expert projections hit the fused
-        # kernel through lf just like dense layers)
+        # Mixtral-style sparse MoE via the shared interceptor (packed
+        # expert projections hit the fused kernel through lf just like
+        # dense layers); AR_MOE_CAPACITY_FACTOR>0 switches serving to
+        # capacity-based dispatch (each expert computes C tokens, not N)
+        from .. import envs
         from ..models.mixtral import _moe_mlp
-        mlp_out = _moe_mlp(weights, h, cfg, lf)
+        mlp_out = _moe_mlp(weights, h, cfg, lf,
+                           capacity_factor=envs.AR_MOE_CAPACITY_FACTOR)
     else:
         act = llama._act(cfg.hidden_act)
         fused_gu = (QuantizedLlama._fused_call(packed, splits_table,

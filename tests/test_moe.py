@@ -195,3 +195,53 @@ class TestSpecialMixedRecipes:
                         iters=1, batch_size=2).quantize(ids)
         assert res.layers["blocks.0.experts.0.w1"].scheme.bits == 2
         assert res.layers["blocks.0.q_proj"].scheme.bits == 4
+
+
+class TestCapacityDispatch:
+    """Capacity-based expert dispatch (serving grouped-GEMM role)."""
+
+    def test_matches_dense_when_capacity_suffices(self):
+        from autoround_tpu.models.mixtral import _moe_mlp
+        from autoround_tpu.models import llama as _ll
+        params = mixtral.init_params(CFG, jax.random.PRNGKey(0))
+        blk = params["blocks"][0]
+        h = jax.random.normal(jax.random.PRNGKey(2), (2, 8, CFG.hidden_size),
+                              jnp.float32)
+        lf = _ll._plain_linear
+        dense = _moe_mlp(blk, h, CFG, lf)
+        # factor E/k guarantees C >= N: zero drops -> identical math
+        cap = _moe_mlp(blk, h, CFG, lf,
+                       capacity_factor=CFG.num_experts / CFG.top_k)
+        np.testing.assert_allclose(np.asarray(cap), np.asarray(dense),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_small_capacity_drops_gracefully(self):
+        from autoround_tpu.models.mixtral import _moe_mlp
+        from autoround_tpu.models import llama as _ll
+        params = mixtral.init_params(CFG, jax.random.PRNGKey(0))
+        blk = params["blocks"][0]
+        h = jax.random.normal(jax.random.PRNGKey(2), (2, 8, CFG.hidden_size),
+                              jnp.float32)
+        out = _moe_mlp(blk, h, CFG, _ll._plain_linear, capacity_factor=1.0)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_engine_decode_with_capacity(self, monkeypatch):
+        """Serving decode through the capacity path matches dense greedy
+        tokens when capacity suffices."""
+        from autoround_tpu.serve import QuantizedLlama
+        monkeypatch.setenv("AR_MOE_CAPACITY_FACTOR", "4.0")
+        cfg = mixtral.MixtralConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=96,
+            num_layers=2, num_heads=4, num_kv_heads=2, num_experts=4,
+            top_k=2, rope_theta=1e4, dtype=jnp.float32)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 128)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        qm = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        toks = np.asarray(qm.generate(jnp.asarray([[3, 5, 7]]),
+                                      max_new_tokens=4))[0]
+        monkeypatch.delenv("AR_MOE_CAPACITY_FACTOR")
+        qm2 = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        toks2 = np.asarray(qm2.generate(jnp.asarray([[3, 5, 7]]),
+                                        max_new_tokens=4))[0]
+        np.testing.assert_array_equal(toks, toks2)
