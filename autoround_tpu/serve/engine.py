@@ -288,6 +288,11 @@ class QuantizedLlama:
                 from ..utils.pytree import set_by_path
                 params["blocks"][int(parts[1])] = set_by_path(
                     params["blocks"][int(parts[1])], parts[2], None)
+            elif name == "lm_head" and "lm_head" in params:
+                # packed head serves final_fwd; the dense copy (vocab x H,
+                # the single largest weight read per decode step) is freed.
+                # Tied-embedding models keep embed_tokens for the gather.
+                params["lm_head"] = None
         by_kind = {k: sum(1 for v in kinds.values() if v == k)
                    for k in set(kinds.values())}
         logger.info("serving engine: %d layers packed (%s), rest dense",
@@ -354,8 +359,10 @@ class QuantizedLlama:
                 z = _np.repeat(zp, g if g > 0 else I, axis=1)[:, :I]
                 dq = ((codes.astype(_np.float32) - z) * s)
             from ..utils.pytree import set_by_path
-            leaf = (jnp.asarray(dq, cfg.dtype) if dq is not None
-                    else jnp.zeros((O, I), cfg.dtype))
+            # packed layers carry NO dense leaf (None placeholder) — a
+            # zeros stand-in would re-materialize the full bf16 model in
+            # HBM and defeat the 4x footprint win
+            leaf = jnp.asarray(dq, cfg.dtype) if dq is not None else None
             params = set_by_path(params, name, leaf)
         logger.info("from_pretrained: %d packed layers, %d total quantized",
                     len(packed), len(qcfg["layers"]))
@@ -455,7 +462,7 @@ class QuantizedLlama:
         return _prefill_core(params, packed, input_ids, cfg=self.cfg,
                              max_seq=self.max_seq, kv_quant=self.kv_quant,
                              lf_maker=lambda p, i: self._make_linear_fn(
-                                 p, i, kinds))
+                                 p, i, kinds), kinds=kinds)
 
     def decode_step(self, token: jax.Array, cache: KVCache
                     ) -> Tuple[jax.Array, KVCache]:
@@ -513,8 +520,24 @@ class QuantizedLlama:
         return fn(self.params, self.packed, jnp.asarray(input_ids))
 
 
+def _final_fwd_packed(params, packed, x, cfg, kinds=None):
+    """final norm + lm_head, through the packed kernel when the head was
+    quantized (``quant_lm_head``) — at 128K vocab the dense bf16 head is
+    the single largest HBM read of a decode step."""
+    entry = (packed or {}).get("lm_head")
+    if entry is None:
+        return llama.final_fwd(params, x, cfg)
+    h = llama.rms_norm(x, params["norm"], cfg.rms_eps, cfg.norm_offset)
+    kind = (kinds or {}).get("lm_head", "w4a16")
+    logits = QuantizedLlama._packed_matmul(h, entry, kind)
+    if cfg.final_logit_softcap:
+        logits = llama._softcap(logits.astype(jnp.float32),
+                                cfg.final_logit_softcap).astype(logits.dtype)
+    return logits
+
+
 def _prefill_core(params, packed, input_ids, *, cfg, max_seq, kv_quant,
-                  lf_maker):
+                  lf_maker, kinds=None):
     """Prompt pass shared by the single-chip and TP engines.
 
     ``cfg`` may carry per-shard head counts (TP path: heads divided by tp,
@@ -553,7 +576,7 @@ def _prefill_core(params, packed, input_ids, *, cfg, max_seq, kv_quant,
         length=jnp.asarray(S, jnp.int32),
         k_scale=k_scale, v_scale=v_scale,
     )
-    logits = llama.final_fwd(params, x[:, -1:], cfg)
+    logits = _final_fwd_packed(params, packed, x[:, -1:], cfg, kinds)
     return logits[:, 0], cache
 
 
@@ -591,7 +614,7 @@ def _decode_core(params, packed, token, cache, *, cfg, kv_quant, lf_maker,
             new_k, k_new[None].astype(new_k.dtype), (i, 0, pos, 0, 0))
         new_v = jax.lax.dynamic_update_slice(
             new_v, v_new[None].astype(new_v.dtype), (i, 0, pos, 0, 0))
-    logits = llama.final_fwd(params, x, cfg)
+    logits = _final_fwd_packed(params, packed, x, cfg, kinds)
     return logits[:, 0], KVCache(new_k, new_v, pos + 1,
                                  cache.k_scale, cache.v_scale)
 

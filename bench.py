@@ -76,9 +76,14 @@ def make_packed_engine(cfg, max_seq, key, g=128):
         "norm": jnp.ones((H,), jnp.bfloat16),
         "blocks": blocks,
     }
-    if not cfg.tie_embeddings:
-        params["lm_head"] = (jax.random.normal(kE[1], (cfg.vocab_size, H),
-                                               jnp.bfloat16) * 0.02)
+    # lm_head packs too (quant_lm_head serving): at 128K vocab the dense
+    # bf16 head is ~1 GB — the single largest HBM read of a decode step
+    qw_h = jax.random.randint(kE[1], (cfg.vocab_size, H // 8),
+                              jnp.iinfo(jnp.int32).min,
+                              jnp.iinfo(jnp.int32).max, jnp.int32)
+    sc_h = jax.random.uniform(kE[2], (cfg.vocab_size, H // g), jnp.float32,
+                              0.008, 0.012)
+    packed["lm_head"] = (qw_h, sc_h)
     fused, splits, kinds = _fuse_packed(packed, cfg)
     return QuantizedLlama(cfg=cfg, params=params, packed=fused,
                           max_seq=max_seq, kv_quant="int8",

@@ -87,3 +87,33 @@ class TestGenerateScan:
         loop = eng.generate(ids, max_new_tokens=6)
         scan = eng.generate_scan(ids, max_new_tokens=6)
         np.testing.assert_array_equal(np.asarray(loop), np.asarray(scan))
+
+
+class TestPackedLmHead:
+    def test_quantized_head_packs_and_matches(self):
+        cfg = llama.LlamaConfig(vocab_size=256, hidden_size=1024,
+                                intermediate_size=1024, num_layers=1,
+                                num_heads=4, num_kv_heads=2, rope_theta=1e4,
+                                dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 256)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0,
+                        quant_lm_head=True).quantize(ids)
+        assert "lm_head" in res.layers
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=64)
+        assert "lm_head" in eng.packed
+        # the dense vocab x H copy is freed (largest decode-step HBM read)
+        assert eng.params["lm_head"] is None
+        q = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 256)
+        logits, cache = eng.prefill(q)
+        want = llama.model_fwd(res.params, q, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits2, _ = eng.decode_step(tok, cache)
+        seq = jnp.concatenate([q, tok[:, None]], axis=1)
+        want2 = llama.model_fwd(res.params, seq, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits2, np.float32),
+                                   np.asarray(want2, np.float32),
+                                   rtol=5e-2, atol=5e-2)
