@@ -126,6 +126,9 @@ class AutoRound:
                 cfg.num_layers, lnames,
                 self.scheme, layer_config=layer_config,
                 ignore_layers=ignore_layers, quant_lm_head=quant_lm_head)
+            from .quantize.layer_config import prune_missing_layers
+            self.layer_schemes = prune_missing_layers(
+                self.layer_schemes, params)
             if isinstance(scheme, str) and scheme.upper().startswith("GGUF:"):
                 # tune each layer on the byte grid the GGUF writer will
                 # store (mixed-rule upgrades + 256-divisibility fallback)

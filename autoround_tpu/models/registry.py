@@ -10,7 +10,7 @@ from __future__ import annotations
 from types import SimpleNamespace
 from typing import Any, Dict
 
-from . import dit, llama, llava, mixtral
+from . import deepseek, dit, llama, llava, mixtral
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -41,6 +41,16 @@ def get_model_fns(cfg) -> SimpleNamespace:
             model_fwd=llava.model_fwd,
             block_linear_names=llava.block_linear_names,
         )
+    if isinstance(cfg, deepseek.DeepseekConfig):
+        return SimpleNamespace(
+            init_params=deepseek.init_params,
+            block_fwd=deepseek.block_fwd,
+            embed_fwd=llama.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=deepseek.rope_tables,
+            model_fwd=deepseek.model_fwd,
+            block_linear_names=deepseek.block_linear_names,
+        )
     if isinstance(cfg, mixtral.MixtralConfig):
         return SimpleNamespace(
             init_params=mixtral.init_params,
@@ -66,6 +76,7 @@ def get_model_fns(cfg) -> SimpleNamespace:
 
 ALL_PRESETS: Dict[str, Any] = {}
 ALL_PRESETS.update(llama.CONFIG_PRESETS)
+ALL_PRESETS.update(deepseek.CONFIG_PRESETS)
 ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(dit.CONFIG_PRESETS)

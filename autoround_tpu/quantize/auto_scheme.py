@@ -98,9 +98,12 @@ def gen_auto_scheme(
     options = [parse_scheme(o) for o in auto_scheme.options]
     if layer_names is None:
         from ..models.registry import get_model_fns
+        from .layer_config import prune_missing_layers
         layer_names = [
             f"blocks.{i}.{ln}" for i in range(model_cfg.num_layers)
             for ln in get_model_fns(model_cfg).block_linear_names(model_cfg)]
+        layer_names = list(prune_missing_layers(
+            {n: None for n in layer_names}, params))
 
     ids = input_ids[: auto_scheme.nsamples]
 

@@ -49,6 +49,28 @@ def handle_special_scheme(scheme, linear_names, quant_lm_head: bool):
     return None
 
 
+def prune_missing_layers(
+    plan: Dict[str, QuantizationScheme], params,
+) -> Dict[str, QuantizationScheme]:
+    """Drop ``blocks.*`` plan entries whose path doesn't exist in the
+    params pytree.  Heterogeneous-block models (DeepSeek: the
+    ``first_k_dense`` layers have a dense MLP, the rest have expert
+    leaves) enumerate the UNION of linear names per block; entries a
+    given block lacks are expected, not errors.  Special names
+    (``lm_head``/``embed_tokens``) keep their existing fallback handling.
+    """
+    from ..utils.pytree import get_by_path
+    out = {}
+    for n, s in plan.items():
+        if n.startswith("blocks."):
+            try:
+                get_by_path(params, n)
+            except (KeyError, IndexError, TypeError, ValueError):
+                continue
+        out[n] = s
+    return out
+
+
 def resolve_layer_schemes(
     num_layers: int,
     linear_names: Iterable[str],

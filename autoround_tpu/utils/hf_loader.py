@@ -63,6 +63,8 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
     cls = LlamaConfig
     moe_kw = {}
     intermediate = cfg["intermediate_size"]
+    if mt in ("deepseek_v2", "deepseek_v3"):
+        return _deepseek_config_from_hf(cfg, mt, dtype)
     if cfg.get("num_local_experts") or mt == "mixtral":
         from ..models.mixtral import MixtralConfig
         cls = MixtralConfig
@@ -113,6 +115,100 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
     )
 
 
+def _deepseek_config_from_hf(cfg: Dict[str, Any], mt: str, dtype):
+    """DeepSeek V2/V3 (MLA + DeepSeek-MoE) HF config → DeepseekConfig.
+
+    V3 routers score with sigmoid + aux-free bias and group by top-2 sum
+    (``noaux_tc``); V2 scores with softmax (``greedy`` /
+    ``group_limited_greedy``).  Yarn's mscale folds into the softmax
+    scale (reference handles this inside the model; here it is one
+    config scalar)."""
+    from ..models.deepseek import DeepseekConfig
+
+    v3 = mt == "deepseek_v3"
+    rs = cfg.get("rope_scaling") or {}
+    mscale = 1.0
+    if rs.get("mscale_all_dim") and rs.get("factor", 1.0) > 1.0:
+        mscale = 0.1 * rs["mscale_all_dim"] * float(
+            np.log(rs["factor"])) + 1.0
+    topk_method = cfg.get("topk_method", "noaux_tc" if v3 else "greedy")
+    grouped = topk_method in ("noaux_tc", "group_limited_greedy")
+    return DeepseekConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"],
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=cfg["num_attention_heads"],
+        num_kv_heads=cfg.get("num_key_value_heads",
+                             cfg["num_attention_heads"]),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        rms_eps=cfg.get("rms_norm_eps", 1e-6),
+        tie_embeddings=cfg.get("tie_word_embeddings", False),
+        q_lora_rank=cfg.get("q_lora_rank") or 0,
+        kv_lora_rank=cfg.get("kv_lora_rank", 512),
+        qk_nope_head_dim=cfg.get("qk_nope_head_dim", 128),
+        qk_rope_head_dim=cfg.get("qk_rope_head_dim", 64),
+        v_head_dim=cfg.get("v_head_dim", 128),
+        # V2's complex-pair rope is score-equivalent to the interleaved
+        # permutation (both q and k share it)
+        rope_interleave=cfg.get("rope_interleave", True),
+        mscale=mscale,
+        n_routed_experts=cfg.get("n_routed_experts") or 0,
+        num_experts_per_tok=cfg.get("num_experts_per_tok", 6),
+        moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+        n_shared_experts=cfg.get("n_shared_experts") or 0,
+        first_k_dense=cfg.get("first_k_dense_replace", 1),
+        routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
+        scoring_func=cfg.get("scoring_func",
+                             "sigmoid" if v3 else "softmax"),
+        n_group=cfg.get("n_group", 1) if grouped else 1,
+        topk_group=cfg.get("topk_group", 1) if grouped else 1,
+        norm_topk_prob=cfg.get("norm_topk_prob", v3),
+        dtype=dtype,
+    )
+
+
+_DS_ATTN_MAP = {
+    "self_attn.q_proj.weight": "q_proj",
+    "self_attn.q_a_proj.weight": "q_a_proj",
+    "self_attn.q_a_layernorm.weight": "q_a_layernorm",
+    "self_attn.q_b_proj.weight": "q_b_proj",
+    "self_attn.kv_a_proj_with_mqa.weight": "kv_a_proj_with_mqa",
+    "self_attn.kv_a_layernorm.weight": "kv_a_layernorm",
+    "self_attn.kv_b_proj.weight": "kv_b_proj",
+    "self_attn.o_proj.weight": "o_proj",
+    "input_layernorm.weight": "input_layernorm",
+    "post_attention_layernorm.weight": "post_attention_layernorm",
+    "mlp.gate_proj.weight": "gate_proj",
+    "mlp.up_proj.weight": "up_proj",
+    "mlp.down_proj.weight": "down_proj",
+    "mlp.gate.weight": "gate",
+    "mlp.gate.e_score_correction_bias": "e_score_correction_bias",
+}
+
+
+def _map_deepseek_key(sub: str, block: Dict[str, Any], arr) -> bool:
+    if sub in _DS_ATTN_MAP:
+        block[_DS_ATTN_MAP[sub]] = arr
+        return True
+    for moe_prefix, dest in (("mlp.experts.", "experts"),
+                             ("mlp.shared_experts.", "shared_experts")):
+        if not sub.startswith(moe_prefix):
+            continue
+        rest = sub[len(moe_prefix):]
+        if dest == "experts":
+            e_s, rest = rest.split(".", 1)
+            exp = block.setdefault("experts", {})
+            tgt = exp.setdefault(int(e_s), {})
+        else:
+            tgt = block.setdefault("shared_experts", {})
+        wname = rest.rsplit(".weight", 1)[0]
+        if wname in ("gate_proj", "up_proj", "down_proj"):
+            tgt[wname] = arr
+            return True
+    return False
+
+
 def _iter_shards(path: str):
     from safetensors import safe_open
 
@@ -136,6 +232,8 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
         hf_cfg = json.load(f)
     cfg = config_from_hf(hf_cfg, dtype)
 
+    from ..models.deepseek import DeepseekConfig
+    is_deepseek = isinstance(cfg, DeepseekConfig)
     n_experts = getattr(cfg, "num_experts", 0)
     blocks = [
         ({"experts": [dict() for _ in range(n_experts)]} if n_experts
@@ -152,6 +250,12 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
         if key.startswith("model.layers."):
             rest = key[len("model.layers."):]
             li, sub = rest.split(".", 1)
+            if is_deepseek:
+                if sub == "mlp.gate.e_score_correction_bias":
+                    arr = jnp.asarray(tensor).astype(jnp.float32)
+                if _map_deepseek_key(sub, blocks[int(li)], arr):
+                    n += 1
+                    continue
             if sub in _BLOCK_MAP:
                 blocks[int(li)][_BLOCK_MAP[sub]] = arr
                 n += 1
@@ -216,11 +320,83 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
         logger.debug("skipping unmapped tensor %s", key)
     if cfg.tie_embeddings:
         params.pop("lm_head", None)
-    missing = [i for i, b in enumerate(blocks) if "q_proj" not in b]
+    if is_deepseek:
+        # expert dicts keyed by index → ordered lists (pytree layout)
+        for b in blocks:
+            if isinstance(b.get("experts"), dict):
+                exp = b["experts"]
+                b["experts"] = [exp[e] for e in sorted(exp)]
+    q_key = ("q_a_proj" if is_deepseek and cfg.q_lora_rank else "q_proj")
+    missing = [i for i, b in enumerate(blocks) if q_key not in b]
     if missing:
         raise ValueError(f"blocks missing attention weights: {missing}")
     logger.info("loaded %d tensors from %s", n, path)
     return params, cfg
+
+
+def _save_deepseek_checkpoint(params, cfg, path: str,
+                              hf_extra: Optional[Dict[str, Any]] = None
+                              ) -> str:
+    from safetensors.numpy import save_file
+
+    inv = {v: k for k, v in _DS_ATTN_MAP.items()}
+    tensors: Dict[str, np.ndarray] = {}
+    for hf_key, ours in _TOP_MAP.items():
+        if params.get(ours) is not None:
+            tensors[hf_key] = np.asarray(params[ours])
+    for li, block in enumerate(params["blocks"]):
+        pre = f"model.layers.{li}."
+        for ours, arr in block.items():
+            if ours in inv:
+                tensors[pre + inv[ours]] = np.asarray(arr)
+            elif ours == "experts":
+                for e, ew in enumerate(arr):
+                    for wn, wv in ew.items():
+                        tensors[f"{pre}mlp.experts.{e}.{wn}.weight"] = \
+                            np.asarray(wv)
+            elif ours == "shared_experts":
+                for wn, wv in arr.items():
+                    tensors[f"{pre}mlp.shared_experts.{wn}.weight"] = \
+                        np.asarray(wv)
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+    v3 = cfg.scoring_func == "sigmoid"
+    hf_cfg = {
+        "model_type": "deepseek_v3" if v3 else "deepseek_v2",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "moe_intermediate_size": cfg.moe_intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_eps,
+        "tie_word_embeddings": cfg.tie_embeddings,
+        "q_lora_rank": cfg.q_lora_rank or None,
+        "kv_lora_rank": cfg.kv_lora_rank,
+        "qk_nope_head_dim": cfg.qk_nope_head_dim,
+        "qk_rope_head_dim": cfg.qk_rope_head_dim,
+        "v_head_dim": cfg.v_head_dim,
+        "n_routed_experts": cfg.n_routed_experts or None,
+        "num_experts_per_tok": cfg.num_experts_per_tok,
+        "n_shared_experts": cfg.n_shared_experts or None,
+        "first_k_dense_replace": cfg.first_k_dense,
+        "routed_scaling_factor": cfg.routed_scaling_factor,
+        "scoring_func": cfg.scoring_func,
+        "n_group": cfg.n_group,
+        "topk_group": cfg.topk_group,
+        "norm_topk_prob": cfg.norm_topk_prob,
+        "topk_method": "noaux_tc" if v3 else (
+            "group_limited_greedy" if cfg.n_group > 1 else "greedy"),
+        "torch_dtype": "bfloat16",
+    }
+    if v3:
+        hf_cfg["rope_interleave"] = cfg.rope_interleave
+    if hf_extra:
+        hf_cfg.update(hf_extra)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+    return path
 
 
 def save_hf_checkpoint(params: Dict[str, Any], cfg: LlamaConfig, path: str,
@@ -229,6 +405,9 @@ def save_hf_checkpoint(params: Dict[str, Any], cfg: LlamaConfig, path: str,
     from safetensors.numpy import save_file
 
     os.makedirs(path, exist_ok=True)
+    from ..models.deepseek import DeepseekConfig
+    if isinstance(cfg, DeepseekConfig):
+        return _save_deepseek_checkpoint(params, cfg, path, hf_extra)
     inv_block = {v: k for k, v in _BLOCK_MAP.items()}
     qwen_moe = bool(getattr(cfg, "shared_expert_intermediate", 0))
     inv_q = {"w1": "gate_proj", "w3": "up_proj", "w2": "down_proj"}

@@ -1,0 +1,110 @@
+"""DeepSeek V2/V3 family: MLA + DeepSeek-MoE logit parity vs transformers,
+HF checkpoint loading, and end-to-end quantization over heterogeneous
+blocks (dense first_k layers + MoE rest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoround_tpu import AutoRound
+from autoround_tpu.models import deepseek
+from autoround_tpu.utils.hf_loader import load_hf_checkpoint, \
+    save_hf_checkpoint
+
+
+def _hf_logits(model, ids):
+    import torch
+    with torch.no_grad():
+        out = model(torch.tensor(np.asarray(ids), dtype=torch.long))
+    return out.logits.float().numpy()
+
+
+class TestLogitParity:
+    @pytest.mark.parametrize("ver", ["v3", "v2"])
+    def test_parity_vs_transformers(self, tmp_path, ver):
+        import torch
+        torch.manual_seed(0)
+        common = dict(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            moe_intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=4, num_key_value_heads=4,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16, n_routed_experts=8, num_experts_per_tok=2,
+            first_k_dense_replace=1, rope_scaling=None,
+            attention_bias=False, attn_implementation="eager")
+        if ver == "v3":
+            from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+            hf_cfg = DeepseekV3Config(
+                q_lora_rank=32, n_shared_experts=1,
+                routed_scaling_factor=2.5, n_group=2, topk_group=1,
+                norm_topk_prob=True, **common)
+            model = DeepseekV3ForCausalLM(hf_cfg)
+            # nonzero aux-free bias exercises the noaux_tc selection path
+            with torch.no_grad():
+                for layer in model.model.layers[1:]:
+                    layer.mlp.gate.e_score_correction_bias.normal_(0, 0.5)
+        else:
+            from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+            hf_cfg = DeepseekV2Config(
+                q_lora_rank=None, n_shared_experts=2,
+                routed_scaling_factor=1.0, topk_method="greedy",
+                n_group=1, topk_group=1, norm_topk_prob=False, **common)
+            model = DeepseekV2ForCausalLM(hf_cfg)
+        model = model.float().eval()
+        model.save_pretrained(str(tmp_path), safe_serialization=True)
+        params, cfg = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+        assert isinstance(cfg, deepseek.DeepseekConfig)
+        assert (cfg.q_lora_rank > 0) == (ver == "v3")
+        ids = np.random.default_rng(0).integers(0, 256, (2, 12))
+        ours = np.asarray(
+            deepseek.model_fwd(params, jnp.asarray(ids), cfg), np.float32)
+        want = _hf_logits(model, ids)
+        np.testing.assert_allclose(ours, want, rtol=3e-2, atol=3e-2)
+
+
+class TestRoundTrip:
+    def test_save_load_roundtrip(self, tmp_path):
+        cfg = deepseek.CONFIG_PRESETS["tiny-deepseek"]
+        params = deepseek.init_params(cfg, jax.random.PRNGKey(0))
+        save_hf_checkpoint(params, cfg, str(tmp_path))
+        params2, cfg2 = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+        assert cfg2.scoring_func == "sigmoid"
+        assert cfg2.n_group == cfg.n_group
+        ids = np.random.default_rng(1).integers(0, 256, (1, 8))
+        a = deepseek.model_fwd(params, jnp.asarray(ids), cfg)
+        b = deepseek.model_fwd(params2, jnp.asarray(ids), cfg2)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestQuantize:
+    def test_quantize_heterogeneous_blocks(self):
+        cfg = deepseek.CONFIG_PRESETS["tiny-deepseek"]
+        params = deepseek.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=2,
+                        batch_size=4).quantize(ids)
+        # dense first block quantizes its MLP; MoE blocks their experts
+        assert "blocks.0.gate_proj" in res.layers
+        assert "blocks.1.experts.0.gate_proj" in res.layers
+        assert "blocks.1.shared_experts.down_proj" in res.layers
+        assert not any(k.startswith("blocks.0.experts") for k in res.layers)
+        assert "blocks.0.kv_b_proj" in res.layers  # MLA projections tune
+        # qdq model still runs and quantization damage is bounded
+        ours = deepseek.model_fwd(res.params, ids[:1], cfg)
+        ref = deepseek.model_fwd(params, ids[:1], cfg)
+        rms = float(jnp.sqrt(jnp.mean(
+            (ours.astype(jnp.float32) - ref.astype(jnp.float32)) ** 2)))
+        scale = float(jnp.sqrt(jnp.mean(ref.astype(jnp.float32) ** 2)))
+        assert rms < 0.5 * scale
+
+    def test_tuning_improves_loss(self):
+        cfg = deepseek.CONFIG_PRESETS["tiny-deepseek-v2"]
+        params = deepseek.init_params(cfg, jax.random.PRNGKey(2))
+        ids = jax.random.randint(jax.random.PRNGKey(3), (8, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W2A16G64", iters=20,
+                        batch_size=4).quantize(ids)
+        assert res.layers
