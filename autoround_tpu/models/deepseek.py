@@ -336,6 +336,84 @@ def block_fwd(weights: Dict[str, Any], x: jax.Array, cos, sin,
     return x
 
 
+def block_with_cache(weights, x, cos, sin, cfg: DeepseekConfig, kv, pos,
+                     lf) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Decoder block for serving, returning ``(out, c_kv, k_rope)``.
+
+    The cache stores the COMPRESSED latents — ``c_kv`` (kv_lora_rank) and
+    the shared roped sub-head ``k_rope`` (qk_rope_head_dim) — i.e.
+    ``r + dr`` floats per token instead of ``2·nh·hd``: for V3 shapes
+    (128 heads × 192/128 dims vs 512+64) a ~70× KV-cache compression.
+
+    Decode uses **weight absorption**: ``q_nope`` is pushed through
+    ``kv_b_proj``'s key half once per step (``q_lat = q_nope @ W_k``), so
+    attention runs entirely in latent space — no per-token decompression
+    of the whole cache, and the HBM stream per step is the compressed
+    cache (MQA-like bandwidth).  ``kv_b_proj`` therefore stays a dense
+    (qdq) leaf at serving; all other projections pack as usual.
+    """
+    B, S, H = x.shape
+    nh, dn, dr = cfg.num_heads, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    r, dv = cfg.kv_lora_rank, cfg.v_head_dim
+    h = rms_norm(x, weights["input_layernorm"], cfg.rms_eps)
+    if kv is None:
+        # prefill: decompress and run plain causal attention
+        q, k, v, c_kv, k_rope = mla_attention_inputs(
+            weights, h, cos, sin, cfg, lf)
+        attn = llama.attention(q, k, v, None, _attn_cfg(cfg))
+    else:
+        ckv_all, kr_all = kv           # (B, T, 1, r), (B, T, 1, dr)
+        T = ckv_all.shape[1]
+        if cfg.q_lora_rank:
+            qa = lf("q_a_proj", h, weights["q_a_proj"])
+            qa = rms_norm(qa, weights["q_a_layernorm"], cfg.rms_eps)
+            q = lf("q_b_proj", qa, weights["q_b_proj"])
+        else:
+            q = lf("q_proj", h, weights["q_proj"])
+        q = q.reshape(B, S, nh, dn + dr)
+        q_nope = q[..., :dn]
+        q_rope = _rope_rotate(q[..., dn:], cos, sin, cfg.rope_interleave)
+        ckv = lf("kv_a_proj_with_mqa", h, weights["kv_a_proj_with_mqa"])
+        c_kv = rms_norm(ckv[..., :r], weights["kv_a_layernorm"],
+                        cfg.rms_eps)                       # (B, 1, r)
+        k_rope = _rope_rotate(ckv[..., None, r:].reshape(B, S, 1, dr),
+                              cos, sin, cfg.rope_interleave)
+        # append this token's latents into the preallocated buffers
+        if jnp.ndim(pos) != 0:
+            raise NotImplementedError("MLA decode: scalar positions only")
+        ckv_full = jax.lax.dynamic_update_slice(
+            ckv_all, c_kv[:, :, None, :].astype(ckv_all.dtype),
+            (0, pos, 0, 0))
+        kr_full = jax.lax.dynamic_update_slice(
+            kr_all, k_rope.astype(kr_all.dtype), (0, pos, 0, 0))
+        wkb = weights["kv_b_proj"].reshape(nh, dn + dv, r)
+        f32 = jnp.float32
+        # absorbed scores: q_lat·c_kv + q_rope·k_rope, all in latent space
+        q_lat = jnp.einsum("bnd,ndr->bnr", q_nope[:, 0].astype(f32),
+                           wkb[:, :dn].astype(f32))
+        s_lat = jnp.einsum("bnr,btr->bnt", q_lat,
+                           ckv_full[:, :, 0].astype(f32))
+        s_rope = jnp.einsum("bnd,btd->bnt", q_rope[:, 0].astype(f32),
+                            kr_full[:, :, 0].astype(f32))
+        scale = (cfg.mscale ** 2) / float(np.sqrt(cfg.qk_head_dim))
+        scores = (s_lat + s_rope) * scale
+        idx = jnp.arange(T)
+        scores = jnp.where((idx <= pos)[None, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)            # (B, nh, T)
+        ctx = jnp.einsum("bnt,btr->bnr", probs,
+                         ckv_full[:, :, 0].astype(f32))
+        attn = jnp.einsum("bnr,nvr->bnv", ctx,
+                          wkb[:, dn:].astype(f32))         # (B, nh, dv)
+        attn = attn[:, None].astype(x.dtype)               # (B, 1, nh, dv)
+    x = x + lf("o_proj", attn.reshape(B, S, -1), weights["o_proj"])
+    h = rms_norm(x, weights["post_attention_layernorm"], cfg.rms_eps)
+    if "experts" in weights:
+        x = x + _moe_mlp(weights, h, cfg, lf)
+    else:
+        x = x + _mlp(weights, h, cfg, lf)
+    return x, c_kv, k_rope
+
+
 def model_fwd(params: Dict[str, Any], input_ids: jax.Array,
               cfg: DeepseekConfig) -> jax.Array:
     x = llama.embed_fwd(params, input_ids, cfg)

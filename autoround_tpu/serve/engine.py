@@ -52,6 +52,17 @@ _KV_DTYPE = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}
 
 def _init_cache(cfg: llama.LlamaConfig, batch: int, max_seq: int,
                 n_layers: int, kv_quant: Optional[str] = None) -> KVCache:
+    from ..models.deepseek import DeepseekConfig
+    if isinstance(cfg, DeepseekConfig):
+        # MLA compressed cache: k holds the c_kv latents, v the shared
+        # roped sub-head — (r + dr) per token instead of 2·nh·hd
+        return KVCache(
+            k=jnp.zeros((n_layers, batch, max_seq, 1, cfg.kv_lora_rank),
+                        cfg.dtype),
+            v=jnp.zeros((n_layers, batch, max_seq, 1, cfg.qk_rope_head_dim),
+                        cfg.dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
     shape = (n_layers, batch, max_seq, cfg.num_kv_heads, cfg.hd)
     store = _KV_DTYPE.get(kv_quant, cfg.dtype)
     return KVCache(
@@ -205,10 +216,16 @@ class QuantizedLlama:
                              max_seq: int = 2048,
                              kv_quant: Optional[str] = None
                              ) -> "QuantizedLlama":
+        from ..models.deepseek import DeepseekConfig
+        is_mla = isinstance(cfg, DeepseekConfig)
         packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
         kinds: Dict[str, str] = {}
         params = jax.tree.map(lambda x: x, result.params)
         for name, ql in result.layers.items():
+            if is_mla and name.endswith(".kv_b_proj"):
+                # MLA absorbed decode contracts q_nope/ctx against the
+                # per-head reshaped kv_b weight — serve its qdq leaf dense
+                continue
             s = ql.scheme
             g = s.group_size if isinstance(s.group_size, int) else 0
             kind = _serving_kind(s)
@@ -297,7 +314,10 @@ class QuantizedLlama:
                    for k in set(kinds.values())}
         logger.info("serving engine: %d layers packed (%s), rest dense",
                     len(packed), by_kind or "none")
-        fused, splits, kinds = _fuse_packed(packed, cfg, kinds)
+        if is_mla:
+            fused, splits = packed, None  # no qkv/gate_up fusion groups
+        else:
+            fused, splits, kinds = _fuse_packed(packed, cfg, kinds)
         return cls(cfg=cfg, params=params, packed=fused,
                    max_seq=max_seq, kv_quant=kv_quant, fused_splits=splits,
                    packed_kinds=kinds)
@@ -459,6 +479,13 @@ class QuantizedLlama:
 
     def _prefill_impl(self, params, packed, input_ids):
         kinds = self.packed_kinds
+        from ..models.deepseek import DeepseekConfig
+        if isinstance(self.cfg, DeepseekConfig):
+            return _mla_prefill_core(
+                params, packed, input_ids, cfg=self.cfg,
+                max_seq=self.max_seq,
+                lf_maker=lambda p, i: self._make_linear_fn(p, i, kinds),
+                kinds=kinds)
         return _prefill_core(params, packed, input_ids, cfg=self.cfg,
                              max_seq=self.max_seq, kv_quant=self.kv_quant,
                              lf_maker=lambda p, i: self._make_linear_fn(
@@ -471,6 +498,12 @@ class QuantizedLlama:
 
     def _decode_impl(self, params, packed, token, cache):
         kinds = self.packed_kinds
+        from ..models.deepseek import DeepseekConfig
+        if isinstance(self.cfg, DeepseekConfig):
+            return _mla_decode_core(
+                params, packed, token, cache, cfg=self.cfg,
+                lf_maker=lambda p, i: self._make_linear_fn(p, i, kinds),
+                kinds=kinds)
         return _decode_core(params, packed, token, cache, cfg=self.cfg,
                             kv_quant=self.kv_quant,
                             lf_maker=lambda p, i: self._make_linear_fn(
@@ -534,6 +567,56 @@ def _final_fwd_packed(params, packed, x, cfg, kinds=None):
         logits = llama._softcap(logits.astype(jnp.float32),
                                 cfg.final_logit_softcap).astype(logits.dtype)
     return logits
+
+
+def _mla_prefill_core(params, packed, input_ids, *, cfg, max_seq,
+                      lf_maker, kinds=None):
+    """DeepSeek/MLA prompt pass: cache the compressed latents."""
+    from ..models import deepseek
+    B, S = input_ids.shape
+    cache = _init_cache(cfg, B, max_seq, cfg.num_layers)
+    x = llama.embed_fwd(params, input_ids, cfg)
+    cos, sin = deepseek.rope_tables(cfg, S)
+    cks, krs = [], []
+    for i in range(cfg.num_layers):
+        x, c_kv, k_rope = deepseek.block_with_cache(
+            params["blocks"][i], x, cos, sin, cfg, None, None,
+            lf_maker(packed, i))
+        cks.append(c_kv[:, :, None, :])    # (B, S, 1, r)
+        krs.append(k_rope)                 # (B, S, 1, dr)
+    cache = KVCache(
+        k=jax.lax.dynamic_update_slice(
+            cache.k, jnp.stack(cks).astype(cache.k.dtype),
+            (0, 0, 0, 0, 0)),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, jnp.stack(krs).astype(cache.v.dtype),
+            (0, 0, 0, 0, 0)),
+        length=jnp.asarray(S, jnp.int32),
+    )
+    logits = _final_fwd_packed(params, packed, x[:, -1:], cfg, kinds)
+    return logits[:, 0], cache
+
+
+def _mla_decode_core(params, packed, token, cache, *, cfg, lf_maker,
+                     kinds=None):
+    """One MLA decode step: absorbed latent attention over the
+    compressed cache (``deepseek.block_with_cache``)."""
+    from ..models import deepseek
+    pos = cache.length
+    x = llama.embed_fwd(params, token[:, None], cfg)
+    cos, sin = deepseek.rope_tables(cfg, 1, positions=pos[None])
+    new_k, new_v = cache.k, cache.v
+    for i in range(cfg.num_layers):
+        x, c_kv, k_rope = deepseek.block_with_cache(
+            params["blocks"][i], x, cos, sin, cfg,
+            (new_k[i], new_v[i]), pos, lf_maker(packed, i))
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, c_kv[:, :, None, :][None].astype(new_k.dtype),
+            (i, 0, pos, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, k_rope[None].astype(new_v.dtype), (i, 0, pos, 0, 0))
+    logits = _final_fwd_packed(params, packed, x, cfg, kinds)
+    return logits[:, 0], KVCache(new_k, new_v, pos + 1)
 
 
 def _prefill_core(params, packed, input_ids, *, cfg, max_seq, kv_quant,

@@ -108,3 +108,54 @@ class TestQuantize:
         res = AutoRound((params, cfg), scheme="W2A16G64", iters=20,
                         batch_size=4).quantize(ids)
         assert res.layers
+
+
+class TestMlaServing:
+    @pytest.fixture(scope="class")
+    def quantized(self):
+        cfg = deepseek.CONFIG_PRESETS["tiny-deepseek"]
+        params = deepseek.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        return cfg, res
+
+    def test_compressed_cache_shape(self, quantized):
+        from autoround_tpu.serve import QuantizedLlama
+        cfg, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 256)
+        logits, cache = eng.prefill(ids)
+        # latent cache: (L, B, T, 1, r) + (L, B, T, 1, dr)
+        assert cache.k.shape == (cfg.num_layers, 2, 32, 1, cfg.kv_lora_rank)
+        assert cache.v.shape == (cfg.num_layers, 2, 32, 1,
+                                 cfg.qk_rope_head_dim)
+
+    def test_prefill_and_decode_match_model_fwd(self, quantized):
+        from autoround_tpu.serve import QuantizedLlama
+        cfg, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 0, 256)
+        logits, cache = eng.prefill(ids)
+        want = deepseek.model_fwd(res.params, ids, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+        # absorbed-latent decode step vs full forward over the extended seq
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits2, cache2 = eng.decode_step(tok, cache)
+        seq = jnp.concatenate([ids, tok[:, None]], axis=1)
+        want2 = deepseek.model_fwd(res.params, seq, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits2, np.float32),
+                                   np.asarray(want2, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+        assert int(cache2.length) == 9
+
+    def test_generate_scan(self, quantized):
+        from autoround_tpu.serve import QuantizedLlama
+        cfg, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        ids = jax.random.randint(jax.random.PRNGKey(4), (2, 4), 0, 256)
+        out = eng.generate_scan(ids, max_new_tokens=6)
+        out2 = eng.generate(ids, max_new_tokens=6)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
