@@ -81,6 +81,9 @@ def init_params(cfg: MixtralConfig, key: jax.Array) -> Dict[str, Any]:
                                         cfg.dtype) * 0.02,
             "input_layernorm": jnp.ones((H,), cfg.dtype),
             "post_attention_layernorm": jnp.ones((H,), cfg.dtype),
+            **({"q_norm": jnp.ones((hd,), cfg.dtype),
+                "k_norm": jnp.ones((hd,), cfg.dtype)} if cfg.qk_norm
+               else {}),
             "experts": [
                 {
                     "w1": jax.random.normal(bk[5 + e], (cfg.intermediate_size,
@@ -201,9 +204,15 @@ def block_fwd(weights: Dict[str, Any], x: jax.Array, cos, sin,
     B, S, H = x.shape
     hd = cfg.hd
     h = rms_norm(x, weights["input_layernorm"], cfg.rms_eps)
-    q = lf("q_proj", h, weights["q_proj"]).reshape(B, S, cfg.num_heads, hd)
-    k = lf("k_proj", h, weights["k_proj"]).reshape(B, S, cfg.num_kv_heads, hd)
-    v = lf("v_proj", h, weights["v_proj"]).reshape(B, S, cfg.num_kv_heads, hd)
+    q = lf("q_proj", h, weights["q_proj"], weights.get("q_bias")
+           ).reshape(B, S, cfg.num_heads, hd)
+    k = lf("k_proj", h, weights["k_proj"], weights.get("k_bias")
+           ).reshape(B, S, cfg.num_kv_heads, hd)
+    v = lf("v_proj", h, weights["v_proj"], weights.get("v_bias")
+           ).reshape(B, S, cfg.num_kv_heads, hd)
+    if cfg.qk_norm:  # Qwen3-MoE: per-head RMSNorm on q/k
+        q = rms_norm(q, weights["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, weights["k_norm"], cfg.rms_eps)
     q = llama.apply_rope(q, cos, sin)
     k = llama.apply_rope(k, cos, sin)
     attn = llama.attention(q, k, v, mask, cfg).reshape(B, S, -1)

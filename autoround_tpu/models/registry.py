@@ -10,7 +10,7 @@ from __future__ import annotations
 from types import SimpleNamespace
 from typing import Any, Dict
 
-from . import deepseek, dit, llama, llava, mixtral
+from . import deepseek, dit, gptoss, llama, llava, mixtral
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -40,6 +40,16 @@ def get_model_fns(cfg) -> SimpleNamespace:
             rope_tables=llama.rope_tables,
             model_fwd=llava.model_fwd,
             block_linear_names=llava.block_linear_names,
+        )
+    if isinstance(cfg, gptoss.GptOssConfig):
+        return SimpleNamespace(
+            init_params=gptoss.init_params,
+            block_fwd=gptoss.block_fwd,
+            embed_fwd=llama.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=gptoss.rope_tables,
+            model_fwd=gptoss.model_fwd,
+            block_linear_names=gptoss.block_linear_names,
         )
     if isinstance(cfg, deepseek.DeepseekConfig):
         return SimpleNamespace(
@@ -77,6 +87,7 @@ def get_model_fns(cfg) -> SimpleNamespace:
 ALL_PRESETS: Dict[str, Any] = {}
 ALL_PRESETS.update(llama.CONFIG_PRESETS)
 ALL_PRESETS.update(deepseek.CONFIG_PRESETS)
+ALL_PRESETS.update(gptoss.CONFIG_PRESETS)
 ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(dit.CONFIG_PRESETS)

@@ -65,14 +65,45 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
     intermediate = cfg["intermediate_size"]
     if mt in ("deepseek_v2", "deepseek_v3"):
         return _deepseek_config_from_hf(cfg, mt, dtype)
+    if mt == "gpt_oss":
+        from ..models.gptoss import GptOssConfig
+        rs = cfg.get("rope_scaling") or {}
+        return GptOssConfig(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg.get("num_key_value_heads",
+                                 cfg["num_attention_heads"]),
+            head_dim=cfg.get("head_dim"),
+            rope_theta=cfg.get("rope_theta", 150000.0),
+            rms_eps=cfg.get("rms_norm_eps", 1e-5),
+            tie_embeddings=cfg.get("tie_word_embeddings", False),
+            attn_bias=cfg.get("attention_bias", True),
+            sliding_window=cfg.get("sliding_window"),
+            num_experts=cfg.get("num_local_experts", 32),
+            top_k=cfg.get("num_experts_per_tok", 4),
+            yarn_factor=(rs.get("factor", 0.0)
+                         if rs.get("rope_type") == "yarn" else 0.0),
+            yarn_beta_fast=rs.get("beta_fast", 32.0),
+            yarn_beta_slow=rs.get("beta_slow", 1.0),
+            yarn_original_max_pos=rs.get(
+                "original_max_position_embeddings",
+                cfg.get("max_position_embeddings", 4096)),
+            yarn_truncate=rs.get("truncate", True),
+            yarn_attention_factor=rs.get("attention_factor") or 0.0,
+            dtype=dtype,
+        )
     if cfg.get("num_local_experts") or mt == "mixtral":
         from ..models.mixtral import MixtralConfig
         cls = MixtralConfig
         moe_kw = dict(num_experts=cfg.get("num_local_experts", 8),
                       top_k=cfg.get("num_experts_per_tok", 2))
-    elif mt == "qwen2_moe" or cfg.get("num_experts"):
+    elif mt in ("qwen2_moe", "qwen3_moe") or cfg.get("num_experts"):
         # Qwen2-MoE: routed experts at moe_intermediate_size + an
-        # always-on sigmoid-gated shared expert
+        # always-on sigmoid-gated shared expert.  Qwen3-MoE: same expert
+        # layout, no shared expert, per-head q/k RMSNorm.
         from ..models.mixtral import MixtralConfig
         cls = MixtralConfig
         intermediate = cfg.get("moe_intermediate_size", intermediate)
@@ -80,9 +111,9 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
             num_experts=cfg.get("num_experts", 8),
             top_k=cfg.get("num_experts_per_tok", 2),
             shared_expert_intermediate=cfg.get(
-                "shared_expert_intermediate_size", 0),
-            shared_expert_gate=cfg.get(
-                "shared_expert_intermediate_size", 0) > 0,
+                "shared_expert_intermediate_size", 0) or 0,
+            shared_expert_gate=(cfg.get(
+                "shared_expert_intermediate_size", 0) or 0) > 0,
             norm_topk_prob=cfg.get("norm_topk_prob", True))
     return cls(
         **moe_kw,
@@ -98,7 +129,7 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
         rms_eps=cfg.get("rms_norm_eps", 1e-5),
         tie_embeddings=cfg.get("tie_word_embeddings", gemma),
         attn_bias=cfg.get("attention_bias", mt in ("qwen2", "qwen2_moe")),
-        qk_norm=mt == "qwen3",
+        qk_norm=mt in ("qwen3", "qwen3_moe"),
         norm_offset=1.0 if gemma else 0.0,
         # Gemma2 names the field hidden_activation; others hidden_act
         hidden_act=("gelu_tanh" if cfg.get(
@@ -168,6 +199,44 @@ def _deepseek_config_from_hf(cfg: Dict[str, Any], mt: str, dtype):
     )
 
 
+def _map_gptoss_key(sub: str, block: Dict[str, Any], arr,
+                    n_experts: int) -> bool:
+    """GPT-OSS fused expert tensors split into per-expert linears so each
+    expert quantizes independently (role of the reference's fused-MoE
+    replacement, ``modeling/fused_moe/replace_modules.py``).  The fused
+    ``gate_up_proj`` (E, H, 2I) interleaves gate/up columns (gate even,
+    up odd — HF ``GptOssExperts.forward``)."""
+    simple = {"self_attn.sinks": "sinks",
+              "mlp.router.weight": "router",
+              "mlp.router.bias": "router_bias",
+              "self_attn.o_proj.bias": "o_bias"}
+    if sub in simple:
+        block[simple[sub]] = arr
+        return True
+    if not sub.startswith("mlp.experts."):
+        return False
+    exps = block.setdefault("experts",
+                            [dict() for _ in range(n_experts)])
+    name = sub[len("mlp.experts."):]
+    if name == "gate_up_proj":                 # (E, H, 2I)
+        for e in range(n_experts):
+            exps[e]["gate_proj"] = arr[e, :, 0::2].T
+            exps[e]["up_proj"] = arr[e, :, 1::2].T
+    elif name == "gate_up_proj_bias":          # (E, 2I)
+        for e in range(n_experts):
+            exps[e]["gate_bias"] = arr[e, 0::2]
+            exps[e]["up_bias"] = arr[e, 1::2]
+    elif name == "down_proj":                  # (E, I, H)
+        for e in range(n_experts):
+            exps[e]["down_proj"] = arr[e].T
+    elif name == "down_proj_bias":             # (E, H)
+        for e in range(n_experts):
+            exps[e]["down_bias"] = arr[e]
+    else:
+        return False
+    return True
+
+
 _DS_ATTN_MAP = {
     "self_attn.q_proj.weight": "q_proj",
     "self_attn.q_a_proj.weight": "q_a_proj",
@@ -233,7 +302,9 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
     cfg = config_from_hf(hf_cfg, dtype)
 
     from ..models.deepseek import DeepseekConfig
+    from ..models.gptoss import GptOssConfig
     is_deepseek = isinstance(cfg, DeepseekConfig)
+    is_gptoss = isinstance(cfg, GptOssConfig)
     n_experts = getattr(cfg, "num_experts", 0)
     blocks = [
         ({"experts": [dict() for _ in range(n_experts)]} if n_experts
@@ -254,6 +325,12 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
                 if sub == "mlp.gate.e_score_correction_bias":
                     arr = jnp.asarray(tensor).astype(jnp.float32)
                 if _map_deepseek_key(sub, blocks[int(li)], arr):
+                    n += 1
+                    continue
+            if is_gptoss:
+                if sub in ("self_attn.sinks", "mlp.router.bias"):
+                    arr = jnp.asarray(tensor).astype(jnp.float32)
+                if _map_gptoss_key(sub, blocks[int(li)], arr, n_experts):
                     n += 1
                     continue
             if sub in _BLOCK_MAP:

@@ -1,0 +1,69 @@
+"""GPT-OSS family: attention sinks + sliding window + clamped-SwiGLU MoE
++ YaRN rope — logit parity vs transformers, fused-expert checkpoint
+splitting, and end-to-end quantization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoround_tpu import AutoRound
+from autoround_tpu.models import gptoss
+from autoround_tpu.utils.hf_loader import load_hf_checkpoint
+
+
+def _make_hf(tmp_path, yarn: bool):
+    import torch
+    from transformers import GptOssConfig, GptOssForCausalLM
+    torch.manual_seed(0)
+    rope_scaling = (dict(rope_type="yarn", factor=2.0, beta_fast=32.0,
+                         beta_slow=1.0, truncate=False,
+                         original_max_position_embeddings=16)
+                    if yarn else None)
+    hf_cfg = GptOssConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=8, rope_scaling=rope_scaling,
+        attn_implementation="eager")
+    model = GptOssForCausalLM(hf_cfg).float().eval()
+    with torch.no_grad():
+        # nonzero sinks exercise the sink-softmax path
+        for layer in model.model.layers:
+            layer.self_attn.sinks.normal_(0, 1.0)
+    model.save_pretrained(str(tmp_path), safe_serialization=True)
+    return model
+
+
+class TestLogitParity:
+    @pytest.mark.parametrize("yarn", [False, True])
+    def test_parity_vs_transformers(self, tmp_path, yarn):
+        import torch
+        model = _make_hf(tmp_path, yarn)
+        params, cfg = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+        assert isinstance(cfg, gptoss.GptOssConfig)
+        assert (cfg.yarn_factor > 0) == yarn
+        # per-expert split happened (fused gate_up interleave undone)
+        assert params["blocks"][0]["experts"][0]["gate_proj"].shape == (64, 64)
+        # S > sliding_window so even layers exercise the window mask
+        ids = np.random.default_rng(0).integers(0, 256, (2, 12))
+        ours = np.asarray(
+            gptoss.model_fwd(params, jnp.asarray(ids), cfg), np.float32)
+        with torch.no_grad():
+            want = model(torch.tensor(ids, dtype=torch.long)
+                         ).logits.float().numpy()
+        np.testing.assert_allclose(ours, want, rtol=3e-2, atol=3e-2)
+
+
+class TestQuantize:
+    def test_quantize_tiny_gptoss(self):
+        cfg = gptoss.CONFIG_PRESETS["tiny-gptoss"]
+        params = gptoss.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=2,
+                        batch_size=4).quantize(ids)
+        assert "blocks.0.experts.0.gate_proj" in res.layers
+        assert "blocks.1.o_proj" in res.layers
+        out = gptoss.model_fwd(res.params, ids[:1], cfg)
+        assert np.isfinite(np.asarray(out)).all()

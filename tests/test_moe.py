@@ -245,3 +245,33 @@ class TestCapacityDispatch:
         toks2 = np.asarray(qm2.generate(jnp.asarray([[3, 5, 7]]),
                                         max_new_tokens=4))[0]
         np.testing.assert_array_equal(toks, toks2)
+
+
+class TestQwen3Moe:
+    def test_parity_vs_transformers(self, tmp_path):
+        """Qwen3-MoE = qk_norm + softmax routed experts (no shared
+        expert) on the Mixtral machinery."""
+        import torch
+        from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+        from autoround_tpu.utils.hf_loader import load_hf_checkpoint
+        torch.manual_seed(0)
+        hf_cfg = Qwen3MoeConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            moe_intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+            decoder_sparse_step=1, mlp_only_layers=[],
+            attn_implementation="eager")
+        model = Qwen3MoeForCausalLM(hf_cfg).float().eval()
+        model.save_pretrained(str(tmp_path), safe_serialization=True)
+        params, cfg = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+        from autoround_tpu.models.mixtral import MixtralConfig
+        assert isinstance(cfg, MixtralConfig) and cfg.qk_norm
+        ids = np.random.default_rng(0).integers(0, 256, (2, 12))
+        ours = np.asarray(mixtral.model_fwd(params, jnp.asarray(ids), cfg),
+                          np.float32)
+        with torch.no_grad():
+            want = model(torch.tensor(ids, dtype=torch.long)
+                         ).logits.float().numpy()
+        np.testing.assert_allclose(ours, want, rtol=3e-2, atol=3e-2)
