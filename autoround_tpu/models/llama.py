@@ -64,6 +64,8 @@ class LlamaConfig:
     # log2(I) HBM-bound butterfly passes.
     online_r4: bool = False
     r4_block: int = 128
+    # GLM-4.5-style partial rotary: only the first hd*factor dims rotate
+    partial_rotary_factor: float = 1.0
     dtype: Any = jnp.bfloat16
 
     @property
@@ -216,8 +218,10 @@ def _softcap(x, cap: float):
 def rope_tables(cfg: LlamaConfig, seqlen: int,
                 positions: Optional[jax.Array] = None
                 ) -> Tuple[jax.Array, jax.Array]:
-    """cos/sin tables (seqlen, head_dim) in fp32, HF half-split convention."""
-    hd = cfg.hd
+    """cos/sin tables (seqlen, rotary_dim) in fp32, HF half-split
+    convention; ``rotary_dim = hd * partial_rotary_factor`` (GLM-4.5
+    rotates only the leading half of each head)."""
+    hd = int(cfg.hd * cfg.partial_rotary_factor)
     inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2) / hd))
     if positions is None:
         positions = jnp.arange(seqlen)
@@ -233,14 +237,20 @@ def _rotate_half(x):
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: (B, S, n, hd); cos/sin: (S, hd) shared, or (B, S, hd) per-batch
-    (continuous batching: each slot sits at its own position)."""
+    """x: (B, S, n, hd); cos/sin: (S, rd) shared, or (B, S, rd) per-batch
+    (continuous batching: each slot sits at its own position).  When
+    rd < hd (partial rotary, GLM-4.5) only the leading rd dims rotate."""
     if cos.ndim == 2:
         c = cos[None, :, None, :].astype(jnp.float32)
         s = sin[None, :, None, :].astype(jnp.float32)
     else:
         c = cos[:, :, None, :].astype(jnp.float32)
         s = sin[:, :, None, :].astype(jnp.float32)
+    rd = cos.shape[-1]
+    if rd < x.shape[-1]:
+        xr = x[..., :rd].astype(jnp.float32)
+        rot = (xr * c + _rotate_half(xr) * s).astype(x.dtype)
+        return jnp.concatenate([rot, x[..., rd:]], axis=-1)
     xf = x.astype(jnp.float32)
     return (xf * c + _rotate_half(xf) * s).astype(x.dtype)
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from types import SimpleNamespace
 from typing import Any, Dict
 
-from . import deepseek, dit, gptoss, llama, llava, mixtral
+from . import deepseek, dit, glm4moe, gptoss, llama, llava, mixtral
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -51,6 +51,16 @@ def get_model_fns(cfg) -> SimpleNamespace:
             model_fwd=gptoss.model_fwd,
             block_linear_names=gptoss.block_linear_names,
         )
+    if isinstance(cfg, glm4moe.Glm4MoeConfig):
+        return SimpleNamespace(
+            init_params=glm4moe.init_params,
+            block_fwd=glm4moe.block_fwd,
+            embed_fwd=llama.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=llama.rope_tables,
+            model_fwd=glm4moe.model_fwd,
+            block_linear_names=glm4moe.block_linear_names,
+        )
     if isinstance(cfg, deepseek.DeepseekConfig):
         return SimpleNamespace(
             init_params=deepseek.init_params,
@@ -88,6 +98,7 @@ ALL_PRESETS: Dict[str, Any] = {}
 ALL_PRESETS.update(llama.CONFIG_PRESETS)
 ALL_PRESETS.update(deepseek.CONFIG_PRESETS)
 ALL_PRESETS.update(gptoss.CONFIG_PRESETS)
+ALL_PRESETS.update(glm4moe.CONFIG_PRESETS)
 ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(dit.CONFIG_PRESETS)

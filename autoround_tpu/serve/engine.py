@@ -53,7 +53,7 @@ _KV_DTYPE = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}
 def _init_cache(cfg: llama.LlamaConfig, batch: int, max_seq: int,
                 n_layers: int, kv_quant: Optional[str] = None) -> KVCache:
     from ..models.deepseek import DeepseekConfig
-    if isinstance(cfg, DeepseekConfig):
+    if isinstance(cfg, DeepseekConfig) and cfg.kv_lora_rank:
         # MLA compressed cache: k holds the c_kv latents, v the shared
         # roped sub-head — (r + dr) per token instead of 2·nh·hd
         return KVCache(
@@ -217,7 +217,7 @@ class QuantizedLlama:
                              kv_quant: Optional[str] = None
                              ) -> "QuantizedLlama":
         from ..models.deepseek import DeepseekConfig
-        is_mla = isinstance(cfg, DeepseekConfig)
+        is_mla = isinstance(cfg, DeepseekConfig) and bool(cfg.kv_lora_rank)
         packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
         kinds: Dict[str, str] = {}
         params = jax.tree.map(lambda x: x, result.params)
@@ -480,7 +480,7 @@ class QuantizedLlama:
     def _prefill_impl(self, params, packed, input_ids):
         kinds = self.packed_kinds
         from ..models.deepseek import DeepseekConfig
-        if isinstance(self.cfg, DeepseekConfig):
+        if isinstance(self.cfg, DeepseekConfig) and self.cfg.kv_lora_rank:
             return _mla_prefill_core(
                 params, packed, input_ids, cfg=self.cfg,
                 max_seq=self.max_seq,
@@ -499,7 +499,7 @@ class QuantizedLlama:
     def _decode_impl(self, params, packed, token, cache):
         kinds = self.packed_kinds
         from ..models.deepseek import DeepseekConfig
-        if isinstance(self.cfg, DeepseekConfig):
+        if isinstance(self.cfg, DeepseekConfig) and self.cfg.kv_lora_rank:
             return _mla_decode_core(
                 params, packed, token, cache, cfg=self.cfg,
                 lf_maker=lambda p, i: self._make_linear_fn(p, i, kinds),
@@ -809,14 +809,21 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
         h = llama.rms_norm(x, weights["post_attention_layernorm"],
                            cfg.rms_eps, off)
     if "experts" in weights:
-        # Mixtral-style sparse MoE via the shared interceptor (packed
-        # expert projections hit the fused kernel through lf just like
-        # dense layers); AR_MOE_CAPACITY_FACTOR>0 switches serving to
-        # capacity-based dispatch (each expert computes C tokens, not N)
-        from .. import envs
-        from ..models.mixtral import _moe_mlp
-        mlp_out = _moe_mlp(weights, h, cfg, lf,
-                           capacity_factor=envs.AR_MOE_CAPACITY_FACTOR)
+        if "gate" in weights:
+            # DeepSeek/GLM-style router (sigmoid/softmax + aux-free bias
+            # + group limiting) — shared with the tuning path
+            from ..models.deepseek import _moe_mlp as _ds_moe_mlp
+            mlp_out = _ds_moe_mlp(weights, h, cfg, lf)
+        else:
+            # Mixtral-style sparse MoE via the shared interceptor (packed
+            # expert projections hit the fused kernel through lf just like
+            # dense layers); AR_MOE_CAPACITY_FACTOR>0 switches serving to
+            # capacity-based dispatch (each expert computes C tokens,
+            # not N)
+            from .. import envs
+            from ..models.mixtral import _moe_mlp
+            mlp_out = _moe_mlp(weights, h, cfg, lf,
+                               capacity_factor=envs.AR_MOE_CAPACITY_FACTOR)
     else:
         act = llama._act(cfg.hidden_act)
         fused_gu = (QuantizedLlama._fused_call(packed, splits_table,

@@ -65,6 +65,37 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
     intermediate = cfg["intermediate_size"]
     if mt in ("deepseek_v2", "deepseek_v3"):
         return _deepseek_config_from_hf(cfg, mt, dtype)
+    if mt == "glm4_moe":
+        # GLM-4.5: GQA attention (partial rotary, optional qk-norm) +
+        # DeepSeek-V3-style router/MoE
+        from ..models.glm4moe import Glm4MoeConfig
+        return Glm4MoeConfig(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg.get("num_key_value_heads",
+                                 cfg["num_attention_heads"]),
+            head_dim=cfg.get("head_dim"),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_eps=cfg.get("rms_norm_eps", 1e-5),
+            tie_embeddings=cfg.get("tie_word_embeddings", False),
+            attn_bias=cfg.get("attention_bias", False),
+            qk_norm=cfg.get("use_qk_norm", False),
+            partial_rotary_factor=cfg.get("partial_rotary_factor", 0.5),
+            n_routed_experts=cfg.get("n_routed_experts") or 0,
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 8),
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+            n_shared_experts=cfg.get("n_shared_experts") or 0,
+            first_k_dense=cfg.get("first_k_dense_replace", 1),
+            routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
+            scoring_func="sigmoid",
+            n_group=cfg.get("n_group", 1),
+            topk_group=cfg.get("topk_group", 1),
+            norm_topk_prob=cfg.get("norm_topk_prob", True),
+            dtype=dtype,
+        )
     if mt == "gpt_oss":
         from ..models.gptoss import GptOssConfig
         rs = cfg.get("rope_scaling") or {}
@@ -417,6 +448,8 @@ def _save_deepseek_checkpoint(params, cfg, path: str,
     from safetensors.numpy import save_file
 
     inv = {v: k for k, v in _DS_ATTN_MAP.items()}
+    # GLM-4.5 blocks carry llama-style extras (q/k/v bias, q/k norm)
+    inv.update({v: k for k, v in _BLOCK_MAP.items() if v not in inv})
     tensors: Dict[str, np.ndarray] = {}
     for hf_key, ours in _TOP_MAP.items():
         if params.get(ours) is not None:
@@ -436,9 +469,12 @@ def _save_deepseek_checkpoint(params, cfg, path: str,
                     tensors[f"{pre}mlp.shared_experts.{wn}.weight"] = \
                         np.asarray(wv)
     save_file(tensors, os.path.join(path, "model.safetensors"))
+    from ..models.glm4moe import Glm4MoeConfig
+    glm = isinstance(cfg, Glm4MoeConfig)
     v3 = cfg.scoring_func == "sigmoid"
     hf_cfg = {
-        "model_type": "deepseek_v3" if v3 else "deepseek_v2",
+        "model_type": ("glm4_moe" if glm
+                       else "deepseek_v3" if v3 else "deepseek_v2"),
         "vocab_size": cfg.vocab_size,
         "hidden_size": cfg.hidden_size,
         "intermediate_size": cfg.intermediate_size,
@@ -467,7 +503,16 @@ def _save_deepseek_checkpoint(params, cfg, path: str,
             "group_limited_greedy" if cfg.n_group > 1 else "greedy"),
         "torch_dtype": "bfloat16",
     }
-    if v3:
+    if glm:
+        hf_cfg.update(
+            head_dim=cfg.head_dim, attention_bias=cfg.attn_bias,
+            use_qk_norm=cfg.qk_norm,
+            partial_rotary_factor=cfg.partial_rotary_factor)
+        for k in ("q_lora_rank", "kv_lora_rank", "qk_nope_head_dim",
+                  "qk_rope_head_dim", "v_head_dim", "topk_method",
+                  "scoring_func"):
+            hf_cfg.pop(k, None)
+    elif v3:
         hf_cfg["rope_interleave"] = cfg.rope_interleave
     if hf_extra:
         hf_cfg.update(hf_extra)
