@@ -63,11 +63,18 @@ def decode_attention_ref(q, k_cache, v_cache, pos, k_scale, v_scale,
 
 def _decode_kernel(pos_ref, ks_ref, vs_ref, q_ref, k_ref, v_ref, o_ref,
                    m_ref, l_ref, acc_ref, *, sm_scale: float, block_k: int,
-                   n_t: int, softcap: float, window: Optional[int],
-                   out_dtype):
+                   n_t: int, nkv: int, g8: int, softcap: float,
+                   window: Optional[int], out_dtype):
+    """Grid (B, T/block_k); each program streams the CONTIGUOUS
+    all-heads (block_k, nkv*hd) int8 slab of one sequence and loops the
+    kv heads in VMEM.  The previous layout (grid (B, nkv, t), one head
+    per program) DMA'd 128-byte strided rows out of the (B, T, nkv, hd)
+    cache — 8x the requests at 1/8 the width — and paid program overhead
+    per (head, t) pair; this shape is the difference between ~8 ms and
+    <1 ms of attention per 32-layer decode step at T=512."""
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    t = pl.program_id(2)
+    t = pl.program_id(1)
+    hd = acc_ref.shape[-1]
 
     @pl.when(t == 0)
     def _():
@@ -83,47 +90,56 @@ def _decode_kernel(pos_ref, ks_ref, vs_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(should)
     def _():
-        q = q_ref[0, 0]                                   # (G8, hd) f32
-        k = k_ref[0].astype(jnp.float32)                  # (block_k, hd)
-        # K dequant folds into the score scale (per-head scalar)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * (sm_scale * ks_ref[h])
-        if softcap:
-            s = softcap * jnp.tanh(s / softcap)
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + t * block_k
+        kall = k_ref[0]                     # (block_k, nkv*hd) int8
+        vall = v_ref[0]
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (g8, block_k), 1)
+                + t * block_k)
         valid = cols <= pos
         if window is not None:
             valid = jnp.logical_and(valid, cols > pos - window)
-        s = jnp.where(valid, s, _MASK_VALUE)
-
-        m_prev, l_prev = m_ref[:], l_ref[:]
-        m_curr = jnp.max(s, axis=1)[:, None]              # (G8, 1)
-        m_next = jnp.maximum(m_prev, m_curr)              # (G8, 128)
-        alpha = jnp.exp(m_prev - m_next)
         reps = block_k // 128
-        m_tiled = (jnp.concatenate([m_next] * reps, axis=1)
-                   if reps > 1 else m_next)
-        p = jnp.exp(s - m_tiled)
-        l_ref[:] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
-        m_ref[:] = m_next
+        for h in range(nkv):
+            r0 = h * g8
+            q = q_ref[0, r0:r0 + g8]                        # (G8, hd) f32
+            k = kall[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+            # K dequant folds into the score scale (per-head scalar)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (sm_scale * ks_ref[h])
+            if softcap:
+                s = softcap * jnp.tanh(s / softcap)
+            s = jnp.where(valid, s, _MASK_VALUE)
 
-        v = v_ref[0].astype(jnp.float32)                  # (block_k, hd)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32)
+            m_prev = m_ref[r0:r0 + g8]
+            l_prev = l_ref[r0:r0 + g8]
+            m_curr = jnp.max(s, axis=1)[:, None]            # (G8, 1)
+            m_next = jnp.maximum(m_prev, m_curr)            # (G8, 128)
+            alpha = jnp.exp(m_prev - m_next)
+            m_tiled = (jnp.concatenate([m_next] * reps, axis=1)
+                       if reps > 1 else m_next)
+            p = jnp.exp(s - m_tiled)
+            l_ref[r0:r0 + g8] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+            m_ref[r0:r0 + g8] = m_next
+
+            v = vall[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+            acc_ref[r0:r0 + g8] = acc_ref[r0:r0 + g8] * alpha + jax.lax.dot(
+                p, v, preferred_element_type=jnp.float32)
 
     @pl.when(t == n_t - 1)
     def _():
-        l = l_ref[:, :1]
-        inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        # V dequant is a per-head output epilogue
-        o_ref[0, 0] = (acc_ref[:] * inv * vs_ref[h]).astype(out_dtype)
+        for h in range(nkv):
+            r0 = h * g8
+            l = l_ref[r0:r0 + g8, :1]
+            inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            # V dequant is a per-head output epilogue
+            o_ref[0, r0:r0 + g8] = (acc_ref[r0:r0 + g8] * inv * vs_ref[h]
+                                    ).astype(out_dtype)
 
 
 def decode_attention(q, k_cache, v_cache, pos, k_scale, v_scale,
                      sm_scale: float, softcap: float = 0.0,
                      window: Optional[int] = None,
-                     block_k: int = 256, interpret: bool = False):
+                     block_k: int = 512, interpret: bool = False):
     """Fused single-token attention over an int8 KV cache.
 
     q (B, nh, hd); k/v_cache (B, T, n_kv, hd) int8; pos (B,) int32
@@ -140,6 +156,9 @@ def decode_attention(q, k_cache, v_cache, pos, k_scale, v_scale,
 
     while block_k > 128 and T % block_k:
         block_k //= 2
+    # keep the all-heads k/v slabs within a comfortable VMEM budget
+    while block_k > 128 and block_k * nkv * hd > (4 << 20):
+        block_k //= 2
     eligible = ((jax.devices()[0].platform == "tpu" or interpret)
                 and hd % 128 == 0
                 and T % block_k == 0 and G <= 8 and T >= block_k)
@@ -151,36 +170,39 @@ def decode_attention(q, k_cache, v_cache, pos, k_scale, v_scale,
     qf = q.reshape(B, nkv, G, hd).astype(jnp.float32)
     if G < G8:
         qf = jnp.pad(qf, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
+    qf = qf.reshape(B, nkv * G8, hd)
     n_t = T // block_k
-    # (B, T, nkv, hd) viewed as (B, T, nkv*hd): a free bitcast that makes
-    # the per-head column slab a Mosaic-legal (block_k, hd) tile
+    # (B, T, nkv, hd) viewed as (B, T, nkv*hd): a free bitcast; each
+    # program DMAs the full-width contiguous slab (all heads) of its
+    # (sequence, t-block) — see _decode_kernel docstring
     k3 = k_cache.reshape(B, T, nkv * hd)
     v3 = v_cache.reshape(B, T, nkv * hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,       # pos, k_scale, v_scale
-        grid=(B, nkv, n_t),
+        grid=(B, n_t),
         in_specs=[
-            pl.BlockSpec((1, 1, G8, hd), lambda b, h, t, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, block_k, hd), lambda b, h, t, *_: (b, t, h)),
-            pl.BlockSpec((1, block_k, hd), lambda b, h, t, *_: (b, t, h)),
+            pl.BlockSpec((1, nkv * G8, hd), lambda b, t, *_: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, nkv * hd), lambda b, t, *_: (b, t, 0)),
+            pl.BlockSpec((1, block_k, nkv * hd), lambda b, t, *_: (b, t, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, G8, hd),
-                               lambda b, h, t, *_: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, nkv * G8, hd),
+                               lambda b, t, *_: (b, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((G8, 128), jnp.float32),
-            pltpu.VMEM((G8, 128), jnp.float32),
-            pltpu.VMEM((G8, hd), jnp.float32),
+            pltpu.VMEM((nkv * G8, 128), jnp.float32),
+            pltpu.VMEM((nkv * G8, 128), jnp.float32),
+            pltpu.VMEM((nkv * G8, hd), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_decode_kernel, sm_scale=sm_scale,
-                          block_k=block_k, n_t=n_t, softcap=softcap,
-                          window=window, out_dtype=q.dtype),
+                          block_k=block_k, n_t=n_t, nkv=nkv, g8=G8,
+                          softcap=softcap, window=window,
+                          out_dtype=q.dtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, nkv, G8, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nkv * G8, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(pos, k_scale, v_scale, qf, k3, v3)
-    return out[:, :, :G].reshape(B, nh, hd)
+    return out.reshape(B, nkv, G8, hd)[:, :, :G].reshape(B, nh, hd)
