@@ -33,12 +33,15 @@ _MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
 def decode_attention_ref(q, k_cache, v_cache, pos, k_scale, v_scale,
                          sm_scale: float, softcap: float = 0.0,
-                         window: Optional[int] = None):
+                         window: Optional[int] = None,
+                         sinks: Optional[jax.Array] = None):
     """Reference: dequantize + masked softmax attention.
 
     q (B, nh, hd); k/v_cache (B, T, n_kv, hd) int8 (or any dtype);
     pos (B,) int32 — index of the CURRENT token (attends cols <= pos);
-    k/v_scale (n_kv,) float32.  Returns (B, nh, hd) in q.dtype.
+    k/v_scale (n_kv,) float32.  ``sinks`` (nh,) adds a per-head logit to
+    the softmax denominator (GPT-OSS attention sinks).  Returns
+    (B, nh, hd) in q.dtype.
     """
     B, nh, hd = q.shape
     T, nkv = k_cache.shape[1], k_cache.shape[2]
@@ -56,15 +59,22 @@ def decode_attention_ref(q, k_cache, v_cache, pos, k_scale, v_scale,
     if window is not None:
         valid = valid & (idx > pos[:, None, None] - window)
     s = jnp.where(valid, s, _MASK_VALUE)
-    p = jax.nn.softmax(s, axis=-1)
+    if sinks is not None:
+        sc = jnp.broadcast_to(
+            sinks.astype(jnp.float32).reshape(1, nh, 1), (B, nh, 1))
+        comb = jnp.concatenate([s, sc], axis=-1)
+        p = jax.nn.softmax(comb, axis=-1)[..., :-1]
+    else:
+        p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bnt,btnh->bnh", p, vf)
     return out.astype(q.dtype)
 
 
-def _decode_kernel(pos_ref, ks_ref, vs_ref, q_ref, k_ref, v_ref, o_ref,
-                   m_ref, l_ref, acc_ref, *, sm_scale: float, block_k: int,
-                   n_t: int, nkv: int, g8: int, softcap: float,
-                   window: Optional[int], out_dtype):
+def _decode_kernel(pos_ref, ks_ref, vs_ref, sink_ref, q_ref, k_ref, v_ref,
+                   o_ref, m_ref, l_ref, acc_ref, *, sm_scale: float,
+                   block_k: int, n_t: int, nkv: int, g8: int,
+                   softcap: float, window: Optional[int], has_sinks: bool,
+                   out_dtype):
     """Grid (B, T/block_k); each program streams the CONTIGUOUS
     all-heads (block_k, nkv*hd) int8 slab of one sequence and loops the
     kv heads in VMEM.  The previous layout (grid (B, nkv, t), one head
@@ -130,6 +140,13 @@ def _decode_kernel(pos_ref, ks_ref, vs_ref, q_ref, k_ref, v_ref, o_ref,
         for h in range(nkv):
             r0 = h * g8
             l = l_ref[r0:r0 + g8, :1]
+            if has_sinks:
+                # GPT-OSS attention sink: one extra per-query-head logit
+                # joins the softmax denominator (probability mass may
+                # leak to "nowhere" instead of real positions)
+                sink = jnp.stack(
+                    [sink_ref[r0 + i] for i in range(g8)])[:, None]
+                l = l + jnp.exp(sink - m_ref[r0:r0 + g8, :1])
             inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             # V dequant is a per-head output epilogue
             o_ref[0, r0:r0 + g8] = (acc_ref[r0:r0 + g8] * inv * vs_ref[h]
@@ -139,11 +156,13 @@ def _decode_kernel(pos_ref, ks_ref, vs_ref, q_ref, k_ref, v_ref, o_ref,
 def decode_attention(q, k_cache, v_cache, pos, k_scale, v_scale,
                      sm_scale: float, softcap: float = 0.0,
                      window: Optional[int] = None,
+                     sinks: Optional[jax.Array] = None,
                      block_k: int = 512, interpret: bool = False):
     """Fused single-token attention over an int8 KV cache.
 
     q (B, nh, hd); k/v_cache (B, T, n_kv, hd) int8; pos (B,) int32
-    (current-token index per sequence); k/v_scale (n_kv,) float32.
+    (current-token index per sequence); k/v_scale (n_kv,) float32;
+    ``sinks`` (nh,) float32 GPT-OSS per-head sink logits (optional).
     Falls back to :func:`decode_attention_ref` off-TPU or for
     kernel-ineligible shapes.
     """
@@ -164,13 +183,24 @@ def decode_attention(q, k_cache, v_cache, pos, k_scale, v_scale,
                 and T % block_k == 0 and G <= 8 and T >= block_k)
     if not eligible:
         return decode_attention_ref(q, k_cache, v_cache, pos, k_scale,
-                                    v_scale, sm_scale, softcap, window)
+                                    v_scale, sm_scale, softcap, window,
+                                    sinks)
 
     G8 = 8
     qf = q.reshape(B, nkv, G, hd).astype(jnp.float32)
     if G < G8:
         qf = jnp.pad(qf, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
     qf = qf.reshape(B, nkv * G8, hd)
+    has_sinks = sinks is not None
+    if has_sinks:
+        sv = jnp.asarray(sinks, jnp.float32).reshape(nkv, G)
+        if G < G8:
+            # pad rows exist only in padded q lanes; their sink value is
+            # irrelevant (outputs sliced away) but must be finite
+            sv = jnp.pad(sv, ((0, 0), (0, G8 - G)))
+        sink_vec = sv.reshape(nkv * G8)
+    else:
+        sink_vec = jnp.zeros((nkv * G8,), jnp.float32)
     n_t = T // block_k
     # (B, T, nkv, hd) viewed as (B, T, nkv*hd): a free bitcast; each
     # program DMAs the full-width contiguous slab (all heads) of its
@@ -179,7 +209,7 @@ def decode_attention(q, k_cache, v_cache, pos, k_scale, v_scale,
     v3 = v_cache.reshape(B, T, nkv * hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,       # pos, k_scale, v_scale
+        num_scalar_prefetch=4,       # pos, k_scale, v_scale, sinks
         grid=(B, n_t),
         in_specs=[
             pl.BlockSpec((1, nkv * G8, hd), lambda b, t, *_: (b, 0, 0)),
@@ -198,11 +228,11 @@ def decode_attention(q, k_cache, v_cache, pos, k_scale, v_scale,
         functools.partial(_decode_kernel, sm_scale=sm_scale,
                           block_k=block_k, n_t=n_t, nkv=nkv, g8=G8,
                           softcap=softcap, window=window,
-                          out_dtype=q.dtype),
+                          has_sinks=has_sinks, out_dtype=q.dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, nkv * G8, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(pos, k_scale, v_scale, qf, k3, v3)
+    )(pos, k_scale, v_scale, sink_vec, qf, k3, v3)
     return out.reshape(B, nkv, G8, hd)[:, :, :G].reshape(B, nh, hd)

@@ -630,7 +630,8 @@ def _prefill_core(params, packed, input_ids, *, cfg, max_seq, kv_quant,
     B, S = input_ids.shape
     cache = _init_cache(cfg, B, max_seq, cfg.num_layers, kv_quant)
     x = llama.embed_fwd(params, input_ids, cfg)
-    cos, sin = llama.rope_tables(cfg, S)
+    from ..models.registry import get_model_fns
+    cos, sin = get_model_fns(cfg).rope_tables(cfg, S)
     ks, vs = [], []
     for i in range(cfg.num_layers):
         x, k_new, v_new = _block_with_cache(
@@ -672,7 +673,8 @@ def _decode_core(params, packed, token, cache, *, cfg, kv_quant, lf_maker,
     split q/k/v unevenly under a tp shard)."""
     pos = cache.length
     x = llama.embed_fwd(params, token[:, None], cfg)
-    cos, sin = llama.rope_tables(cfg, 1, positions=pos[None])
+    from ..models.registry import get_model_fns
+    cos, sin = get_model_fns(cfg).rope_tables(cfg, 1, positions=pos[None])
     new_k, new_v = cache.k, cache.v
     for i in range(cfg.num_layers):
         if kv_quant is None:
@@ -738,10 +740,15 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
 
     sliding = (block_idx is not None
                and llama.layer_is_sliding(cfg, block_idx))
+    sinks = weights.get("sinks")
     if kv is None:
         mask = (llama.sliding_mask(cfg, S)
                 if sliding and S > cfg.sliding_window else None)
-        attn = llama.attention(q, k, v, mask, cfg)
+        if sinks is not None:
+            from ..models.gptoss import sink_attention
+            attn = sink_attention(q, k, v, mask, sinks, cfg)
+        else:
+            attn = llama.attention(q, k, v, mask, cfg)
     elif isinstance(kv, tuple) and len(kv) == 5 and kv[0] == "int8_cache":
         # fused path: attend directly over the INT8 cache (per-head scales
         # folded into score scale / output epilogue) — no bf16 cache
@@ -766,7 +773,8 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
         attn = decode_attention(
             q[:, 0], k_full, v_full, pos, ksv, vsv, sm,
             softcap=cfg.attn_logit_softcap or 0.0,
-            window=cfg.sliding_window if sliding else None)[:, None]
+            window=cfg.sliding_window if sliding else None,
+            sinks=sinks)[:, None]
     else:
         k_all, v_all = kv  # (B, T, n_kv, hd) preallocated
         T = k_all.shape[1]
@@ -794,9 +802,13 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
                                  > pos[:, None] - cfg.sliding_window)
             bias = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
         # attention() expects mask broadcastable to (B, nh, S, T)
-        attn = llama.attention(q, k_full, v_full, bias, cfg)
+        if sinks is not None:
+            from ..models.gptoss import sink_attention
+            attn = sink_attention(q, k_full, v_full, bias, sinks, cfg)
+        else:
+            attn = llama.attention(q, k_full, v_full, bias, cfg)
     attn = attn.reshape(B, S, -1)
-    attn_out = lf("o_proj", attn, weights["o_proj"])
+    attn_out = lf("o_proj", attn, weights["o_proj"], weights.get("o_bias"))
     if cfg.sandwich_norms:  # Gemma2
         attn_out = llama.rms_norm(attn_out,
                                   weights["post_attention_layernorm"],
@@ -809,7 +821,12 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
         h = llama.rms_norm(x, weights["post_attention_layernorm"],
                            cfg.rms_eps, off)
     if "experts" in weights:
-        if "gate" in weights:
+        if "router_bias" in weights:
+            # GPT-OSS: top-k-then-softmax router with bias + clamped
+            # SwiGLU experts — shared with the tuning path
+            from ..models.gptoss import _moe_mlp as _oss_moe_mlp
+            mlp_out = _oss_moe_mlp(weights, h, cfg, lf)
+        elif "gate" in weights:
             # DeepSeek/GLM-style router (sigmoid/softmax + aux-free bias
             # + group limiting) — shared with the tuning path
             from ..models.deepseek import _moe_mlp as _ds_moe_mlp

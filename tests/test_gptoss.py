@@ -67,3 +67,40 @@ class TestQuantize:
         assert "blocks.1.o_proj" in res.layers
         out = gptoss.model_fwd(res.params, ids[:1], cfg)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestGptOssServing:
+    @pytest.fixture(scope="class")
+    def quantized(self):
+        cfg = gptoss.CONFIG_PRESETS["tiny-gptoss"]
+        params = gptoss.init_params(cfg, jax.random.PRNGKey(0))
+        # nonzero sinks so the sink-softmax path actually matters
+        for b in params["blocks"]:
+            b["sinks"] = jax.random.normal(jax.random.PRNGKey(7),
+                                           (cfg.num_heads,), jnp.float32)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        return cfg, res
+
+    @pytest.mark.parametrize("kv_quant", [None, "int8"])
+    def test_prefill_decode_match_model_fwd(self, quantized, kv_quant):
+        from autoround_tpu.serve import QuantizedLlama
+        cfg, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32,
+                                                  kv_quant=kv_quant)
+        # S=12 > sliding_window=8: even layers exercise the window
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2, 12), 0, 256)
+        logits, cache = eng.prefill(ids)
+        want = gptoss.model_fwd(res.params, ids, cfg)[:, -1]
+        tol = 5e-2 if kv_quant is None else 2e-1  # int8 KV rounding
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=tol, atol=tol)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits2, _ = eng.decode_step(tok, cache)
+        seq = jnp.concatenate([ids, tok[:, None]], axis=1)
+        want2 = gptoss.model_fwd(res.params, seq, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits2, np.float32),
+                                   np.asarray(want2, np.float32),
+                                   rtol=tol, atol=tol)
