@@ -81,3 +81,75 @@ class TestTrainR1:
                               SpinQuantConfig(steps=25, lr=2e-3,
                                               max_blocks=1))
         assert obj(R) <= obj(H) * 1.001
+
+
+class TestR2:
+    def test_exact_reparam_and_loss_improves(self):
+        from autoround_tpu.transforms.hadamard import hadamard_matrix
+        from autoround_tpu.transforms.spinquant import (apply_trained_r2,
+                                                        train_r2_rotations)
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        scheme = parse_scheme("W2A16G64")
+        R2s = train_r2_rotations(params, CFG, scheme,
+                                 SpinQuantConfig(steps=25, lr=2e-3))
+        # orthogonality by construction
+        hd = CFG.hd
+        for li in (0, 1):
+            np.testing.assert_allclose(
+                np.asarray(R2s[li] @ R2s[li].T), np.eye(hd), atol=1e-4)
+        # exact reparameterization: model outputs unchanged
+        rot = apply_trained_r2(params, CFG, R2s)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                                 CFG.vocab_size)
+        a = llama.model_fwd(params, ids, CFG)
+        b = llama.model_fwd(rot, ids, CFG)
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+        # trained beats the plain per-head Hadamard on the v/o objective
+        from autoround_tpu.dtypes.registry import get_quant_func
+        qfn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym,
+                             mode="rtn")
+
+        def obj(Rs):
+            tot = 0.0
+            for li, blk in enumerate(params["blocks"]):
+                R = Rs[li]
+                wv = blk["v_proj"].astype(jnp.float32).reshape(
+                    CFG.num_kv_heads, hd, -1)
+                wvr = jnp.einsum("de,keH->kdH", R.T, wv).reshape(
+                    CFG.num_kv_heads * hd, -1)
+                wo = blk["o_proj"].astype(jnp.float32).reshape(
+                    -1, CFG.num_heads, hd)
+                wor = jnp.einsum("Hne,ed->Hnd", wo, R).reshape(
+                    wo.shape[0], -1)
+                for w in (wvr, wor):
+                    tot += float(jnp.sum(
+                        (w - qfn(w, bits=2, group_size=64).qdq) ** 2))
+            return tot
+
+        H2 = jnp.asarray(hadamard_matrix(hd, 0), jnp.float32)
+        base = jnp.broadcast_to(H2, R2s.shape)
+        assert obj(R2s) <= obj(base) * 1.001
+
+
+class TestR1BlockOutputLoss:
+    def test_output_loss_variant_trains(self):
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        scheme = parse_scheme("W2A16G64")
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 CFG.vocab_size)
+        x0 = llama.embed_fwd(params, ids, CFG)
+        R = train_r1_rotation(params, CFG, scheme,
+                              SpinQuantConfig(steps=15, lr=2e-3,
+                                              max_blocks=1),
+                              calib_x=x0)
+        np.testing.assert_allclose(np.asarray(R @ R.T),
+                                   np.eye(CFG.hidden_size), atol=1e-3)
+        # rotated model still computes (exact reparam through apply)
+        rot = apply_trained_rotation(params, CFG, R)
+        a = llama.model_fwd(params, ids[:1], CFG)
+        b = llama.model_fwd(rot, ids[:1], CFG)
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=3e-2, atol=3e-2)
