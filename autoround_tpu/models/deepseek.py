@@ -362,7 +362,14 @@ def block_with_cache(weights, x, cos, sin, cfg: DeepseekConfig, kv, pos,
             weights, h, cos, sin, cfg, lf)
         attn = llama.attention(q, k, v, None, _attn_cfg(cfg))
     else:
-        ckv_all, kr_all = kv           # (B, T, 1, r), (B, T, 1, dr)
+        # kv: (ckv_all, kr_all) bf16, or (kv_quant, ckv, kr, cs, rs) with
+        # int8/fp8 latents and per-layer scalar scales (folded into the
+        # score terms and the context epilogue — no dequant pass)
+        if len(kv) == 5:
+            _, ckv_all, kr_all, cs, rs = kv
+        else:
+            ckv_all, kr_all = kv       # (B, T, 1, r), (B, T, 1, dr)
+            cs = rs = None
         T = ckv_all.shape[1]
         if cfg.q_lora_rank:
             qa = lf("q_a_proj", h, weights["q_a_proj"])
@@ -381,20 +388,37 @@ def block_with_cache(weights, x, cos, sin, cfg: DeepseekConfig, kv, pos,
         # append this token's latents into the preallocated buffers
         if jnp.ndim(pos) != 0:
             raise NotImplementedError("MLA decode: scalar positions only")
-        ckv_full = jax.lax.dynamic_update_slice(
-            ckv_all, c_kv[:, :, None, :].astype(ckv_all.dtype),
-            (0, pos, 0, 0))
-        kr_full = jax.lax.dynamic_update_slice(
-            kr_all, k_rope.astype(kr_all.dtype), (0, pos, 0, 0))
+        if cs is not None:
+            qmax = 127.0 if ckv_all.dtype == jnp.int8 else 448.0
+            quant = lambda t, s: jnp.clip(
+                t.astype(jnp.float32) / s, -qmax, qmax)
+            c_tok = quant(c_kv[:, :, None, :], cs)
+            r_tok = quant(k_rope, rs)
+            if ckv_all.dtype == jnp.int8:
+                c_tok, r_tok = jnp.round(c_tok), jnp.round(r_tok)
+            c_tok = c_tok.astype(ckv_all.dtype)
+            r_tok = r_tok.astype(kr_all.dtype)
+        else:
+            c_tok = c_kv[:, :, None, :].astype(ckv_all.dtype)
+            r_tok = k_rope.astype(kr_all.dtype)
+        ckv_full = jax.lax.dynamic_update_slice(ckv_all, c_tok,
+                                                (0, pos, 0, 0))
+        kr_full = jax.lax.dynamic_update_slice(kr_all, r_tok,
+                                               (0, pos, 0, 0))
         wkb = weights["kv_b_proj"].reshape(nh, dn + dv, r)
         f32 = jnp.float32
-        # absorbed scores: q_lat·c_kv + q_rope·k_rope, all in latent space
+        # absorbed scores: q_lat·c_kv + q_rope·k_rope, all in latent
+        # space; quantized-latent scales fold into the score terms and
+        # the context epilogue
         q_lat = jnp.einsum("bnd,ndr->bnr", q_nope[:, 0].astype(f32),
                            wkb[:, :dn].astype(f32))
         s_lat = jnp.einsum("bnr,btr->bnt", q_lat,
                            ckv_full[:, :, 0].astype(f32))
         s_rope = jnp.einsum("bnd,btd->bnt", q_rope[:, 0].astype(f32),
                             kr_full[:, :, 0].astype(f32))
+        if cs is not None:
+            s_lat = s_lat * cs
+            s_rope = s_rope * rs
         scale = (cfg.mscale ** 2) / float(np.sqrt(cfg.qk_head_dim))
         scores = (s_lat + s_rope) * scale
         idx = jnp.arange(T)
@@ -402,6 +426,8 @@ def block_with_cache(weights, x, cos, sin, cfg: DeepseekConfig, kv, pos,
         probs = jax.nn.softmax(scores, axis=-1)            # (B, nh, T)
         ctx = jnp.einsum("bnt,btr->bnr", probs,
                          ckv_full[:, :, 0].astype(f32))
+        if cs is not None:
+            ctx = ctx * cs
         attn = jnp.einsum("bnr,nvr->bnv", ctx,
                           wkb[:, dn:].astype(f32))         # (B, nh, dv)
         attn = attn[:, None].astype(x.dtype)               # (B, 1, nh, dv)

@@ -55,12 +55,14 @@ def _init_cache(cfg: llama.LlamaConfig, batch: int, max_seq: int,
     from ..models.deepseek import DeepseekConfig
     if isinstance(cfg, DeepseekConfig) and cfg.kv_lora_rank:
         # MLA compressed cache: k holds the c_kv latents, v the shared
-        # roped sub-head — (r + dr) per token instead of 2·nh·hd
+        # roped sub-head — (r + dr) per token instead of 2·nh·hd;
+        # kv_quant stores the latents int8/fp8 with per-layer scales
+        store = _KV_DTYPE.get(kv_quant, cfg.dtype)
         return KVCache(
             k=jnp.zeros((n_layers, batch, max_seq, 1, cfg.kv_lora_rank),
-                        cfg.dtype),
+                        store),
             v=jnp.zeros((n_layers, batch, max_seq, 1, cfg.qk_rope_head_dim),
-                        cfg.dtype),
+                        store),
             length=jnp.zeros((), jnp.int32),
         )
     shape = (n_layers, batch, max_seq, cfg.num_kv_heads, cfg.hd)
@@ -483,7 +485,7 @@ class QuantizedLlama:
         if isinstance(self.cfg, DeepseekConfig) and self.cfg.kv_lora_rank:
             return _mla_prefill_core(
                 params, packed, input_ids, cfg=self.cfg,
-                max_seq=self.max_seq,
+                max_seq=self.max_seq, kv_quant=self.kv_quant,
                 lf_maker=lambda p, i: self._make_linear_fn(p, i, kinds),
                 kinds=kinds)
         return _prefill_core(params, packed, input_ids, cfg=self.cfg,
@@ -502,6 +504,7 @@ class QuantizedLlama:
         if isinstance(self.cfg, DeepseekConfig) and self.cfg.kv_lora_rank:
             return _mla_decode_core(
                 params, packed, token, cache, cfg=self.cfg,
+                kv_quant=self.kv_quant,
                 lf_maker=lambda p, i: self._make_linear_fn(p, i, kinds),
                 kinds=kinds)
         return _decode_core(params, packed, token, cache, cfg=self.cfg,
@@ -570,11 +573,14 @@ def _final_fwd_packed(params, packed, x, cfg, kinds=None):
 
 
 def _mla_prefill_core(params, packed, input_ids, *, cfg, max_seq,
-                      lf_maker, kinds=None):
-    """DeepSeek/MLA prompt pass: cache the compressed latents."""
+                      kv_quant, lf_maker, kinds=None):
+    """DeepSeek/MLA prompt pass: cache the compressed latents
+    (optionally int8/fp8 with per-layer scalar scales calibrated on the
+    prompt — the latents are rms-normed, so one scale per layer is
+    tight)."""
     from ..models import deepseek
     B, S = input_ids.shape
-    cache = _init_cache(cfg, B, max_seq, cfg.num_layers)
+    cache = _init_cache(cfg, B, max_seq, cfg.num_layers, kv_quant)
     x = llama.embed_fwd(params, input_ids, cfg)
     cos, sin = deepseek.rope_tables(cfg, S)
     cks, krs = [], []
@@ -584,21 +590,32 @@ def _mla_prefill_core(params, packed, input_ids, *, cfg, max_seq,
             lf_maker(packed, i))
         cks.append(c_kv[:, :, None, :])    # (B, S, 1, r)
         krs.append(k_rope)                 # (B, S, 1, dr)
+    k_stack = jnp.stack(cks)
+    v_stack = jnp.stack(krs)
+    k_scale = v_scale = None
+    if kv_quant is not None:
+        qmax = _KV_QMAX[kv_quant]
+        amax = lambda t: jnp.maximum(
+            jnp.max(jnp.abs(t.astype(jnp.float32)), axis=(1, 2, 3, 4),
+                    keepdims=True), 1e-6)
+        k_scale = amax(k_stack) / qmax     # (L, 1, 1, 1, 1)
+        v_scale = amax(v_stack) / qmax
+        k_stack = _kv_quantize(k_stack, k_scale, kv_quant)
+        v_stack = _kv_quantize(v_stack, v_scale, kv_quant)
     cache = KVCache(
         k=jax.lax.dynamic_update_slice(
-            cache.k, jnp.stack(cks).astype(cache.k.dtype),
-            (0, 0, 0, 0, 0)),
+            cache.k, k_stack.astype(cache.k.dtype), (0, 0, 0, 0, 0)),
         v=jax.lax.dynamic_update_slice(
-            cache.v, jnp.stack(krs).astype(cache.v.dtype),
-            (0, 0, 0, 0, 0)),
+            cache.v, v_stack.astype(cache.v.dtype), (0, 0, 0, 0, 0)),
         length=jnp.asarray(S, jnp.int32),
+        k_scale=k_scale, v_scale=v_scale,
     )
     logits = _final_fwd_packed(params, packed, x[:, -1:], cfg, kinds)
     return logits[:, 0], cache
 
 
-def _mla_decode_core(params, packed, token, cache, *, cfg, lf_maker,
-                     kinds=None):
+def _mla_decode_core(params, packed, token, cache, *, cfg, kv_quant,
+                     lf_maker, kinds=None):
     """One MLA decode step: absorbed latent attention over the
     compressed cache (``deepseek.block_with_cache``)."""
     from ..models import deepseek
@@ -607,16 +624,26 @@ def _mla_decode_core(params, packed, token, cache, *, cfg, lf_maker,
     cos, sin = deepseek.rope_tables(cfg, 1, positions=pos[None])
     new_k, new_v = cache.k, cache.v
     for i in range(cfg.num_layers):
+        if kv_quant is None:
+            kv = (new_k[i], new_v[i])
+        else:
+            kv = (kv_quant, new_k[i], new_v[i],
+                  cache.k_scale[i].reshape(()),
+                  cache.v_scale[i].reshape(()))
         x, c_kv, k_rope = deepseek.block_with_cache(
-            params["blocks"][i], x, cos, sin, cfg,
-            (new_k[i], new_v[i]), pos, lf_maker(packed, i))
+            params["blocks"][i], x, cos, sin, cfg, kv, pos,
+            lf_maker(packed, i))
+        if kv_quant is not None:
+            c_kv = _kv_quantize(c_kv, cache.k_scale[i, 0, 0], kv_quant)
+            k_rope = _kv_quantize(k_rope, cache.v_scale[i, 0], kv_quant)
         new_k = jax.lax.dynamic_update_slice(
             new_k, c_kv[:, :, None, :][None].astype(new_k.dtype),
             (i, 0, pos, 0, 0))
         new_v = jax.lax.dynamic_update_slice(
             new_v, k_rope[None].astype(new_v.dtype), (i, 0, pos, 0, 0))
     logits = _final_fwd_packed(params, packed, x, cfg, kinds)
-    return logits[:, 0], KVCache(new_k, new_v, pos + 1)
+    return logits[:, 0], KVCache(new_k, new_v, pos + 1,
+                                 cache.k_scale, cache.v_scale)
 
 
 def _prefill_core(params, packed, input_ids, *, cfg, max_seq, kv_quant,

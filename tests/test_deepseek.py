@@ -159,3 +159,27 @@ class TestMlaServing:
         out = eng.generate_scan(ids, max_new_tokens=6)
         out2 = eng.generate(ids, max_new_tokens=6)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    @pytest.mark.parametrize("kv_quant", ["int8", "fp8"])
+    def test_quantized_latent_cache(self, quantized, kv_quant):
+        from autoround_tpu.serve import QuantizedLlama
+        cfg, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32,
+                                                  kv_quant=kv_quant)
+        ids = jax.random.randint(jax.random.PRNGKey(5), (2, 8), 0, 256)
+        logits, cache = eng.prefill(ids)
+        assert cache.k.dtype == (jnp.int8 if kv_quant == "int8"
+                                 else jnp.float8_e4m3fn)
+        want = deepseek.model_fwd(res.params, ids, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=3e-1, atol=3e-1)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits2, _ = eng.decode_step(tok, cache)
+        seq = jnp.concatenate([ids, tok[:, None]], axis=1)
+        want2 = deepseek.model_fwd(res.params, seq, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits2, np.float32),
+                                   np.asarray(want2, np.float32),
+                                   rtol=3e-1, atol=3e-1)
+        # greedy decisions should survive int8 latents on this tiny model
+        assert (jnp.argmax(logits2, -1) == jnp.argmax(want2, -1)).all()
