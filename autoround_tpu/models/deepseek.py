@@ -265,14 +265,52 @@ def _mlp(weights, h, cfg, lf, prefix: str = ""):
     return lf(f"{prefix}down_proj", gate * up, weights["down_proj"])
 
 
-def _moe_mlp(weights, h, cfg: DeepseekConfig, lf):
-    """Dense-then-mask routed experts + always-on shared experts."""
+def _moe_mlp(weights, h, cfg: DeepseekConfig, lf,
+             capacity_factor: float = 0.0):
+    """Routed experts + always-on shared experts.
+
+    capacity_factor == 0 → dense-then-mask (exact; calibration default).
+    capacity_factor > 0 → capacity-based dispatch (serving: each expert
+    computes C tokens instead of all N — essential at DeepSeek scale,
+    E = 64..256 routed experts)."""
     topi, topw = _route(h, weights, cfg)
-    out = jnp.zeros_like(h, dtype=jnp.float32)
-    for e, ew in enumerate(weights["experts"]):
-        y = _mlp(ew, h, cfg, lf, prefix=f"experts.{e}.").astype(jnp.float32)
-        w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)
-        out = out + y * w_e[..., None]
+    B, S, H = h.shape
+    E = cfg.n_routed_experts
+    gnames = getattr(lf, "grouped_names", frozenset())
+    use_grouped = {"gate_proj", "up_proj", "down_proj"} <= set(gnames)
+    act = llama._act(cfg.hidden_act)
+
+    def grouped_mlp(buf):  # (E, C, H) → (E, C, H)
+        mid = act(lf.grouped("gate_proj", buf)) * lf.grouped("up_proj", buf)
+        return lf.grouped("down_proj", mid)
+
+    if capacity_factor and capacity_factor > 0:
+        from .mixtral import capacity_dispatch
+
+        def apply_expert(e, xb):
+            return _mlp(weights["experts"][e], xb[None], cfg, lf,
+                        prefix=f"experts.{e}.")[0]
+
+        out = capacity_dispatch(
+            h, topi, topw, E, capacity_factor, apply_expert,
+            grouped_apply=grouped_mlp if use_grouped else None
+        ).astype(jnp.float32)
+    elif use_grouped:
+        N = B * S
+        k = topi.shape[-1]
+        buf = jnp.broadcast_to(h.reshape(1, N, H), (E, N, H))
+        ys = grouped_mlp(buf).astype(jnp.float32)
+        w_tok = jnp.zeros((N, E), jnp.float32).at[
+            jnp.repeat(jnp.arange(N), k), topi.reshape(-1, k).reshape(-1)
+        ].add(topw.reshape(-1).astype(jnp.float32))
+        out = jnp.einsum("enh,ne->nh", ys, w_tok).reshape(B, S, H)
+    else:
+        out = jnp.zeros_like(h, dtype=jnp.float32)
+        for e, ew in enumerate(weights["experts"]):
+            y = _mlp(ew, h, cfg, lf,
+                     prefix=f"experts.{e}.").astype(jnp.float32)
+            w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)
+            out = out + y * w_e[..., None]
     if "shared_experts" in weights:
         out = out + _mlp(weights["shared_experts"], h, cfg, lf,
                          prefix="shared_experts.").astype(jnp.float32)
@@ -434,7 +472,9 @@ def block_with_cache(weights, x, cos, sin, cfg: DeepseekConfig, kv, pos,
     x = x + lf("o_proj", attn.reshape(B, S, -1), weights["o_proj"])
     h = rms_norm(x, weights["post_attention_layernorm"], cfg.rms_eps)
     if "experts" in weights:
-        x = x + _moe_mlp(weights, h, cfg, lf)
+        from .. import envs
+        x = x + _moe_mlp(weights, h, cfg, lf,
+                         capacity_factor=envs.AR_MOE_CAPACITY_FACTOR)
     else:
         x = x + _mlp(weights, h, cfg, lf)
     return x, c_kv, k_rope

@@ -126,6 +126,47 @@ def init_params(cfg: MixtralConfig, key: jax.Array) -> Dict[str, Any]:
     return params
 
 
+def capacity_dispatch(h, topi, topv, E: int, capacity_factor: float,
+                      apply_expert, grouped_apply=None):
+    """Capacity-based MoE dispatch (role of the reference's fused-MoE
+    grouped GEMM, ``modeling/fused_moe``): tokens gather into fixed
+    (E, C, H) slabs, each expert's kernels run on C tokens instead of
+    all N (C = ceil(N·k/E · factor)); tokens beyond an expert's capacity
+    drop (the standard MoE capacity approximation).
+
+    ``apply_expert(e, xb) -> yb`` runs expert ``e`` on its (C, H) slab;
+    router semantics stay with the caller (Mixtral softmax / DeepSeek
+    sigmoid+bias both dispatch through here).  ``grouped_apply(buf
+    (E, C, H)) -> (E, C, H)``, when given, runs ALL experts in one
+    grouped kernel call (``w4a16_matmul_grouped``) instead of an E-long
+    launch loop.
+    """
+    B, S, H = h.shape
+    k = topi.shape[-1]
+    N = B * S
+    C = max(1, int(np.ceil(N * k / E * capacity_factor)))
+    hf = h.reshape(N, H)
+    e_idx = topi.reshape(N * k)                    # expert per slot
+    w_slot = topv.reshape(N * k).astype(jnp.float32)
+    n_idx = jnp.repeat(jnp.arange(N), k)
+    # rank of each slot within its expert (first-come order)
+    oh = jax.nn.one_hot(e_idx, E, dtype=jnp.int32)      # (N*k, E)
+    pos_e = jnp.sum(jnp.cumsum(oh, axis=0) * oh, axis=1) - 1
+    keep = pos_e < C
+    pos_c = jnp.where(keep, pos_e, C)             # drops land in a
+    buf = jnp.zeros((E, C + 1, H), h.dtype)       # spill row
+    buf = buf.at[e_idx, pos_c].set(hf[n_idx])
+    if grouped_apply is not None:
+        ys = grouped_apply(buf[:, :C]).astype(jnp.float32)
+    else:
+        ys = jnp.stack([apply_expert(e, buf[e, :C])
+                        for e in range(E)]).astype(jnp.float32)
+    contrib = ys[e_idx, pos_c.clip(0, C - 1)] * (
+        w_slot * keep.astype(jnp.float32))[:, None]
+    out = jnp.zeros((N, H), jnp.float32).at[n_idx].add(contrib)
+    return out.reshape(B, S, H)
+
+
 def _moe_mlp(weights, h, cfg: MixtralConfig, lf,
              capacity_factor: float = 0.0):
     """Top-k routed SwiGLU experts.
@@ -147,31 +188,33 @@ def _moe_mlp(weights, h, cfg: MixtralConfig, lf,
         topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
     E, k = cfg.num_experts, cfg.top_k
 
+    gnames = getattr(lf, "grouped_names", frozenset())
+    use_grouped = {"w1", "w2", "w3"} <= set(gnames)
+
+    def grouped_swiglu(buf):  # (E, C, H) → (E, C, H)
+        mid = jax.nn.silu(lf.grouped("w1", buf)) * lf.grouped("w3", buf)
+        return lf.grouped("w2", mid)
+
     if capacity_factor and capacity_factor > 0:
-        N = B * S
-        C = max(1, int(np.ceil(N * k / E * capacity_factor)))
-        hf = h.reshape(N, H)
-        e_idx = topi.reshape(N * k)                    # expert per slot
-        w_slot = topv.reshape(N * k).astype(jnp.float32)
-        n_idx = jnp.repeat(jnp.arange(N), k)
-        # rank of each slot within its expert (first-come order)
-        oh = jax.nn.one_hot(e_idx, E, dtype=jnp.int32)      # (N*k, E)
-        pos_e = jnp.sum(jnp.cumsum(oh, axis=0) * oh, axis=1) - 1
-        keep = pos_e < C
-        pos_c = jnp.where(keep, pos_e, C)             # drops land in a
-        buf = jnp.zeros((E, C + 1, H), h.dtype)       # spill row
-        buf = buf.at[e_idx, pos_c].set(hf[n_idx])
-        out_slabs = []
-        for e, ew in enumerate(weights["experts"]):
-            xb = buf[e, :C]
+        def apply_expert(e, xb):
+            ew = weights["experts"][e]
             gate = jax.nn.silu(lf(f"experts.{e}.w1", xb, ew["w1"]))
             up = lf(f"experts.{e}.w3", xb, ew["w3"])
-            out_slabs.append(lf(f"experts.{e}.w2", gate * up, ew["w2"]))
-        ys = jnp.stack(out_slabs).astype(jnp.float32)  # (E, C, H)
-        contrib = ys[e_idx, pos_c.clip(0, C - 1)] * (
-            w_slot * keep.astype(jnp.float32))[:, None]
-        out = jnp.zeros((N, H), jnp.float32).at[n_idx].add(contrib)
-        out = out.reshape(B, S, H)
+            return lf(f"experts.{e}.w2", gate * up, ew["w2"])
+
+        out = capacity_dispatch(
+            h, topi, topv, E, capacity_factor, apply_expert,
+            grouped_apply=grouped_swiglu if use_grouped else None)
+    elif use_grouped:
+        # dense-then-mask through the grouped kernel: every expert runs
+        # the full token slab (exact; calibration/prefill semantics)
+        N = B * S
+        buf = jnp.broadcast_to(h.reshape(1, N, H), (E, N, H))
+        ys = grouped_swiglu(buf).astype(jnp.float32)       # (E, N, H)
+        w_tok = jnp.zeros((N, E), jnp.float32).at[
+            jnp.repeat(jnp.arange(N), k), topi.reshape(-1)].add(
+            topv.reshape(-1).astype(jnp.float32))
+        out = jnp.einsum("enh,ne->nh", ys, w_tok).reshape(B, S, H)
     else:
         out = jnp.zeros_like(h, dtype=jnp.float32)
         for e, ew in enumerate(weights["experts"]):

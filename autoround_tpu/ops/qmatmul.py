@@ -30,7 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pack_w4_planes", "unpack_w4_planes", "w4a16_matmul",
-           "w4a16_matmul_ref", "PLANES"]
+           "w4a16_matmul_ref", "w4a16_matmul_grouped",
+           "w4a16_matmul_grouped_ref", "PLANES"]
 
 PLANES = 8  # int4 codes per int32 word
 
@@ -176,3 +177,102 @@ def w4a16_matmul(
         ),
     )(x2, qweight, scales_t)
     return out[:B].reshape(*orig_shape[:-1], O)
+
+
+def w4a16_matmul_grouped_ref(x, qweight, scales, group_size: int = 128):
+    """Pure-XLA grouped fallback: x (E, C, K), qweight (E, O, K//8),
+    scales (E, O, K//g) → (E, C, O)."""
+    return jax.vmap(
+        lambda xe, qe, se: w4a16_matmul_ref(xe, qe, se, group_size)
+    )(x, qweight, scales)
+
+
+def _grouped_kernel(x_ref, w_ref, st_ref, o_ref, acc_ref, *,
+                    group_size: int):
+    """Per-expert tile of the nibble-plane dequant-matmul (leading grid
+    dim selects the expert; body identical to :func:`_kernel`)."""
+    k = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    words = w_ref[0]                                  # (TO, g) int32
+    acc = acc_ref[:]
+    for j in range(PLANES):
+        chunk = jax.lax.shift_right_logical(words, 4 * j) & 0xF
+        wq = (chunk - 8).astype(jnp.bfloat16)
+        xg = x_ref[0, :, pl.ds(j * group_size, group_size)]
+        partial = jax.lax.dot_general(
+            xg.astype(jnp.bfloat16), wq,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + partial * st_ref[0, j, :][None, :].astype(jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "block_o"))
+def w4a16_matmul_grouped(
+    x: jax.Array,
+    qweight: jax.Array,
+    scales: jax.Array,
+    group_size: int = 128,
+    block_o: int = 1024,
+) -> jax.Array:
+    """Grouped (MoE) fused dequant-matmul: y[e] = x[e] @ dq(qweight[e]).T.
+
+    x (E, C, K) bf16 token slabs (capacity dispatch), qweight
+    (E, O, K//8) int32 nibble-plane, scales (E, O, K//g) → (E, C, O).
+    Role of the reference's MoE grouped GEMMs (ARK SYCL MoE,
+    ``auto_round_extension/ark`` feature matrix): every expert's packed
+    weights stream once per step regardless of routing, and the C-token
+    slabs ride the same MXU tiles — one kernel call for all E experts
+    instead of E launches.
+    """
+    E, C, K = x.shape
+    O = qweight.shape[1]
+    TK = PLANES * group_size
+    usable = (jax.devices()[0].platform == "tpu" and group_size >= 128
+              and group_size % 128 == 0 and K % TK == 0 and O % 256 == 0)
+    if not usable:
+        return w4a16_matmul_grouped_ref(x, qweight, scales, group_size)
+
+    TO = min(block_o, O)
+    while O % TO:
+        TO //= 2
+    TB = max(16, -(-C // 16) * 16)
+    xp = jnp.pad(x, ((0, 0), (0, TB - C), (0, 0))) if TB != C else x
+    # (E, K//g, O) plane-row scales
+    scales_t = scales.astype(jnp.float32).transpose(0, 2, 1)
+
+    grid = (E, 1, O // TO, K // TK)
+    out = pl.pallas_call(
+        functools.partial(_grouped_kernel, group_size=group_size),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TB, TK), lambda e, b, o, k: (e, b, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TO, group_size), lambda e, b, o, k: (e, o, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PLANES, TO), lambda e, b, o, k: (e, k, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TB, TO), lambda e, b, o, k: (e, b, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, TB, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((TB, TO), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E * TB * O * K,
+            bytes_accessed=E * (O * K // 2 + TB * K * 2 + TB * O * 2),
+            transcendentals=0,
+        ),
+    )(xp, qweight, scales_t)
+    return out[:, :C]

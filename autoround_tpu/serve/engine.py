@@ -126,6 +126,53 @@ def _fuse_packed(packed: Dict[str, Tuple[jax.Array, jax.Array]], cfg,
     return out, splits_table, kinds
 
 
+def _stack_experts(packed, kinds, cfg):
+    """Stack per-expert packed w4a16 entries into one grouped payload per
+    (block, projection): ``blocks.i.experts_stack.<w>`` → (qw (E, O, Kw),
+    scales (E, O, K/g)).  The MoE serving path then runs ONE grouped
+    Pallas call per projection (``ops.qmatmul.w4a16_matmul_grouped`` —
+    the ARK MoE-grouped-GEMM role) instead of E kernel launches, which
+    is what makes E = 64..256 routed experts servable.  Per-expert
+    entries are removed (no duplicate HBM); only blocks where EVERY
+    expert packed as w4a16 with identical shapes stack."""
+    E = getattr(cfg, "num_experts", 0) or getattr(cfg, "n_routed_experts",
+                                                  0)
+    if not E:
+        return packed, kinds
+    out = dict(packed)
+    n_stacked = 0
+    for bi in range(cfg.num_layers):
+        by_w: Dict[str, list] = {}
+        for key in packed:
+            parts = key.split(".")
+            if (len(parts) == 5 and parts[0] == "blocks"
+                    and int(parts[1]) == bi and parts[2] == "experts"):
+                by_w.setdefault(parts[4], []).append(
+                    (int(parts[3]), key))
+        for wname, entries in by_w.items():
+            if len(entries) != E:
+                continue
+            entries.sort()
+            keys = [k for _, k in entries]
+            if any(kinds.get(k, "w4a16") != "w4a16" for k in keys):
+                continue
+            shapes = {tuple(packed[k][0].shape) for k in keys}
+            if len(shapes) != 1 or any(len(packed[k]) != 2 for k in keys):
+                continue
+            skey = f"blocks.{bi}.experts_stack.{wname}"
+            out[skey] = (jnp.stack([packed[k][0] for k in keys]),
+                         jnp.stack([packed[k][1] for k in keys]))
+            kinds[skey] = "w4a16_grouped"
+            for k in keys:
+                del out[k]
+                kinds.pop(k, None)
+            n_stacked += 1
+    if n_stacked:
+        logger.info("serving engine: %d expert groups stacked for the "
+                    "grouped MoE kernel", n_stacked)
+    return out, kinds
+
+
 def _serving_kind(s) -> Optional[str]:
     """Map a quantization scheme to a packed serving-kernel kind.
 
@@ -316,6 +363,9 @@ class QuantizedLlama:
                    for k in set(kinds.values())}
         logger.info("serving engine: %d layers packed (%s), rest dense",
                     len(packed), by_kind or "none")
+        from ..models.mixtral import MixtralConfig
+        if isinstance(cfg, (MixtralConfig, DeepseekConfig)):
+            packed, kinds = _stack_experts(packed, kinds, cfg)
         if is_mla:
             fused, splits = packed, None  # no qkv/gate_up fusion groups
         else:
@@ -454,6 +504,22 @@ class QuantizedLlama:
                 y = y + b
             return y
 
+        def grouped(wname, x_slabs):
+            """Grouped expert matmul over (E, C, K) slabs, or None when
+            this block's experts aren't stacked (MoE fns fall back to
+            the per-expert interceptor)."""
+            entry = packed.get(f"blocks.{block_idx}.experts_stack.{wname}")
+            if entry is None:
+                return None
+            from ..ops.qmatmul import PLANES, w4a16_matmul_grouped
+            qw, sc = entry
+            g = (qw.shape[2] * PLANES) // sc.shape[2]
+            return w4a16_matmul_grouped(x_slabs, qw, sc, g)
+
+        lf.grouped = grouped
+        prefix = f"blocks.{block_idx}.experts_stack."
+        lf.grouped_names = frozenset(
+            k[len(prefix):] for k in packed if k.startswith(prefix))
         return lf
 
     @staticmethod
@@ -855,9 +921,13 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
             mlp_out = _oss_moe_mlp(weights, h, cfg, lf)
         elif "gate" in weights:
             # DeepSeek/GLM-style router (sigmoid/softmax + aux-free bias
-            # + group limiting) — shared with the tuning path
+            # + group limiting) — shared with the tuning path; capacity
+            # dispatch rides the same env knob as Mixtral serving
+            from .. import envs
             from ..models.deepseek import _moe_mlp as _ds_moe_mlp
-            mlp_out = _ds_moe_mlp(weights, h, cfg, lf)
+            mlp_out = _ds_moe_mlp(
+                weights, h, cfg, lf,
+                capacity_factor=envs.AR_MOE_CAPACITY_FACTOR)
         else:
             # Mixtral-style sparse MoE via the shared interceptor (packed
             # expert projections hit the fused kernel through lf just like

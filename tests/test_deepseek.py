@@ -183,3 +183,20 @@ class TestMlaServing:
                                    rtol=3e-1, atol=3e-1)
         # greedy decisions should survive int8 latents on this tiny model
         assert (jnp.argmax(logits2, -1) == jnp.argmax(want2, -1)).all()
+
+
+class TestCapacityDispatch:
+    def test_capacity_matches_dense_at_high_factor(self, monkeypatch):
+        """With capacity >= all routed tokens, dispatch equals
+        dense-then-mask exactly (no drops)."""
+        from autoround_tpu.models.deepseek import _moe_mlp
+        cfg = deepseek.CONFIG_PRESETS["tiny-deepseek"]
+        params = deepseek.init_params(cfg, jax.random.PRNGKey(0))
+        w = params["blocks"][1]
+        h = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 64),
+                              jnp.float32)
+        lf = lambda name, x, ww, b=None: jnp.einsum("...i,oi->...o", x, ww)
+        dense = _moe_mlp(w, h, cfg, lf)
+        cap = _moe_mlp(w, h, cfg, lf, capacity_factor=8.0)
+        np.testing.assert_allclose(np.asarray(cap), np.asarray(dense),
+                                   rtol=1e-4, atol=1e-5)

@@ -126,8 +126,9 @@ class TestMoEServing:
         ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 128)
         res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
         qm = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
-        assert any(".experts." in k for k in qm.packed), \
-            "expert layers must pack for the fused kernel"
+        assert any("experts_stack" in k or ".experts." in k
+                   for k in qm.packed), \
+            "expert layers must pack (stacked grouped payload)"
         prompt = jnp.asarray([[3, 5, 7]])
         toks = np.asarray(qm.generate(prompt, max_new_tokens=4))[0]
         # greedy reference continuation on the qdq (baked) params
@@ -275,3 +276,72 @@ class TestQwen3Moe:
             want = model(torch.tensor(ids, dtype=torch.long)
                          ).logits.float().numpy()
         np.testing.assert_allclose(ours, want, rtol=3e-2, atol=3e-2)
+
+
+class TestGroupedExpertServing:
+    @pytest.fixture(scope="class")
+    def packed_moe(self):
+        cfg = mixtral.MixtralConfig(
+            vocab_size=128, hidden_size=1024, intermediate_size=1024,
+            num_layers=1, num_heads=4, num_kv_heads=2, num_experts=4,
+            top_k=2, rope_theta=1e4, dtype=jnp.float32)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 128)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        return cfg, res
+
+    def test_grouped_kernel_matches_per_expert_ref(self):
+        from autoround_tpu.ops.qmatmul import (pack_w4_planes,
+                                               w4a16_matmul_grouped,
+                                               w4a16_matmul_ref)
+        key = jax.random.PRNGKey(0)
+        E, C, K, O, g = 4, 8, 1024, 512, 128
+        codes = jax.random.randint(key, (E, O, K), 0, 16, jnp.int32)
+        qw = jnp.stack([pack_w4_planes(codes[e], g) for e in range(E)])
+        sc = jax.random.uniform(key, (E, O, K // g), jnp.float32, 0.01,
+                                0.02)
+        x = jax.random.normal(key, (E, C, K), jnp.float32)
+        y = w4a16_matmul_grouped(x, qw, sc, g)
+        for e in range(E):
+            ye = w4a16_matmul_ref(x[e], qw[e], sc[e], g)
+            np.testing.assert_allclose(np.asarray(y[e]), np.asarray(ye),
+                                       rtol=1e-3, atol=1e-3)
+
+    def test_experts_stack_and_serve(self, packed_moe):
+        from autoround_tpu.serve import QuantizedLlama
+        cfg, res = packed_moe
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        stacked = [k for k in eng.packed if "experts_stack" in k]
+        assert len(stacked) == 3  # w1/w2/w3 of the single block
+        assert not any(".experts." in k for k in eng.packed)
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 128)
+        logits, cache = eng.prefill(ids)
+        want = mixtral.model_fwd(res.params, ids, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits2, _ = eng.decode_step(tok, cache)
+        seq = jnp.concatenate([ids, tok[:, None]], axis=1)
+        want2 = mixtral.model_fwd(res.params, seq, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits2, np.float32),
+                                   np.asarray(want2, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+    def test_capacity_dispatch_through_grouped(self, packed_moe,
+                                               monkeypatch):
+        from autoround_tpu.serve import QuantizedLlama
+        from autoround_tpu import envs
+        cfg, res = packed_moe
+        monkeypatch.setattr(envs, "AR_MOE_CAPACITY_FACTOR", 4.0)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 0, 128)
+        logits, cache = eng.prefill(ids)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits2, _ = eng.decode_step(tok, cache)
+        seq = jnp.concatenate([ids, tok[:, None]], axis=1)
+        want2 = mixtral.model_fwd(res.params, seq, cfg)[:, -1]
+        # factor 4 with top2-of-4 experts over 2 tokens: no drops
+        np.testing.assert_allclose(np.asarray(logits2, np.float32),
+                                   np.asarray(want2, np.float32),
+                                   rtol=5e-2, atol=5e-2)
