@@ -278,9 +278,13 @@ def _moe_mlp(weights, h, cfg: DeepseekConfig, lf,
     E = cfg.n_routed_experts
     gnames = getattr(lf, "grouped_names", frozenset())
     use_grouped = {"gate_proj", "up_proj", "down_proj"} <= set(gnames)
+    # expert parallelism (tp engine): local expert slab + psum combine
+    off = getattr(lf, "expert_offset", 0)
+    El = getattr(lf, "local_experts", E)
+    combine = getattr(lf, "expert_combine", None)
     act = llama._act(cfg.hidden_act)
 
-    def grouped_mlp(buf):  # (E, C, H) → (E, C, H)
+    def grouped_mlp(buf):  # (El, C, H) → (El, C, H)
         mid = act(lf.grouped("gate_proj", buf)) * lf.grouped("up_proj", buf)
         return lf.grouped("down_proj", mid)
 
@@ -292,18 +296,25 @@ def _moe_mlp(weights, h, cfg: DeepseekConfig, lf,
                         prefix=f"experts.{e}.")[0]
 
         out = capacity_dispatch(
-            h, topi, topw, E, capacity_factor, apply_expert,
-            grouped_apply=grouped_mlp if use_grouped else None
-        ).astype(jnp.float32)
+            h, topi, topw, El if use_grouped else E, capacity_factor,
+            apply_expert,
+            grouped_apply=grouped_mlp if use_grouped else None,
+            expert_offset=off, n_global_experts=E).astype(jnp.float32)
+        if combine is not None and use_grouped:
+            out = combine(out)
     elif use_grouped:
         N = B * S
         k = topi.shape[-1]
-        buf = jnp.broadcast_to(h.reshape(1, N, H), (E, N, H))
+        buf = jnp.broadcast_to(h.reshape(1, N, H), (El, N, H))
         ys = grouped_mlp(buf).astype(jnp.float32)
-        w_tok = jnp.zeros((N, E), jnp.float32).at[
-            jnp.repeat(jnp.arange(N), k), topi.reshape(-1, k).reshape(-1)
-        ].add(topw.reshape(-1).astype(jnp.float32))
+        flat_i = topi.reshape(-1) - off
+        valid = ((flat_i >= 0) & (flat_i < El)).astype(jnp.float32)
+        w_tok = jnp.zeros((N, El), jnp.float32).at[
+            jnp.repeat(jnp.arange(N), k), jnp.clip(flat_i, 0, El - 1)
+        ].add(topw.reshape(-1).astype(jnp.float32) * valid)
         out = jnp.einsum("enh,ne->nh", ys, w_tok).reshape(B, S, H)
+        if combine is not None:
+            out = combine(out)
     else:
         out = jnp.zeros_like(h, dtype=jnp.float32)
         for e, ew in enumerate(weights["experts"]):

@@ -127,7 +127,8 @@ def init_params(cfg: MixtralConfig, key: jax.Array) -> Dict[str, Any]:
 
 
 def capacity_dispatch(h, topi, topv, E: int, capacity_factor: float,
-                      apply_expert, grouped_apply=None):
+                      apply_expert, grouped_apply=None,
+                      expert_offset=0, n_global_experts: int = 0):
     """Capacity-based MoE dispatch (role of the reference's fused-MoE
     grouped GEMM, ``modeling/fused_moe``): tokens gather into fixed
     (E, C, H) slabs, each expert's kernels run on C tokens instead of
@@ -140,19 +141,29 @@ def capacity_dispatch(h, topi, topv, E: int, capacity_factor: float,
     (E, C, H)) -> (E, C, H)``, when given, runs ALL experts in one
     grouped kernel call (``w4a16_matmul_grouped``) instead of an E-long
     launch loop.
+
+    Under expert parallelism (``expert_offset``/``n_global_experts``)
+    each shard owns E local experts: global routing ids map to local
+    rows, foreign slots drop into the spill row, and the caller psums
+    the partial routed output across shards (the combine).
     """
     B, S, H = h.shape
     k = topi.shape[-1]
     N = B * S
-    C = max(1, int(np.ceil(N * k / E * capacity_factor)))
+    Eg = n_global_experts or E
+    C = max(1, int(np.ceil(N * k / Eg * capacity_factor)))
     hf = h.reshape(N, H)
-    e_idx = topi.reshape(N * k)                    # expert per slot
-    w_slot = topv.reshape(N * k).astype(jnp.float32)
+    e_idx = topi.reshape(N * k) - expert_offset    # local expert per slot
+    local = (e_idx >= 0) & (e_idx < E)
+    e_idx = jnp.clip(e_idx, 0, E - 1)
+    w_slot = (topv.reshape(N * k).astype(jnp.float32)
+              * local.astype(jnp.float32))
     n_idx = jnp.repeat(jnp.arange(N), k)
     # rank of each slot within its expert (first-come order)
-    oh = jax.nn.one_hot(e_idx, E, dtype=jnp.int32)      # (N*k, E)
+    oh = (jax.nn.one_hot(e_idx, E, dtype=jnp.int32)
+          * local.astype(jnp.int32)[:, None])          # (N*k, E)
     pos_e = jnp.sum(jnp.cumsum(oh, axis=0) * oh, axis=1) - 1
-    keep = pos_e < C
+    keep = local & (pos_e < C)
     pos_c = jnp.where(keep, pos_e, C)             # drops land in a
     buf = jnp.zeros((E, C + 1, H), h.dtype)       # spill row
     buf = buf.at[e_idx, pos_c].set(hf[n_idx])
@@ -190,8 +201,13 @@ def _moe_mlp(weights, h, cfg: MixtralConfig, lf,
 
     gnames = getattr(lf, "grouped_names", frozenset())
     use_grouped = {"w1", "w2", "w3"} <= set(gnames)
+    # expert parallelism (tp engine): this shard owns El experts starting
+    # at `off`; the routed output psums across shards (expert_combine)
+    off = getattr(lf, "expert_offset", 0)
+    El = getattr(lf, "local_experts", E)
+    combine = getattr(lf, "expert_combine", None)
 
-    def grouped_swiglu(buf):  # (E, C, H) → (E, C, H)
+    def grouped_swiglu(buf):  # (El, C, H) → (El, C, H)
         mid = jax.nn.silu(lf.grouped("w1", buf)) * lf.grouped("w3", buf)
         return lf.grouped("w2", mid)
 
@@ -203,18 +219,27 @@ def _moe_mlp(weights, h, cfg: MixtralConfig, lf,
             return lf(f"experts.{e}.w2", gate * up, ew["w2"])
 
         out = capacity_dispatch(
-            h, topi, topv, E, capacity_factor, apply_expert,
-            grouped_apply=grouped_swiglu if use_grouped else None)
+            h, topi, topv, El if use_grouped else E, capacity_factor,
+            apply_expert,
+            grouped_apply=grouped_swiglu if use_grouped else None,
+            expert_offset=off, n_global_experts=E)
+        if combine is not None and use_grouped:
+            out = combine(out)
     elif use_grouped:
         # dense-then-mask through the grouped kernel: every expert runs
         # the full token slab (exact; calibration/prefill semantics)
         N = B * S
-        buf = jnp.broadcast_to(h.reshape(1, N, H), (E, N, H))
-        ys = grouped_swiglu(buf).astype(jnp.float32)       # (E, N, H)
-        w_tok = jnp.zeros((N, E), jnp.float32).at[
-            jnp.repeat(jnp.arange(N), k), topi.reshape(-1)].add(
-            topv.reshape(-1).astype(jnp.float32))
+        buf = jnp.broadcast_to(h.reshape(1, N, H), (El, N, H))
+        ys = grouped_swiglu(buf).astype(jnp.float32)       # (El, N, H)
+        flat_i = topi.reshape(-1) - off
+        valid = ((flat_i >= 0) & (flat_i < El)).astype(jnp.float32)
+        w_tok = jnp.zeros((N, El), jnp.float32).at[
+            jnp.repeat(jnp.arange(N), k),
+            jnp.clip(flat_i, 0, El - 1)].add(
+            topv.reshape(-1).astype(jnp.float32) * valid)
         out = jnp.einsum("enh,ne->nh", ys, w_tok).reshape(B, S, H)
+        if combine is not None:
+            out = combine(out)
     else:
         out = jnp.zeros_like(h, dtype=jnp.float32)
         for e, ew in enumerate(weights["experts"]):

@@ -54,10 +54,18 @@ def _weight_spec(name: str, leaf) -> Optional[P]:
 
 
 def _params_specs(params) -> Dict[str, Any]:
+    def leaf_spec(n, w):
+        if isinstance(w, (list, tuple, dict)):
+            # subtrees (MoE expert lists, shared_experts dicts): match
+            # the structure leaf-wise, replicated (packed expert payloads
+            # carry the sharding; dense expert leaves are None/ replicas)
+            return jax.tree.map(lambda _: P(), w)
+        return _weight_spec(n, w)
+
     specs: Dict[str, Any] = {}
     for k, v in params.items():
         if k == "blocks":
-            specs[k] = [{n: _weight_spec(n, w) for n, w in blk.items()}
+            specs[k] = [{n: leaf_spec(n, w) for n, w in blk.items()}
                         for blk in v]
         else:
             specs[k] = None if v is None else P()
@@ -68,8 +76,13 @@ def _packed_specs(packed) -> Dict[str, Tuple[P, P]]:
     specs = {}
     for key, (qw, sc) in packed.items():
         lname = key.split(".")[-1]
+        if "experts_stack" in key:
+            # EXPERT PARALLELISM: the stacked (E, O, Kw) payload shards
+            # on the expert dim; each device serves E/tp experts and the
+            # routed output psums across tp (the combine)
+            specs[key] = (P("tp", None, None), P("tp", None, None))
         # w8a8 entries carry a 1-D (O,) scale; w4 scales are (O, K/g)
-        if lname in _COL:
+        elif lname in _COL:
             sspec = P("tp") if sc.ndim == 1 else P("tp", None)
             specs[key] = (P("tp", None), sspec)
         elif lname in _ROW:
@@ -92,7 +105,12 @@ def _make_tp_linear_fn(packed, block_idx: int, kinds=None):
     """Per-shard linear: packed kernel or dense einsum; row-parallel
     layers complete their contraction with a psum over ``tp``.  Dequant
     is linear in the int32 accumulator, so per-shard dequantized partials
-    (each with its own local per-token act scale) sum exactly."""
+    (each with its own local per-token act scale) sum exactly.
+
+    Expert parallelism: stacked expert payloads shard on E, so
+    ``lf.grouped`` serves the LOCAL expert slab, ``lf.expert_offset``
+    maps global routing ids to local rows, and ``lf.expert_combine``
+    psums the routed output across tp (the MoE combine)."""
 
     def lf(name, x, w, b=None):
         key = f"blocks.{block_idx}.{name}"
@@ -101,12 +119,33 @@ def _make_tp_linear_fn(packed, block_idx: int, kinds=None):
             y = QuantizedLlama._packed_matmul(x, packed[key], kind)
         else:
             y = jnp.einsum("...i,oi->...o", x, w)
-        if name in _ROW:
+        # shared_experts.down_proj etc. are row-parallel too
+        if name.split(".")[-1] in _ROW:
             y = jax.lax.psum(y, "tp")
         if b is not None:
             y = y + b
         return y
 
+    prefix = f"blocks.{block_idx}.experts_stack."
+    gnames = frozenset(k[len(prefix):] for k in packed
+                       if k.startswith(prefix))
+
+    def grouped(wname, x_slabs):
+        entry = packed.get(prefix + wname)
+        if entry is None:
+            return None
+        from ..ops.qmatmul import PLANES, w4a16_matmul_grouped
+        qw, sc = entry
+        g = (qw.shape[2] * PLANES) // sc.shape[2]
+        return w4a16_matmul_grouped(x_slabs, qw, sc, g)
+
+    lf.grouped = grouped
+    lf.grouped_names = gnames
+    if gnames:
+        any_qw = packed[prefix + next(iter(gnames))][0]
+        lf.local_experts = any_qw.shape[0]
+        lf.expert_offset = jax.lax.axis_index("tp") * any_qw.shape[0]
+        lf.expert_combine = lambda y: jax.lax.psum(y, "tp")
     return lf
 
 
@@ -116,6 +155,11 @@ def _validate_shardable(cfg, packed, params, tp: int):
     assert cfg.intermediate_size % tp == 0, (cfg.intermediate_size, tp)
     for key, (qw, s) in packed.items():
         lname = key.split(".")[-1]
+        if "experts_stack" in key:
+            assert qw.shape[0] % tp == 0, (
+                f"{key}: {qw.shape[0]} experts must divide tp={tp} for "
+                "expert parallelism")
+            continue
         if lname in _COL:
             assert qw.shape[0] % tp == 0 and s.shape[0] % tp == 0, key
 
@@ -133,8 +177,8 @@ def _reshard_row_layers(packed, params, cfg, tp: int):
     """
     for key in list(packed):
         lname = key.split(".")[-1]
-        if lname not in _ROW:
-            continue
+        if lname not in _ROW or "experts_stack" in key:
+            continue  # stacked experts shard on E, not K
         qw, s = packed[key]
         if qw.dtype == jnp.int8:
             # w8a8: plain (O, K) int8 rows split contiguously on K; only

@@ -117,3 +117,55 @@ class TestTPEngine:
         np.testing.assert_allclose(np.asarray(l1, np.float32),
                                    np.asarray(l0, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+class TestExpertParallel:
+    @pytest.fixture(scope="class")
+    def moe_engine(self):
+        from autoround_tpu.models import mixtral
+        cfg = mixtral.MixtralConfig(
+            vocab_size=128, hidden_size=1024, intermediate_size=1024,
+            num_layers=1, num_heads=4, num_kv_heads=2, num_experts=4,
+            top_k=2, rope_theta=1e4, dtype=jnp.float32)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 128)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        assert any("experts_stack" in k for k in eng.packed)
+        return eng, cfg, ids
+
+    def test_experts_shard_across_tp(self, moe_engine):
+        """Expert parallelism: the stacked (E, O, Kw) payload shards on E
+        (2 experts per device at tp=2) and the routed output psums."""
+        eng, cfg, ids = moe_engine
+        mesh = make_mesh(4, dp=2, tp=2)
+        tpe = TPQuantizedLlama.from_engine(eng, mesh)
+        skey = next(k for k in tpe.packed if "experts_stack" in k)
+        shard = tpe.packed[skey][0].sharding
+        assert shard.spec[0] == "tp"  # expert dim sharded
+        l0, c0 = eng.prefill(ids)
+        l1, c1 = tpe.prefill(ids)
+        np.testing.assert_allclose(np.asarray(l1, np.float32),
+                                   np.asarray(l0, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+        tok = jnp.argmax(l0, -1).astype(jnp.int32)
+        d0, _ = eng.decode_step(tok, c0)
+        d1, _ = tpe.decode_step(tok, c1)
+        np.testing.assert_allclose(np.asarray(d1, np.float32),
+                                   np.asarray(d0, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_ep_with_capacity_dispatch(self, moe_engine, monkeypatch):
+        from autoround_tpu import envs
+        eng, cfg, ids = moe_engine
+        monkeypatch.setattr(envs, "AR_MOE_CAPACITY_FACTOR", 4.0)
+        mesh = make_mesh(4, dp=2, tp=2)
+        tpe = TPQuantizedLlama.from_engine(eng, mesh)
+        l0, c0 = eng.prefill(ids)
+        tok = jnp.argmax(l0, -1).astype(jnp.int32)
+        d0, _ = eng.decode_step(tok, c0)
+        l1, c1 = tpe.prefill(ids)
+        d1, _ = tpe.decode_step(tok, c1)
+        np.testing.assert_allclose(np.asarray(d1, np.float32),
+                                   np.asarray(d0, np.float32),
+                                   rtol=2e-2, atol=2e-2)
