@@ -435,8 +435,6 @@ def block_with_cache(weights, x, cos, sin, cfg: DeepseekConfig, kv, pos,
         k_rope = _rope_rotate(ckv[..., None, r:].reshape(B, S, 1, dr),
                               cos, sin, cfg.rope_interleave)
         # append this token's latents into the preallocated buffers
-        if jnp.ndim(pos) != 0:
-            raise NotImplementedError("MLA decode: scalar positions only")
         if cs is not None:
             qmax = 127.0 if ckv_all.dtype == jnp.int8 else 448.0
             quant = lambda t, s: jnp.clip(
@@ -450,10 +448,16 @@ def block_with_cache(weights, x, cos, sin, cfg: DeepseekConfig, kv, pos,
         else:
             c_tok = c_kv[:, :, None, :].astype(ckv_all.dtype)
             r_tok = k_rope.astype(kr_all.dtype)
-        ckv_full = jax.lax.dynamic_update_slice(ckv_all, c_tok,
-                                                (0, pos, 0, 0))
-        kr_full = jax.lax.dynamic_update_slice(kr_all, r_tok,
-                                               (0, pos, 0, 0))
+        if jnp.ndim(pos) == 0:
+            ckv_full = jax.lax.dynamic_update_slice(ckv_all, c_tok,
+                                                    (0, pos, 0, 0))
+            kr_full = jax.lax.dynamic_update_slice(kr_all, r_tok,
+                                                   (0, pos, 0, 0))
+        else:
+            # per-slot positions (continuous batching)
+            bidx = jnp.arange(B)
+            ckv_full = ckv_all.at[bidx, pos].set(c_tok[:, 0])
+            kr_full = kr_all.at[bidx, pos].set(r_tok[:, 0])
         wkb = weights["kv_b_proj"].reshape(nh, dn + dv, r)
         f32 = jnp.float32
         # absorbed scores: q_lat·c_kv + q_rope·k_rope, all in latent
@@ -471,7 +475,11 @@ def block_with_cache(weights, x, cos, sin, cfg: DeepseekConfig, kv, pos,
         scale = (cfg.mscale ** 2) / float(np.sqrt(cfg.qk_head_dim))
         scores = (s_lat + s_rope) * scale
         idx = jnp.arange(T)
-        scores = jnp.where((idx <= pos)[None, None, :], scores, -1e30)
+        if jnp.ndim(pos) == 0:
+            valid = (idx <= pos)[None, None, :]
+        else:
+            valid = (idx[None, :] <= pos[:, None])[:, None, :]
+        scores = jnp.where(valid, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)            # (B, nh, T)
         ctx = jnp.einsum("bnt,btr->bnr", probs,
                          ckv_full[:, :, 0].astype(f32))

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..models import llama
 from ..utils.logger import logger
-from .engine import QuantizedLlama, _block_with_cache
+from .engine import QuantizedLlama, _block_with_cache, _final_fwd_packed
 
 __all__ = ["ContinuousBatchingEngine", "Request"]
 
@@ -71,11 +71,20 @@ class ContinuousBatchingEngine:
         self.buckets = tuple(sorted(prompt_buckets))
         self.eos = eos_token
         cfg = self.cfg
+        from ..models.deepseek import DeepseekConfig
+        self._mla = (isinstance(cfg, DeepseekConfig)
+                     and bool(cfg.kv_lora_rank))
+        if self._mla:
+            # compressed latents: k holds c_kv, v the shared rope sub-head
+            kshape = (cfg.num_layers, self.B, self.T, 1, cfg.kv_lora_rank)
+            vshape = (cfg.num_layers, self.B, self.T, 1,
+                      cfg.qk_rope_head_dim)
+        else:
+            kshape = vshape = (cfg.num_layers, self.B, self.T,
+                               cfg.num_kv_heads, cfg.hd)
         self.cache = _BatchCache(
-            k=jnp.zeros((cfg.num_layers, self.B, self.T, cfg.num_kv_heads,
-                         cfg.hd), cfg.dtype),
-            v=jnp.zeros((cfg.num_layers, self.B, self.T, cfg.num_kv_heads,
-                         cfg.hd), cfg.dtype),
+            k=jnp.zeros(kshape, cfg.dtype),
+            v=jnp.zeros(vshape, cfg.dtype),
             lengths=jnp.zeros((self.B,), jnp.int32),
             last_token=jnp.zeros((self.B,), jnp.int32),
         )
@@ -92,17 +101,25 @@ class ContinuousBatchingEngine:
                       *, bucket):
         """Run one prompt (1, bucket) and insert its KV at ``slot``."""
         cfg = self.cfg
+        from ..models.registry import get_model_fns
         x = llama.embed_fwd(params, tokens, cfg)
-        cos, sin = llama.rope_tables(cfg, bucket)
+        cos, sin = get_model_fns(cfg).rope_tables(cfg, bucket)
         new_k, new_v = cache.k, cache.v
         for i in range(cfg.num_layers):
-            x, k_new, v_new = _block_with_cache(
-                params["blocks"][i], x, cos, sin, cfg, None, None,
-                QuantizedLlama._make_linear_fn(packed, i,
-                                                self.m.packed_kinds),
-                packed=packed, block_idx=i,
-                splits_table=self.m.fused_splits,
-                kinds=self.m.packed_kinds)
+            lf = QuantizedLlama._make_linear_fn(packed, i,
+                                                self.m.packed_kinds)
+            if self._mla:
+                from ..models import deepseek
+                x, c_kv, k_rope = deepseek.block_with_cache(
+                    params["blocks"][i], x, cos, sin, cfg, None, None, lf)
+                k_new = c_kv[:, :, None, :]       # (1, bucket, 1, r)
+                v_new = k_rope
+            else:
+                x, k_new, v_new = _block_with_cache(
+                    params["blocks"][i], x, cos, sin, cfg, None, None, lf,
+                    packed=packed, block_idx=i,
+                    splits_table=self.m.fused_splits,
+                    kinds=self.m.packed_kinds)
             new_k = jax.lax.dynamic_update_slice(
                 new_k, k_new.astype(new_k.dtype)[None],
                 (i, slot, 0, 0, 0))
@@ -111,7 +128,8 @@ class ContinuousBatchingEngine:
                 (i, slot, 0, 0, 0))
         # last valid token's logits
         h_last = jax.lax.dynamic_slice_in_dim(x, true_len - 1, 1, axis=1)
-        logits = llama.final_fwd(params, h_last, cfg)[:, 0]
+        logits = _final_fwd_packed(params, packed, h_last, cfg,
+                                   self.m.packed_kinds)[:, 0]
         lengths = cache.lengths.at[slot].set(true_len)
         tok = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
         return tok, _BatchCache(new_k, new_v, lengths,
@@ -127,29 +145,39 @@ class ContinuousBatchingEngine:
         per-slot KV scatter and masking inside the shared block."""
         cfg = self.cfg
         B = self.B
+        from ..models.registry import get_model_fns
         tokens = cache.last_token                      # (B,)
         pos = cache.lengths                            # (B,)
         x = llama.embed_fwd(params, tokens[:, None], cfg)  # (B, 1, H)
-        cos, sin = llama.rope_tables(cfg, 1, positions=pos)
-        # rope_tables with positions (B,) gives (B, hd); lift to (B, 1, hd)
+        cos, sin = get_model_fns(cfg).rope_tables(cfg, 1, positions=pos)
+        # rope_tables with positions (B,) gives (B, rd); lift to (B, 1, rd)
         cos = cos[:, None, :]
         sin = sin[:, None, :]
         new_k, new_v = cache.k, cache.v
         bidx = jnp.arange(B)
         for i in range(cfg.num_layers):
-            x, k_new, v_new = _block_with_cache(
-                params["blocks"][i], x, cos, sin, cfg,
-                (new_k[i], new_v[i]), pos,
-                QuantizedLlama._make_linear_fn(packed, i,
-                                                self.m.packed_kinds),
-                packed=packed, block_idx=i,
-                splits_table=self.m.fused_splits,
-                kinds=self.m.packed_kinds)
+            lf = QuantizedLlama._make_linear_fn(packed, i,
+                                                self.m.packed_kinds)
+            if self._mla:
+                from ..models import deepseek
+                x, c_kv, k_rope = deepseek.block_with_cache(
+                    params["blocks"][i], x, cos, sin, cfg,
+                    (new_k[i], new_v[i]), pos, lf)
+                k_new = c_kv[:, :, None, :]            # (B, 1, 1, r)
+                v_new = k_rope
+            else:
+                x, k_new, v_new = _block_with_cache(
+                    params["blocks"][i], x, cos, sin, cfg,
+                    (new_k[i], new_v[i]), pos, lf,
+                    packed=packed, block_idx=i,
+                    splits_table=self.m.fused_splits,
+                    kinds=self.m.packed_kinds)
             new_k = new_k.at[i, bidx, pos].set(
                 k_new[:, 0].astype(new_k.dtype))
             new_v = new_v.at[i, bidx, pos].set(
                 v_new[:, 0].astype(new_v.dtype))
-        logits = llama.final_fwd(params, x, cfg)[:, 0]   # (B, V)
+        logits = _final_fwd_packed(params, packed, x, cfg,
+                                   self.m.packed_kinds)[:, 0]  # (B, V)
         toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         act = active.astype(jnp.int32)
         new_lengths = cache.lengths + act

@@ -200,3 +200,28 @@ class TestCapacityDispatch:
         cap = _moe_mlp(w, h, cfg, lf, capacity_factor=8.0)
         np.testing.assert_allclose(np.asarray(cap), np.asarray(dense),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestMlaContinuousBatching:
+    def test_slots_match_single_requests(self):
+        from autoround_tpu.serve import QuantizedLlama
+        from autoround_tpu.serve.batching import ContinuousBatchingEngine
+        cfg = deepseek.CONFIG_PRESETS["tiny-deepseek"]
+        params = deepseek.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=64)
+        cb = ContinuousBatchingEngine(eng, max_batch=4, max_seq=64,
+                                      prompt_buckets=(8, 16))
+        # compressed latent cache in the slot buffer
+        assert cb.cache.k.shape[-1] == cfg.kv_lora_rank
+        prompts = [[3, 5, 7], [11, 2, 9, 4, 1]]
+        rids = [cb.submit(p, max_new_tokens=5) for p in prompts]
+        while cb.pending():
+            cb.step()
+        for p, rid in zip(prompts, rids):
+            want = np.asarray(eng.generate(
+                jnp.asarray([p], jnp.int32), max_new_tokens=5))[0]
+            got = np.asarray(cb.result(rid))
+            np.testing.assert_array_equal(got, want)
