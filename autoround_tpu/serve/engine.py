@@ -622,16 +622,19 @@ class QuantizedLlama:
         return fn(self.params, self.packed, jnp.asarray(input_ids))
 
 
-def _final_fwd_packed(params, packed, x, cfg, kinds=None):
+def _final_fwd_packed(params, packed, x, cfg, kinds=None, combine=None):
     """final norm + lm_head, through the packed kernel when the head was
     quantized (``quant_lm_head``) — at 128K vocab the dense bf16 head is
-    the single largest HBM read of a decode step."""
+    the single largest HBM read of a decode step.  ``combine`` gathers
+    vocab-sharded logit shards (TP engine all_gather over tp)."""
     entry = (packed or {}).get("lm_head")
     if entry is None:
         return llama.final_fwd(params, x, cfg)
     h = llama.rms_norm(x, params["norm"], cfg.rms_eps, cfg.norm_offset)
     kind = (kinds or {}).get("lm_head", "w4a16")
     logits = QuantizedLlama._packed_matmul(h, entry, kind)
+    if combine is not None:
+        logits = combine(logits)
     if cfg.final_logit_softcap:
         logits = llama._softcap(logits.astype(jnp.float32),
                                 cfg.final_logit_softcap).astype(logits.dtype)
@@ -707,13 +710,14 @@ def _mla_decode_core(params, packed, token, cache, *, cfg, kv_quant,
             (i, 0, pos, 0, 0))
         new_v = jax.lax.dynamic_update_slice(
             new_v, k_rope[None].astype(new_v.dtype), (i, 0, pos, 0, 0))
-    logits = _final_fwd_packed(params, packed, x, cfg, kinds)
+    logits = _final_fwd_packed(params, packed, x, cfg, kinds,
+                               final_combine)
     return logits[:, 0], KVCache(new_k, new_v, pos + 1,
                                  cache.k_scale, cache.v_scale)
 
 
 def _prefill_core(params, packed, input_ids, *, cfg, max_seq, kv_quant,
-                  lf_maker, kinds=None):
+                  lf_maker, kinds=None, final_combine=None):
     """Prompt pass shared by the single-chip and TP engines.
 
     ``cfg`` may carry per-shard head counts (TP path: heads divided by tp,
@@ -753,12 +757,14 @@ def _prefill_core(params, packed, input_ids, *, cfg, max_seq, kv_quant,
         length=jnp.asarray(S, jnp.int32),
         k_scale=k_scale, v_scale=v_scale,
     )
-    logits = _final_fwd_packed(params, packed, x[:, -1:], cfg, kinds)
+    logits = _final_fwd_packed(params, packed, x[:, -1:], cfg, kinds,
+                               final_combine)
     return logits[:, 0], cache
 
 
 def _decode_core(params, packed, token, cache, *, cfg, kv_quant, lf_maker,
-                 fused_packed=None, splits_table=None, kinds=None):
+                 fused_packed=None, splits_table=None, kinds=None,
+                 final_combine=None):
     """One decode step shared by the single-chip and TP engines.
 
     ``fused_packed``/``splits_table`` enable the fused qkv / gate_up path
@@ -792,7 +798,8 @@ def _decode_core(params, packed, token, cache, *, cfg, kv_quant, lf_maker,
             new_k, k_new[None].astype(new_k.dtype), (i, 0, pos, 0, 0))
         new_v = jax.lax.dynamic_update_slice(
             new_v, v_new[None].astype(new_v.dtype), (i, 0, pos, 0, 0))
-    logits = _final_fwd_packed(params, packed, x, cfg, kinds)
+    logits = _final_fwd_packed(params, packed, x, cfg, kinds,
+                               final_combine)
     return logits[:, 0], KVCache(new_k, new_v, pos + 1,
                                  cache.k_scale, cache.v_scale)
 

@@ -89,7 +89,11 @@ def _packed_specs(packed) -> Dict[str, Tuple[P, P]]:
             # row-parallel: weight shards on K; per-O scales replicate
             sspec = P() if sc.ndim == 1 else P(None, "tp")
             specs[key] = (P(None, "tp"), sspec)
-        else:  # lm_head-style col-parallel would go here; replicate for now
+        elif key == "lm_head":
+            # vocab-sharded head: each device scores V/tp tokens, the
+            # cores all-gather the logit shards (final_combine)
+            specs[key] = (P("tp", None), P("tp", None))
+        else:
             specs[key] = (P(), P())
     return specs
 
@@ -233,15 +237,21 @@ class TPQuantizedLlama:
         kinds = self.packed_kinds
         lf_maker = lambda p, i: _make_tp_linear_fn(p, i, kinds)  # noqa: E731
 
+        # vocab-sharded packed head: gather the logit shards over tp
+        combine = lambda y: jax.lax.all_gather(  # noqa: E731
+            y, "tp", axis=y.ndim - 1, tiled=True)
+
         def prefill_impl(params, packed, input_ids):
             return _prefill_core(
                 params, packed, input_ids, cfg=cfg_l, max_seq=self.max_seq,
-                kv_quant=self.kv_quant, lf_maker=lf_maker)
+                kv_quant=self.kv_quant, lf_maker=lf_maker,
+                kinds=kinds, final_combine=combine)
 
         def decode_impl(params, packed, token, cache):
             return _decode_core(
                 params, packed, token, cache, cfg=cfg_l,
-                kv_quant=self.kv_quant, lf_maker=lf_maker)
+                kv_quant=self.kv_quant, lf_maker=lf_maker,
+                kinds=kinds, final_combine=combine)
 
         self._prefill_c = jax.jit(shard_map(
             prefill_impl, mesh=mesh,

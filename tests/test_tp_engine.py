@@ -169,3 +169,31 @@ class TestExpertParallel:
         np.testing.assert_allclose(np.asarray(d1, np.float32),
                                    np.asarray(d0, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+class TestVocabShardedHead:
+    def test_packed_lm_head_shards_on_vocab(self):
+        cfg = llama.LlamaConfig(vocab_size=256, hidden_size=1024,
+                                intermediate_size=1024, num_layers=1,
+                                num_heads=4, num_kv_heads=2, rope_theta=1e4,
+                                dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 256)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0,
+                        quant_lm_head=True).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        assert "lm_head" in eng.packed
+        mesh = make_mesh(4, dp=2, tp=2)
+        tpe = TPQuantizedLlama.from_engine(eng, mesh)
+        assert tpe.packed["lm_head"][0].sharding.spec[0] == "tp"
+        l0, c0 = eng.prefill(ids)
+        l1, c1 = tpe.prefill(ids)
+        np.testing.assert_allclose(np.asarray(l1, np.float32),
+                                   np.asarray(l0, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+        tok = jnp.argmax(l0, -1).astype(jnp.int32)
+        d0, _ = eng.decode_step(tok, c0)
+        d1, _ = tpe.decode_step(tok, c1)
+        np.testing.assert_allclose(np.asarray(d1, np.float32),
+                                   np.asarray(d0, np.float32),
+                                   rtol=2e-2, atol=2e-2)
