@@ -88,14 +88,35 @@ class AutoRound:
                                 str(enable_rotation).lower().split(",")))
             from .transforms.hadamard import (apply_r1_rotation,
                                               apply_r4_rotation)
+            if "spin" in modes or "r2" in modes:
+                # SpinQuant trained rotations (Cayley); "spin" trains R1
+                # against the weight-space objective (the block-output
+                # variant is train_r1_rotation(..., calib_x=...)), "r2"
+                # trains per-layer value/output head rotations
+                from .transforms.spinquant import (
+                    apply_trained_r2, apply_trained_rotation,
+                    train_r1_rotation, train_r2_rotations)
+                sq_scheme = parse_scheme(scheme) if isinstance(
+                    scheme, (str, QuantizationScheme)) else parse_scheme(
+                        "W4A16")
+                if "spin" in modes:
+                    R = train_r1_rotation(params, cfg, sq_scheme, seed=seed)
+                    params = apply_trained_rotation(params, cfg, R)
+                if "r2" in modes:
+                    R2s = train_r2_rotations(params, cfg, sq_scheme,
+                                             seed=seed)
+                    params = apply_trained_r2(params, cfg, R2s)
             if "r1" in modes:
+                if "spin" in modes:
+                    raise ValueError("rotation modes r1 and spin both "
+                                     "rotate the residual stream; pick one")
                 params = apply_r1_rotation(params, cfg, seed=seed)
             if "r4" in modes:
                 params, cfg = apply_r4_rotation(params, cfg)
-            unknown = set(modes) - {"r1", "r4"}
+            unknown = set(modes) - {"r1", "r2", "r4", "spin"}
             if unknown:
                 raise ValueError(f"unknown rotation modes {sorted(unknown)};"
-                                 " supported: r1, r4")
+                                 " supported: r1, r2, r4, spin")
         self.params = params
         self.model_cfg = cfg
         from .quantize.auto_scheme import AutoScheme as _AutoScheme

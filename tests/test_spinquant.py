@@ -153,3 +153,24 @@ class TestR1BlockOutputLoss:
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=3e-2, atol=3e-2)
+
+
+class TestApiRotationModes:
+    def test_spin_and_r2_modes(self):
+        from autoround_tpu import AutoRound
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0,
+                                 CFG.vocab_size)
+        ar = AutoRound((params, CFG), scheme="W2A16G64", iters=2,
+                       batch_size=4, enable_rotation="spin,r2,r4")
+        res = ar.quantize(ids)
+        assert res.layers
+        out = llama.model_fwd(res.params, ids[:1], ar.model_cfg)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_r1_and_spin_conflict(self):
+        from autoround_tpu import AutoRound
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        with pytest.raises(ValueError):
+            AutoRound((params, CFG), scheme="W4A16",
+                      enable_rotation="r1,spin")
