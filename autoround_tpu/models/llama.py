@@ -53,8 +53,14 @@ class LlamaConfig:
     attn_logit_softcap: float = 0.0  # Gemma2: tanh soft capping on scores
     final_logit_softcap: float = 0.0
     # Gemma2 alternates sliding-window and global attention layers
-    # (even layer indices slide, HF convention)
+    # (even layer indices slide, HF convention); Gemma3-style arbitrary
+    # patterns ride in layer_types ("sliding_attention"/"full_attention")
     sliding_window: Optional[int] = None
+    layer_types: Optional[Tuple[str, ...]] = None
+    # Gemma3 dual rope: sliding layers use a local base frequency and no
+    # scaling; global layers use rope_theta / linear rope_scaling_factor
+    rope_local_theta: float = 0.0
+    rope_scaling_factor: float = 1.0
     attn_scale: Optional[float] = None  # score divisor override (Gemma2
     #                                      query_pre_attn_scalar ** 0.5)
     # QuaRot-style online R4: rotate the down_proj input at runtime with a
@@ -109,6 +115,33 @@ CONFIG_PRESETS: Dict[str, LlamaConfig] = {
                               intermediate_size=128, num_layers=2,
                               num_heads=4, num_kv_heads=2, qk_norm=True,
                               rope_theta=10000.0, dtype=jnp.float32),
+    "tiny-gemma3": LlamaConfig(vocab_size=256, hidden_size=64,
+                               intermediate_size=128, num_layers=3,
+                               num_heads=4, num_kv_heads=2, head_dim=16,
+                               qk_norm=True, rope_theta=1000000.0,
+                               rope_local_theta=10000.0,
+                               rope_scaling_factor=8.0, rms_eps=1e-6,
+                               norm_offset=1.0, hidden_act="gelu_tanh",
+                               embed_scale=True, sandwich_norms=True,
+                               attn_scale=16.0 ** 0.5, sliding_window=8,
+                               layer_types=("sliding_attention",
+                                            "sliding_attention",
+                                            "full_attention"),
+                               tie_embeddings=True, dtype=jnp.float32),
+    "gemma3-12b": LlamaConfig(vocab_size=262208, hidden_size=3840,
+                              intermediate_size=15360, num_layers=48,
+                              num_heads=16, num_kv_heads=8, head_dim=256,
+                              qk_norm=True, rope_theta=1000000.0,
+                              rope_local_theta=10000.0,
+                              rope_scaling_factor=8.0, rms_eps=1e-6,
+                              norm_offset=1.0, hidden_act="gelu_tanh",
+                              embed_scale=True, sandwich_norms=True,
+                              attn_scale=256.0 ** 0.5, sliding_window=1024,
+                              layer_types=tuple(
+                                  "full_attention" if (i + 1) % 6 == 0
+                                  else "sliding_attention"
+                                  for i in range(48)),
+                              tie_embeddings=True),
     "tiny-gemma2": LlamaConfig(vocab_size=256, hidden_size=64,
                                intermediate_size=128, num_layers=2,
                                num_heads=4, num_kv_heads=2,
@@ -216,13 +249,18 @@ def _softcap(x, cap: float):
 
 
 def rope_tables(cfg: LlamaConfig, seqlen: int,
-                positions: Optional[jax.Array] = None
-                ) -> Tuple[jax.Array, jax.Array]:
+                positions: Optional[jax.Array] = None,
+                local: bool = False) -> Tuple[jax.Array, jax.Array]:
     """cos/sin tables (seqlen, rotary_dim) in fp32, HF half-split
     convention; ``rotary_dim = hd * partial_rotary_factor`` (GLM-4.5
-    rotates only the leading half of each head)."""
+    rotates only the leading half of each head).  ``local=True`` builds
+    the Gemma3 sliding-layer tables (local base frequency, unscaled)."""
     hd = int(cfg.hd * cfg.partial_rotary_factor)
-    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2) / hd))
+    theta = (cfg.rope_local_theta if local and cfg.rope_local_theta
+             else cfg.rope_theta)
+    inv_freq = 1.0 / (theta ** (np.arange(0, hd, 2) / hd))
+    if not local and cfg.rope_scaling_factor != 1.0:
+        inv_freq = inv_freq / cfg.rope_scaling_factor  # HF linear scaling
     if positions is None:
         positions = jnp.arange(seqlen)
     ang = positions[:, None].astype(jnp.float32) * jnp.asarray(
@@ -332,9 +370,10 @@ def block_fwd(weights: Dict[str, jax.Array], x: jax.Array,
     q = q.reshape(B, S, cfg.num_heads, hd)
     k = k.reshape(B, S, cfg.num_kv_heads, hd)
     v = v.reshape(B, S, cfg.num_kv_heads, hd)
-    if cfg.qk_norm:  # Qwen3: per-head RMS before rope
-        q = rms_norm(q, weights["q_norm"], cfg.rms_eps)
-        k = rms_norm(k, weights["k_norm"], cfg.rms_eps)
+    if cfg.qk_norm:  # Qwen3/Gemma3: per-head RMS before rope (Gemma's
+        # zero-centered (offset + g) weight rides on norm_offset)
+        q = rms_norm(q, weights["q_norm"], cfg.rms_eps, off)
+        k = rms_norm(k, weights["k_norm"], cfg.rms_eps, off)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     attn = attention(q, k, v, mask, cfg).reshape(B, S, -1)
@@ -382,8 +421,23 @@ def final_fwd(params: Dict[str, Any], x: jax.Array,
 
 
 def layer_is_sliding(cfg: LlamaConfig, layer_idx: int) -> bool:
-    """Gemma2: even layers use the sliding window (HF convention)."""
-    return cfg.sliding_window is not None and layer_idx % 2 == 0
+    """Gemma2: even layers use the sliding window (HF convention);
+    Gemma3-style arbitrary patterns ride in cfg.layer_types."""
+    if cfg.sliding_window is None:
+        return False
+    if cfg.layer_types is not None:
+        return cfg.layer_types[layer_idx] == "sliding_attention"
+    return layer_idx % 2 == 0
+
+
+def dual_rope_tables(cfg: LlamaConfig, seqlen: int,
+                     positions: Optional[jax.Array] = None):
+    """((cos, sin) global, (cos, sin) local) — identical unless the
+    config carries a Gemma3-style local base frequency."""
+    glob = rope_tables(cfg, seqlen, positions)
+    if cfg.rope_local_theta:
+        return glob, rope_tables(cfg, seqlen, positions, local=True)
+    return glob, glob
 
 
 def sliding_mask(cfg: LlamaConfig, S: int) -> jax.Array:
@@ -399,10 +453,12 @@ def model_fwd(params: Dict[str, Any], input_ids: jax.Array,
     """Full forward → logits (eval / perplexity / LFQ loss)."""
     x = embed_fwd(params, input_ids, cfg)
     S = input_ids.shape[1]
-    cos, sin = rope_tables(cfg, S)
+    (cos, sin), (cosl, sinl) = dual_rope_tables(cfg, S)
     smask = (sliding_mask(cfg, S) if cfg.sliding_window is not None
              and S > cfg.sliding_window else None)
     for li, b in enumerate(params["blocks"]):
-        mask = smask if layer_is_sliding(cfg, li) else None
-        x = block_fwd(b, x, cos, sin, cfg, mask=mask)
+        sliding = layer_is_sliding(cfg, li)
+        mask = smask if sliding else None
+        c, s = (cosl, sinl) if sliding else (cos, sin)
+        x = block_fwd(b, x, c, s, cfg, mask=mask)
     return final_fwd(params, x, cfg)

@@ -248,10 +248,18 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
     if (getattr(model_cfg, "sliding_window", None) is not None
             and seqlen > model_cfg.sliding_window):
         smask = llama.sliding_mask(model_cfg, seqlen)
+    if getattr(model_cfg, "rope_local_theta", 0.0):
+        cosl, sinl = llama.rope_tables(model_cfg, seqlen, local=True)
+    else:
+        cosl, sinl = cos, sin
 
     def _am(bi):
         return (smask if smask is not None
                 and llama.layer_is_sliding(model_cfg, bi) else None)
+
+    def _tabs(bi):
+        return ((cosl, sinl) if llama.layer_is_sliding(model_cfg, bi)
+                else (cos, sin))
 
     # group forwards cached per sliding-parity so tune_block's compiled
     # scan is shared across identically-structured groups
@@ -264,18 +272,21 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
             key = (gstart % 2, glen)
         fn = _group_fwd_cache.get(key)
         if fn is None:
-            if smask is None:
+            if smask is None and cosl is cos:
                 def fn(weights, xb):
                     for b in weights["blocks"]:
                         xb = mfns.block_fwd(b, xb, cos, sin, model_cfg)
                     return xb
             else:
                 par = gstart % 2
-                def fn(weights, xb, par=par):
+                def fn(weights, xb, par=par, gstart=gstart):
                     for j, b in enumerate(weights["blocks"]):
-                        m = (smask if llama.layer_is_sliding(
-                            model_cfg, par + j) else None)
-                        xb = mfns.block_fwd(b, xb, cos, sin, model_cfg,
+                        bi = gstart + j if cosl is not cos else par + j
+                        m = (smask if smask is not None
+                             and llama.layer_is_sliding(model_cfg, bi)
+                             else None)
+                        cj, sj = _tabs(bi)
+                        xb = mfns.block_fwd(b, xb, cj, sj, model_cfg,
                                             mask=m)
                     return xb
             _group_fwd_cache[key] = fn
@@ -314,14 +325,16 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
 
         ref = x_fp
         for j, b in enumerate(group):
-            ref = _batched_block_apply(b, ref, cos, sin, model_cfg,
+            cj, sj = _tabs(gstart + j)
+            ref = _batched_block_apply(b, ref, cj, sj, model_cfg,
                                        cfg.cache_batch,
                                        attn_mask=_am(gstart + j))
         if not schemes:
             new_blocks.extend(group)
             if x_q is not None:
                 for j, b in enumerate(group):
-                    x_q = _batched_block_apply(b, x_q, cos, sin, model_cfg,
+                    cj, sj = _tabs(gstart + j)
+                    x_q = _batched_block_apply(b, x_q, cj, sj, model_cfg,
                                                cfg.cache_batch,
                                                attn_mask=_am(gstart + j))
             x_fp = ref
@@ -350,7 +363,8 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
         x_fp = ref
         if x_q is not None:
             for j, b in enumerate(qdq_group):
-                x_q = _batched_block_apply(b, x_q, cos, sin, model_cfg,
+                cj, sj = _tabs(gstart + j)
+                x_q = _batched_block_apply(b, x_q, cj, sj, model_cfg,
                                            cfg.cache_batch,
                                            attn_mask=_am(gstart + j))
         if shard_writer is not None:
@@ -434,6 +448,11 @@ def quantize_model(
         ids = input_ids
         nsamples, seqlen = ids.shape
     cos, sin = mfns.rope_tables(model_cfg, seqlen)
+    # Gemma3 dual rope: sliding layers use local-base-frequency tables
+    if getattr(model_cfg, "rope_local_theta", 0.0):
+        cosl, sinl = llama.rope_tables(model_cfg, seqlen, local=True)
+    else:
+        cosl, sinl = cos, sin
     tcfg = cfg.tune_config()
     from .. import envs as _envs
     if _envs.AR_ENABLE_ACT_MINMAX_TUNING:
@@ -482,13 +501,22 @@ def quantize_model(
         return (smask if smask is not None
                 and llama.layer_is_sliding(model_cfg, bi) else None)
 
+    def _use_sliding_fn(bi: int) -> bool:
+        """Sliding-layer callables apply the window mask AND the local
+        rope tables; a Gemma3 sliding layer needs the latter even when
+        S <= window (no mask)."""
+        if _attn_mask_for(bi) is not None:
+            return True
+        return bool(getattr(model_cfg, "rope_local_theta", 0.0)
+                    ) and llama.layer_is_sliding(model_cfg, bi)
+
     # ONE stable tuning forward for all blocks (tune_block caches its
     # compiled scan on this callable's identity)
     def base_block_fn(w, xb):
         return mfns.block_fwd(w, xb, cos, sin, model_cfg)
 
     def base_block_fn_sliding(w, xb):
-        return mfns.block_fwd(w, xb, cos, sin, model_cfg, mask=smask)
+        return mfns.block_fwd(w, xb, cosl, sinl, model_cfg, mask=smask)
 
     # act-quant variant: per-block static/global act scales ride INSIDE the
     # weights pytree under a reserved key, so they are traced arguments and
@@ -499,11 +527,11 @@ def quantize_model(
         return mfns.block_fwd(w, xb, cos, sin, model_cfg, linear_fn=lf)
 
     def stats_block_fn_sliding(w, xb, lf):
-        return mfns.block_fwd(w, xb, cos, sin, model_cfg, mask=smask,
+        return mfns.block_fwd(w, xb, cosl, sinl, model_cfg, mask=smask,
                               linear_fn=lf)
 
     def _stats_fn_for(bi: int):
-        return (stats_block_fn_sliding if _attn_mask_for(bi) is not None
+        return (stats_block_fn_sliding if _use_sliding_fn(bi)
                 else stats_block_fn)
 
     _act_schemes_cache = {}
@@ -522,7 +550,7 @@ def quantize_model(
             _act_schemes_cache["schemes"], scales.get("static") or None,
             scales.get("global") or None)
         inner = {k: v for k, v in w.items() if k != "_act_scales"}
-        return mfns.block_fwd(inner, xb, cos, sin, model_cfg, mask=smask,
+        return mfns.block_fwd(inner, xb, cosl, sinl, model_cfg, mask=smask,
                               linear_fn=lf)
 
     new_blocks: List[Dict[str, jax.Array]] = []
@@ -640,13 +668,14 @@ def quantize_model(
                 x_q = None if q_np is None else jnp.asarray(q_np, x_fp.dtype)
             continue
         am = _attn_mask_for(bi)
-        ref_out = _batched_block_apply(block, x_fp, cos, sin, model_cfg,
+        cb, sb = (cosl, sinl) if _use_sliding_fn(bi) else (cos, sin)
+        ref_out = _batched_block_apply(block, x_fp, cb, sb, model_cfg,
                                        cfg.cache_batch, attn_mask=am)
         if not schemes:
             new_blocks.append(block)
             x_fp = ref_out
             if x_q is not None:
-                x_q = _batched_block_apply(block, x_q, cos, sin, model_cfg,
+                x_q = _batched_block_apply(block, x_q, cb, sb, model_cfg,
                                            cfg.cache_batch, attn_mask=am)
             if resume is not None:
                 resume.mark_block_done(
@@ -698,14 +727,14 @@ def quantize_model(
             tune_weights = block
             if act_lf is None:
                 # stable per (sliding?) parity → at most two tuning compiles
-                block_fn = (base_block_fn_sliding if am is not None
+                block_fn = (base_block_fn_sliding if _use_sliding_fn(bi)
                             else base_block_fn)
             else:
                 _act_schemes_cache["schemes"] = schemes
                 tune_weights = dict(block)
                 tune_weights["_act_scales"] = {"static": static_scales,
                                                "global": global_scales}
-                block_fn = (act_block_fn_sliding if am is not None
+                block_fn = (act_block_fn_sliding if _use_sliding_fn(bi)
                             else act_block_fn)
             lfq_fn = None
             if (cfg.enable_lfq and ids is not None
@@ -820,7 +849,7 @@ def quantize_model(
         # reference's persistent WrapperWALayer)
         x_fp = ref_out
         if x_q is not None:
-            x_q = _batched_block_apply(qdq_block, x_q, cos, sin, model_cfg,
+            x_q = _batched_block_apply(qdq_block, x_q, cb, sb, model_cfg,
                                        cfg.cache_batch, linear_fn=act_lf,
                                        attn_mask=am)
         if cfg.offload_params:

@@ -104,19 +104,24 @@ class ContinuousBatchingEngine:
         from ..models.registry import get_model_fns
         x = llama.embed_fwd(params, tokens, cfg)
         cos, sin = get_model_fns(cfg).rope_tables(cfg, bucket)
+        cl, slo = (llama.rope_tables(cfg, bucket, local=True)
+                   if getattr(cfg, "rope_local_theta", 0.0)
+                   else (cos, sin))
         new_k, new_v = cache.k, cache.v
         for i in range(cfg.num_layers):
+            ci, si = ((cl, slo) if llama.layer_is_sliding(cfg, i)
+                      else (cos, sin))
             lf = QuantizedLlama._make_linear_fn(packed, i,
                                                 self.m.packed_kinds)
             if self._mla:
                 from ..models import deepseek
                 x, c_kv, k_rope = deepseek.block_with_cache(
-                    params["blocks"][i], x, cos, sin, cfg, None, None, lf)
+                    params["blocks"][i], x, ci, si, cfg, None, None, lf)
                 k_new = c_kv[:, :, None, :]       # (1, bucket, 1, r)
                 v_new = k_rope
             else:
                 x, k_new, v_new = _block_with_cache(
-                    params["blocks"][i], x, cos, sin, cfg, None, None, lf,
+                    params["blocks"][i], x, ci, si, cfg, None, None, lf,
                     packed=packed, block_idx=i,
                     splits_table=self.m.fused_splits,
                     kinds=self.m.packed_kinds)
@@ -150,24 +155,29 @@ class ContinuousBatchingEngine:
         pos = cache.lengths                            # (B,)
         x = llama.embed_fwd(params, tokens[:, None], cfg)  # (B, 1, H)
         cos, sin = get_model_fns(cfg).rope_tables(cfg, 1, positions=pos)
+        cl, slo = (llama.rope_tables(cfg, 1, positions=pos, local=True)
+                   if getattr(cfg, "rope_local_theta", 0.0)
+                   else (cos, sin))
         # rope_tables with positions (B,) gives (B, rd); lift to (B, 1, rd)
-        cos = cos[:, None, :]
-        sin = sin[:, None, :]
+        cos, sin = cos[:, None, :], sin[:, None, :]
+        cl, slo = cl[:, None, :], slo[:, None, :]
         new_k, new_v = cache.k, cache.v
         bidx = jnp.arange(B)
         for i in range(cfg.num_layers):
+            ci, si = ((cl, slo) if llama.layer_is_sliding(cfg, i)
+                      else (cos, sin))
             lf = QuantizedLlama._make_linear_fn(packed, i,
                                                 self.m.packed_kinds)
             if self._mla:
                 from ..models import deepseek
                 x, c_kv, k_rope = deepseek.block_with_cache(
-                    params["blocks"][i], x, cos, sin, cfg,
+                    params["blocks"][i], x, ci, si, cfg,
                     (new_k[i], new_v[i]), pos, lf)
                 k_new = c_kv[:, :, None, :]            # (B, 1, 1, r)
                 v_new = k_rope
             else:
                 x, k_new, v_new = _block_with_cache(
-                    params["blocks"][i], x, cos, sin, cfg,
+                    params["blocks"][i], x, ci, si, cfg,
                     (new_k[i], new_v[i]), pos, lf,
                     packed=packed, block_idx=i,
                     splits_table=self.m.fused_splits,

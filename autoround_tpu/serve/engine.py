@@ -642,7 +642,7 @@ def _final_fwd_packed(params, packed, x, cfg, kinds=None, combine=None):
 
 
 def _mla_prefill_core(params, packed, input_ids, *, cfg, max_seq,
-                      kv_quant, lf_maker, kinds=None):
+                      kv_quant, lf_maker, kinds=None, final_combine=None):
     """DeepSeek/MLA prompt pass: cache the compressed latents
     (optionally int8/fp8 with per-layer scalar scales calibrated on the
     prompt — the latents are rms-normed, so one scale per layer is
@@ -679,12 +679,13 @@ def _mla_prefill_core(params, packed, input_ids, *, cfg, max_seq,
         length=jnp.asarray(S, jnp.int32),
         k_scale=k_scale, v_scale=v_scale,
     )
-    logits = _final_fwd_packed(params, packed, x[:, -1:], cfg, kinds)
+    logits = _final_fwd_packed(params, packed, x[:, -1:], cfg, kinds,
+                               final_combine)
     return logits[:, 0], cache
 
 
 def _mla_decode_core(params, packed, token, cache, *, cfg, kv_quant,
-                     lf_maker, kinds=None):
+                     lf_maker, kinds=None, final_combine=None):
     """One MLA decode step: absorbed latent attention over the
     compressed cache (``deepseek.block_with_cache``)."""
     from ..models import deepseek
@@ -729,10 +730,14 @@ def _prefill_core(params, packed, input_ids, *, cfg, max_seq, kv_quant,
     x = llama.embed_fwd(params, input_ids, cfg)
     from ..models.registry import get_model_fns
     cos, sin = get_model_fns(cfg).rope_tables(cfg, S)
+    cosl, sinl = (llama.rope_tables(cfg, S, local=True)
+                  if getattr(cfg, "rope_local_theta", 0.0) else (cos, sin))
     ks, vs = [], []
     for i in range(cfg.num_layers):
+        sl = llama.layer_is_sliding(cfg, i)
         x, k_new, v_new = _block_with_cache(
-            params["blocks"][i], x, cos, sin, cfg,
+            params["blocks"][i], x, cosl if sl else cos,
+            sinl if sl else sin, cfg,
             None, None, lf_maker(packed, i), block_idx=i)
         ks.append(k_new)
         vs.append(v_new)
@@ -774,6 +779,8 @@ def _decode_core(params, packed, token, cache, *, cfg, kv_quant, lf_maker,
     x = llama.embed_fwd(params, token[:, None], cfg)
     from ..models.registry import get_model_fns
     cos, sin = get_model_fns(cfg).rope_tables(cfg, 1, positions=pos[None])
+    cosl, sinl = (llama.rope_tables(cfg, 1, positions=pos[None], local=True)
+                  if getattr(cfg, "rope_local_theta", 0.0) else (cos, sin))
     new_k, new_v = cache.k, cache.v
     for i in range(cfg.num_layers):
         if kv_quant is None:
@@ -787,8 +794,10 @@ def _decode_core(params, packed, token, cache, *, cfg, kv_quant, lf_maker,
             ks, vs = cache.k_scale[i], cache.v_scale[i]
             kv = (_kv_dequantize(new_k[i], ks, cfg.dtype),
                   _kv_dequantize(new_v[i], vs, cfg.dtype))
+        sl = llama.layer_is_sliding(cfg, i)
         x, k_new, v_new = _block_with_cache(
-            params["blocks"][i], x, cos, sin, cfg,
+            params["blocks"][i], x, cosl if sl else cos,
+            sinl if sl else sin, cfg,
             kv, pos, lf_maker(packed, i), packed=fused_packed,
             block_idx=i, splits_table=splits_table, kinds=kinds)
         if kv_quant is not None:
@@ -831,9 +840,9 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
     q = q.reshape(B, S, cfg.num_heads, hd)
     k = k.reshape(B, S, cfg.num_kv_heads, hd)
     v = v.reshape(B, S, cfg.num_kv_heads, hd)
-    if cfg.qk_norm:  # Qwen3
-        q = llama.rms_norm(q, weights["q_norm"], cfg.rms_eps)
-        k = llama.rms_norm(k, weights["k_norm"], cfg.rms_eps)
+    if cfg.qk_norm:  # Qwen3/Gemma3
+        q = llama.rms_norm(q, weights["q_norm"], cfg.rms_eps, off)
+        k = llama.rms_norm(k, weights["k_norm"], cfg.rms_eps, off)
     q = llama.apply_rope(q, cos, sin)
     k = llama.apply_rope(k, cos, sin)
     k_new, v_new = k, v

@@ -160,19 +160,31 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
         rms_eps=cfg.get("rms_norm_eps", 1e-5),
         tie_embeddings=cfg.get("tie_word_embeddings", gemma),
         attn_bias=cfg.get("attention_bias", mt in ("qwen2", "qwen2_moe")),
-        qk_norm=mt in ("qwen3", "qwen3_moe"),
+        qk_norm=mt in ("qwen3", "qwen3_moe", "gemma3_text"),
         norm_offset=1.0 if gemma else 0.0,
         # Gemma2 names the field hidden_activation; others hidden_act
         hidden_act=("gelu_tanh" if cfg.get(
             "hidden_activation", cfg.get("hidden_act", "silu"))
             in ("gelu_pytorch_tanh", "gelu_tanh") else "silu"),
         embed_scale=gemma,
-        sandwich_norms=mt == "gemma2",
+        sandwich_norms=mt in ("gemma2", "gemma3_text"),
         attn_logit_softcap=cfg.get("attn_logit_softcapping") or 0.0,
         final_logit_softcap=cfg.get("final_logit_softcapping") or 0.0,
         attn_scale=(float(qpas) ** 0.5 if qpas else None),
-        sliding_window=(cfg.get("sliding_window") if mt == "gemma2"
-                        else None),
+        sliding_window=(cfg.get("sliding_window")
+                        if mt in ("gemma2", "gemma3_text") else None),
+        # Gemma3: arbitrary sliding pattern + dual rope (local base
+        # frequency on sliding layers, linear scaling on global layers)
+        layer_types=(tuple(cfg["layer_types"])
+                     if mt == "gemma3_text" and cfg.get("layer_types")
+                     else None),
+        rope_local_theta=(cfg.get("rope_local_base_freq", 0.0)
+                          if mt == "gemma3_text" else 0.0),
+        rope_scaling_factor=(
+            (cfg.get("rope_scaling") or {}).get("factor", 1.0)
+            if mt == "gemma3_text" and (cfg.get("rope_scaling") or {}
+                                        ).get("rope_type") == "linear"
+            else 1.0),
         dtype=dtype,
     )
 
