@@ -57,6 +57,10 @@ class LlamaConfig:
     # patterns ride in layer_types ("sliding_attention"/"full_attention")
     sliding_window: Optional[int] = None
     layer_types: Optional[Tuple[str, ...]] = None
+    # Llama4: "sliding" layers attend block-diagonally within
+    # sliding_window-sized CHUNKS (causal inside a chunk) instead of a
+    # rolling window
+    chunked_attention: bool = False
     # Gemma3 dual rope: sliding layers use a local base frequency and no
     # scaling; global layers use rope_theta / linear rope_scaling_factor
     rope_local_theta: float = 0.0
@@ -441,10 +445,15 @@ def dual_rope_tables(cfg: LlamaConfig, seqlen: int,
 
 
 def sliding_mask(cfg: LlamaConfig, S: int) -> jax.Array:
-    """(1, 1, S, S) additive bias: causal AND within the window."""
+    """(1, 1, S, S) additive bias: causal AND within the window (rolling,
+    Gemma-style) or within the same chunk (Llama4 chunked attention)."""
     rows = jnp.arange(S)[:, None]
     cols = jnp.arange(S)[None, :]
-    ok = (cols <= rows) & (cols > rows - cfg.sliding_window)
+    if cfg.chunked_attention:
+        w = cfg.sliding_window
+        ok = (cols <= rows) & (rows // w == cols // w)
+    else:
+        ok = (cols <= rows) & (cols > rows - cfg.sliding_window)
     return jnp.where(ok, 0.0, -1e30)[None, None]
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from types import SimpleNamespace
 from typing import Any, Dict
 
-from . import deepseek, dit, glm4moe, gptoss, llama, llava, mixtral
+from . import deepseek, dit, glm4moe, gptoss, llama, llama4, llava, mixtral
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -40,6 +40,17 @@ def get_model_fns(cfg) -> SimpleNamespace:
             rope_tables=llama.rope_tables,
             model_fwd=llava.model_fwd,
             block_linear_names=llava.block_linear_names,
+        )
+    if isinstance(cfg, llama4.Llama4Config):
+        return SimpleNamespace(
+            init_params=llama4.init_params,
+            block_fwd=llama4.block_fwd,
+            block_fwd_for=llama4.block_fwd_for,  # rope vs NoPE variants
+            embed_fwd=llama.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=llama.rope_tables,
+            model_fwd=llama4.model_fwd,
+            block_linear_names=llama4.block_linear_names,
         )
     if isinstance(cfg, gptoss.GptOssConfig):
         return SimpleNamespace(
@@ -99,6 +110,7 @@ ALL_PRESETS.update(llama.CONFIG_PRESETS)
 ALL_PRESETS.update(deepseek.CONFIG_PRESETS)
 ALL_PRESETS.update(gptoss.CONFIG_PRESETS)
 ALL_PRESETS.update(glm4moe.CONFIG_PRESETS)
+ALL_PRESETS.update(llama4.CONFIG_PRESETS)
 ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(dit.CONFIG_PRESETS)

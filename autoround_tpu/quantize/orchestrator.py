@@ -145,7 +145,7 @@ _APPLY_CACHE: Dict[Any, Callable] = {}
 
 
 def _batched_block_apply(block_weights, x, cos, sin, cfg, batch: int,
-                         linear_fn=None, attn_mask=None):
+                         linear_fn=None, attn_mask=None, block_fwd=None):
     """Advance a cache through one block in jitted batches (static shapes).
 
     The jitted callable is cached on (family block_fwd, cfg, linear_fn) so
@@ -155,7 +155,8 @@ def _batched_block_apply(block_weights, x, cos, sin, cfg, batch: int,
     carries the sliding-window mask for Gemma2-style alternating layers so
     the FP reference chain matches ``model_fwd`` at S > window."""
     from ..models.registry import get_model_fns
-    block_fwd = get_model_fns(cfg).block_fwd
+    if block_fwd is None:
+        block_fwd = get_model_fns(cfg).block_fwd
     n = x.shape[0]
     key = (block_fwd, cfg, linear_fn, attn_mask is not None)
     fn0 = _APPLY_CACHE.get(key)
@@ -261,6 +262,11 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
         return ((cosl, sinl) if llama.layer_is_sliding(model_cfg, bi)
                 else (cos, sin))
 
+    _gbf_for = getattr(mfns, "block_fwd_for", None)
+
+    def _gbf(bi):
+        return _gbf_for(model_cfg, bi) if _gbf_for else mfns.block_fwd
+
     # group forwards cached per sliding-parity so tune_block's compiled
     # scan is shared across identically-structured groups
     _group_fwd_cache: Dict[Any, Callable] = {}
@@ -272,7 +278,7 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
             key = (gstart % 2, glen)
         fn = _group_fwd_cache.get(key)
         if fn is None:
-            if smask is None and cosl is cos:
+            if smask is None and cosl is cos and _gbf_for is None:
                 def fn(weights, xb):
                     for b in weights["blocks"]:
                         xb = mfns.block_fwd(b, xb, cos, sin, model_cfg)
@@ -281,13 +287,14 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
                 par = gstart % 2
                 def fn(weights, xb, par=par, gstart=gstart):
                     for j, b in enumerate(weights["blocks"]):
-                        bi = gstart + j if cosl is not cos else par + j
+                        bi = (gstart + j
+                              if cosl is not cos or _gbf_for is not None
+                              else par + j)
                         m = (smask if smask is not None
                              and llama.layer_is_sliding(model_cfg, bi)
                              else None)
                         cj, sj = _tabs(bi)
-                        xb = mfns.block_fwd(b, xb, cj, sj, model_cfg,
-                                            mask=m)
+                        xb = _gbf(bi)(b, xb, cj, sj, model_cfg, mask=m)
                     return xb
             _group_fwd_cache[key] = fn
         return fn
@@ -328,7 +335,8 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
             cj, sj = _tabs(gstart + j)
             ref = _batched_block_apply(b, ref, cj, sj, model_cfg,
                                        cfg.cache_batch,
-                                       attn_mask=_am(gstart + j))
+                                       attn_mask=_am(gstart + j),
+                                       block_fwd=_gbf(gstart + j))
         if not schemes:
             new_blocks.extend(group)
             if x_q is not None:
@@ -336,7 +344,8 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
                     cj, sj = _tabs(gstart + j)
                     x_q = _batched_block_apply(b, x_q, cj, sj, model_cfg,
                                                cfg.cache_batch,
-                                               attn_mask=_am(gstart + j))
+                                               attn_mask=_am(gstart + j),
+                                               block_fwd=_gbf(gstart + j))
             x_fp = ref
             continue
 
@@ -366,7 +375,8 @@ def _quantize_grouped(params, model_cfg, mfns, per_block, x_fp, x_q, cos,
                 cj, sj = _tabs(gstart + j)
                 x_q = _batched_block_apply(b, x_q, cj, sj, model_cfg,
                                            cfg.cache_batch,
-                                           attn_mask=_am(gstart + j))
+                                           attn_mask=_am(gstart + j),
+                                           block_fwd=_gbf(gstart + j))
         if shard_writer is not None:
             for path in schemes:
                 j = int(path.split(".")[1])
@@ -510,48 +520,79 @@ def quantize_model(
         return bool(getattr(model_cfg, "rope_local_theta", 0.0)
                     ) and llama.layer_is_sliding(model_cfg, bi)
 
-    # ONE stable tuning forward for all blocks (tune_block caches its
-    # compiled scan on this callable's identity)
-    def base_block_fn(w, xb):
-        return mfns.block_fwd(w, xb, cos, sin, model_cfg)
+    # families with per-layer forward VARIANTS (Llama4 rope vs NoPE
+    # layers) expose block_fwd_for(cfg, bi) -> stable per-kind callable;
+    # everything below keys its compile caches on that callable identity
+    _bf_for = getattr(mfns, "block_fwd_for", None)
 
-    def base_block_fn_sliding(w, xb):
-        return mfns.block_fwd(w, xb, cosl, sinl, model_cfg, mask=smask)
+    def _block_fwd_for(bi: int):
+        return _bf_for(model_cfg, bi) if _bf_for else mfns.block_fwd
 
-    # act-quant variant: per-block static/global act scales ride INSIDE the
-    # weights pytree under a reserved key, so they are traced arguments and
-    # this callable (hence the compiled tuning scan) stays block-invariant
-    # ONE stable interceptor forward for all stats passes (the collectors
-    # cache their compiled pass on this callable's identity)
-    def stats_block_fn(w, xb, lf):
-        return mfns.block_fwd(w, xb, cos, sin, model_cfg, linear_fn=lf)
+    # ONE stable tuning forward per (variant, sliding) pair (tune_block
+    # caches its compiled scan on the callable's identity)
+    _base_fn_cache: Dict[Any, Callable] = {}
 
-    def stats_block_fn_sliding(w, xb, lf):
-        return mfns.block_fwd(w, xb, cosl, sinl, model_cfg, mask=smask,
-                              linear_fn=lf)
+    def _base_fn_for(bi: int):
+        bf = _block_fwd_for(bi)
+        sliding = _use_sliding_fn(bi)
+        key = (bf, sliding)
+        fn = _base_fn_cache.get(key)
+        if fn is None:
+            if sliding:
+                def fn(w, xb, _bf=bf):
+                    return _bf(w, xb, cosl, sinl, model_cfg, mask=smask)
+            else:
+                def fn(w, xb, _bf=bf):
+                    return _bf(w, xb, cos, sin, model_cfg)
+            _base_fn_cache[key] = fn
+        return fn
+
+    # ONE stable interceptor forward per (variant, sliding) pair for all
+    # stats passes (the collectors cache their compiled pass on the
+    # callable's identity)
+    _stats_fn_cache: Dict[Any, Callable] = {}
 
     def _stats_fn_for(bi: int):
-        return (stats_block_fn_sliding if _use_sliding_fn(bi)
-                else stats_block_fn)
+        bf = _block_fwd_for(bi)
+        sliding = _use_sliding_fn(bi)
+        key = (bf, sliding)
+        fn = _stats_fn_cache.get(key)
+        if fn is None:
+            if sliding:
+                def fn(w, xb, lf, _bf=bf):
+                    return _bf(w, xb, cosl, sinl, model_cfg, mask=smask,
+                               linear_fn=lf)
+            else:
+                def fn(w, xb, lf, _bf=bf):
+                    return _bf(w, xb, cos, sin, model_cfg, linear_fn=lf)
+            _stats_fn_cache[key] = fn
+        return fn
 
     _act_schemes_cache = {}
+    # act-quant variant: per-block static/global act scales ride INSIDE
+    # the weights pytree under a reserved key, so they are traced
+    # arguments and each callable stays block-invariant per variant
+    _act_fn_cache: Dict[Any, Callable] = {}
 
-    def act_block_fn(w, xb):
-        scales = w["_act_scales"]
-        lf = make_act_quant_linear_fn(
-            _act_schemes_cache["schemes"], scales.get("static") or None,
-            scales.get("global") or None)
-        inner = {k: v for k, v in w.items() if k != "_act_scales"}
-        return mfns.block_fwd(inner, xb, cos, sin, model_cfg, linear_fn=lf)
-
-    def act_block_fn_sliding(w, xb):
-        scales = w["_act_scales"]
-        lf = make_act_quant_linear_fn(
-            _act_schemes_cache["schemes"], scales.get("static") or None,
-            scales.get("global") or None)
-        inner = {k: v for k, v in w.items() if k != "_act_scales"}
-        return mfns.block_fwd(inner, xb, cosl, sinl, model_cfg, mask=smask,
-                              linear_fn=lf)
+    def _act_fn_for(bi: int):
+        bf = _block_fwd_for(bi)
+        sliding = _use_sliding_fn(bi)
+        key = (bf, sliding)
+        fn = _act_fn_cache.get(key)
+        if fn is None:
+            def fn(w, xb, _bf=bf, _sl=sliding):
+                scales = w["_act_scales"]
+                lf = make_act_quant_linear_fn(
+                    _act_schemes_cache["schemes"],
+                    scales.get("static") or None,
+                    scales.get("global") or None)
+                inner = {k: v for k, v in w.items() if k != "_act_scales"}
+                if _sl:
+                    return _bf(inner, xb, cosl, sinl, model_cfg,
+                               mask=smask, linear_fn=lf)
+                return _bf(inner, xb, cos, sin, model_cfg, linear_fn=lf)
+            _act_fn_cache[key] = fn
+        return fn
 
     new_blocks: List[Dict[str, jax.Array]] = []
     layers: Dict[str, QuantizedLayer] = {}
@@ -669,14 +710,17 @@ def quantize_model(
             continue
         am = _attn_mask_for(bi)
         cb, sb = (cosl, sinl) if _use_sliding_fn(bi) else (cos, sin)
+        bf_i = _block_fwd_for(bi)
         ref_out = _batched_block_apply(block, x_fp, cb, sb, model_cfg,
-                                       cfg.cache_batch, attn_mask=am)
+                                       cfg.cache_batch, attn_mask=am,
+                                       block_fwd=bf_i)
         if not schemes:
             new_blocks.append(block)
             x_fp = ref_out
             if x_q is not None:
                 x_q = _batched_block_apply(block, x_q, cb, sb, model_cfg,
-                                           cfg.cache_batch, attn_mask=am)
+                                           cfg.cache_batch, attn_mask=am,
+                                           block_fwd=bf_i)
             if resume is not None:
                 resume.mark_block_done(
                     bi, {"_empty": np.zeros((1,), np.int8)},
@@ -697,8 +741,8 @@ def quantize_model(
             from ..transforms.awq import awq_clip_search, awq_smooth_block
             block, _ = awq_smooth_block(
                 block,
-                lambda w, xx, linear_fn=None: mfns.block_fwd(
-                    w, xx, cos, sin, model_cfg, linear_fn=linear_fn),
+                lambda w, xx, linear_fn=None, _bf=bf_i: _bf(
+                    w, xx, cb, sb, model_cfg, linear_fn=linear_fn),
                 x_fp[: cfg.cache_batch], schemes)
             # clip search seeds the min/max clip init (reference
             # awq/base.py:120-125 -> wrapper.py:173-175)
@@ -727,15 +771,13 @@ def quantize_model(
             tune_weights = block
             if act_lf is None:
                 # stable per (sliding?) parity → at most two tuning compiles
-                block_fn = (base_block_fn_sliding if _use_sliding_fn(bi)
-                            else base_block_fn)
+                block_fn = _base_fn_for(bi)
             else:
                 _act_schemes_cache["schemes"] = schemes
                 tune_weights = dict(block)
                 tune_weights["_act_scales"] = {"static": static_scales,
                                                "global": global_scales}
-                block_fn = (act_block_fn_sliding if _use_sliding_fn(bi)
-                            else act_block_fn)
+                block_fn = _act_fn_for(bi)
             lfq_fn = None
             if (cfg.enable_lfq and ids is not None
                     and bi == len(params["blocks"]) - 1):
@@ -851,7 +893,7 @@ def quantize_model(
         if x_q is not None:
             x_q = _batched_block_apply(qdq_block, x_q, cb, sb, model_cfg,
                                        cfg.cache_batch, linear_fn=act_lf,
-                                       attn_mask=am)
+                                       attn_mask=am, block_fwd=bf_i)
         if cfg.offload_params:
             # qdq result returns to host; only the caches stay in HBM
             qdq_block = jax.tree.map(lambda t: np.asarray(t), qdq_block)

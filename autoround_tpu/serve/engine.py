@@ -266,6 +266,13 @@ class QuantizedLlama:
                              kv_quant: Optional[str] = None
                              ) -> "QuantizedLlama":
         from ..models.deepseek import DeepseekConfig
+        from ..models.llama4 import Llama4Config
+        if isinstance(cfg, Llama4Config):
+            raise NotImplementedError(
+                "Llama4 serving (NoPE layers / chunked-cache decode / "
+                "input-scaled MoE) is not wired into the cached engine "
+                "yet — use the quantize/export path; eval runs through "
+                "model_fwd")
         is_mla = isinstance(cfg, DeepseekConfig) and bool(cfg.kv_lora_rank)
         packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
         kinds: Dict[str, str] = {}

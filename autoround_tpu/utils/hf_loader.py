@@ -96,6 +96,46 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
             norm_topk_prob=cfg.get("norm_topk_prob", True),
             dtype=dtype,
         )
+    if mt == "llama4_text":
+        from ..models.llama4 import Llama4Config
+        lt = cfg.get("layer_types")
+        return Llama4Config(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            intermediate_size_mlp=cfg.get("intermediate_size_mlp",
+                                          cfg["intermediate_size"]),
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg.get("num_key_value_heads",
+                                 cfg["num_attention_heads"]),
+            head_dim=cfg.get("head_dim"),
+            rope_theta=cfg.get("rope_theta", 500000.0),
+            rms_eps=cfg.get("rms_norm_eps", 1e-5),
+            tie_embeddings=cfg.get("tie_word_embeddings", False),
+            attn_bias=cfg.get("attention_bias", False),
+            num_experts=cfg.get("num_local_experts", 16),
+            top_k=cfg.get("num_experts_per_tok", 1),
+            moe_layers=tuple(cfg.get("moe_layers")
+                             or range(cfg.get("interleave_moe_layer_step",
+                                              1) - 1,
+                                      cfg["num_hidden_layers"],
+                                      cfg.get("interleave_moe_layer_step",
+                                              1))),
+            no_rope_layers=tuple(cfg.get("no_rope_layers") or ()),
+            # rope layers attend chunked: chunk size rides the shared
+            # sliding_window field with chunked_attention=True
+            sliding_window=cfg.get("attention_chunk_size", 8192),
+            layer_types=(tuple(
+                "sliding_attention" if t == "chunked_attention" else t
+                for t in lt) if lt else None),
+            use_qk_norm=cfg.get("use_qk_norm", True),
+            attn_temperature_tuning=bool(
+                cfg.get("attn_temperature_tuning", True)),
+            floor_scale=cfg.get("floor_scale", 8192.0),
+            temp_attn_scale=cfg.get("attn_scale", 0.1),
+            dtype=dtype,
+        )
     if mt == "gpt_oss":
         from ..models.gptoss import GptOssConfig
         rs = cfg.get("rope_scaling") or {}
@@ -242,6 +282,41 @@ def _deepseek_config_from_hf(cfg: Dict[str, Any], mt: str, dtype):
     )
 
 
+def _map_llama4_key(sub: str, block: Dict[str, Any], arr,
+                    n_experts: int) -> bool:
+    """Llama4 feed_forward keys; the fused expert tensors split into
+    per-expert linears (gate_up_proj (E, H, 2I) gate/up CHUNKED halves,
+    down_proj (E, I, H) — HF ``Llama4TextExperts``)."""
+    simple = {"feed_forward.gate_proj.weight": "gate_proj",
+              "feed_forward.up_proj.weight": "up_proj",
+              "feed_forward.down_proj.weight": "down_proj",
+              "feed_forward.router.weight": "router"}
+    if sub in simple:
+        block[simple[sub]] = arr
+        return True
+    if sub.startswith("feed_forward.shared_expert."):
+        wname = sub.split(".")[2]
+        if wname in ("gate_proj", "up_proj", "down_proj"):
+            block.setdefault("shared_expert", {})[wname] = arr
+            return True
+        return False
+    if not sub.startswith("feed_forward.experts."):
+        return False
+    exps = block.setdefault("experts", [dict() for _ in range(n_experts)])
+    name = sub[len("feed_forward.experts."):]
+    if name == "gate_up_proj":                # (E, H, 2I) chunked halves
+        I = arr.shape[2] // 2
+        for e in range(n_experts):
+            exps[e]["gate_proj"] = arr[e, :, :I].T
+            exps[e]["up_proj"] = arr[e, :, I:].T
+    elif name == "down_proj":                 # (E, I, H)
+        for e in range(n_experts):
+            exps[e]["down_proj"] = arr[e].T
+    else:
+        return False
+    return True
+
+
 def _map_gptoss_key(sub: str, block: Dict[str, Any], arr,
                     n_experts: int) -> bool:
     """GPT-OSS fused expert tensors split into per-expert linears so each
@@ -346,8 +421,10 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
 
     from ..models.deepseek import DeepseekConfig
     from ..models.gptoss import GptOssConfig
+    from ..models.llama4 import Llama4Config
     is_deepseek = isinstance(cfg, DeepseekConfig)
     is_gptoss = isinstance(cfg, GptOssConfig)
+    is_llama4 = isinstance(cfg, Llama4Config)
     n_experts = getattr(cfg, "num_experts", 0)
     blocks = [
         ({"experts": [dict() for _ in range(n_experts)]} if n_experts
@@ -376,6 +453,10 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
                 if _map_gptoss_key(sub, blocks[int(li)], arr, n_experts):
                     n += 1
                     continue
+            if is_llama4 and _map_llama4_key(sub, blocks[int(li)], arr,
+                                             n_experts):
+                n += 1
+                continue
             if sub in _BLOCK_MAP:
                 blocks[int(li)][_BLOCK_MAP[sub]] = arr
                 n += 1
@@ -446,6 +527,12 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
             if isinstance(b.get("experts"), dict):
                 exp = b["experts"]
                 b["experts"] = [exp[e] for e in sorted(exp)]
+    if is_llama4:
+        # dense (non-MoE) layers got pre-seeded empty expert lists
+        for b in blocks:
+            if isinstance(b.get("experts"), list) and \
+                    all(not d for d in b["experts"]):
+                b.pop("experts", None)
     q_key = ("q_a_proj" if is_deepseek and cfg.q_lora_rank else "q_proj")
     missing = [i for i, b in enumerate(blocks) if q_key not in b]
     if missing:

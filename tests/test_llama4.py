@@ -1,0 +1,99 @@
+"""Llama-4: interleaved rope/NoPE layers, chunked attention, L2 q/k norm,
+temperature-tuned NoPE queries, input-scaled MoE — logit parity vs
+transformers and end-to-end quantization with per-layer forward
+variants in the tuning chain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoround_tpu import AutoRound
+from autoround_tpu.models import llama4
+from autoround_tpu.utils.hf_loader import load_hf_checkpoint
+
+
+class TestLogitParity:
+    def test_parity_vs_transformers(self, tmp_path):
+        import torch
+        from transformers import Llama4ForCausalLM, Llama4TextConfig
+        torch.manual_seed(0)
+        hf_cfg = Llama4TextConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=64,
+            intermediate_size_mlp=128, num_hidden_layers=4,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            num_local_experts=4, num_experts_per_tok=2,
+            interleave_moe_layer_step=2, no_rope_layers=[1, 1, 1, 0],
+            attention_chunk_size=8, attn_temperature_tuning=True,
+            floor_scale=4.0, attn_scale=0.1, use_qk_norm=True,
+            rope_scaling=None, attn_implementation="eager")
+        model = Llama4ForCausalLM(hf_cfg).float().eval()
+        model.save_pretrained(str(tmp_path), safe_serialization=True)
+        params, cfg = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+        assert isinstance(cfg, llama4.Llama4Config)
+        assert cfg.no_rope_layers == (1, 1, 1, 0)
+        assert cfg.chunked_attention and cfg.sliding_window == 8
+        assert cfg.moe_layers == (1, 3)
+        # dense layers carry plain MLPs, MoE layers expert lists
+        assert "experts" not in params["blocks"][0]
+        assert "experts" in params["blocks"][1]
+        assert params["blocks"][0]["gate_proj"].shape == (128, 64)
+        assert params["blocks"][1]["experts"][0]["gate_proj"].shape == \
+            (64, 64)
+        # S=12 > chunk=8 exercises chunked attention; layer 3 is NoPE
+        # with temperature tuning (floor_scale=4 < S kicks the scale in)
+        ids = np.random.default_rng(0).integers(0, 256, (2, 12))
+        ours = np.asarray(
+            llama4.model_fwd(params, jnp.asarray(ids), cfg), np.float32)
+        import torch as _t
+        with _t.no_grad():
+            want = model(_t.tensor(ids, dtype=_t.long)
+                         ).logits.float().numpy()
+        np.testing.assert_allclose(ours, want, rtol=3e-2, atol=3e-2)
+
+
+class TestQuantize:
+    def test_quantize_tiny_llama4(self):
+        cfg = llama4.CONFIG_PRESETS["tiny-llama4"]
+        params = llama4.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=2,
+                        batch_size=4).quantize(ids)
+        # dense layer 1 tunes its wide MLP; MoE layer 0 its experts
+        assert "blocks.1.gate_proj" in res.layers
+        assert "blocks.0.experts.0.gate_proj" in res.layers
+        assert "blocks.0.shared_expert.down_proj" in res.layers
+        assert not any(k.startswith("blocks.1.experts") for k in res.layers)
+        ours = llama4.model_fwd(res.params, ids[:1], cfg)
+        ref = llama4.model_fwd(params, ids[:1], cfg)
+        rms = float(jnp.sqrt(jnp.mean(
+            (ours.astype(jnp.float32) - ref.astype(jnp.float32)) ** 2)))
+        scale = float(jnp.sqrt(jnp.mean(ref.astype(jnp.float32) ** 2)))
+        assert rms < 0.5 * scale
+
+    def test_block_fwd_for_variants(self):
+        """block_fwd_for must return the NoPE forward for no_rope layers
+        (the tuning chain's FP reference depends on it) and stable
+        callable identities per kind."""
+        from autoround_tpu.models import llama
+        cfg = llama4.CONFIG_PRESETS["tiny-llama4"]
+        params = llama4.init_params(cfg, jax.random.PRNGKey(2))
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 12, 64),
+                              jnp.float32)
+        cos, sin = llama.rope_tables(cfg, 12)
+        # layer 3 is NoPE: its variant must equal use_rope=False and
+        # differ from the rope forward
+        bf3 = llama4.block_fwd_for(cfg, 3)
+        w3 = params["blocks"][3]
+        y = bf3(w3, x, cos, sin, cfg)
+        want = llama4.block_fwd(w3, x, cos, sin, cfg, use_rope=False)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+        rope_y = llama4.block_fwd(w3, x, cos, sin, cfg, use_rope=True)
+        assert not np.allclose(np.asarray(y), np.asarray(rope_y),
+                               rtol=1e-3, atol=1e-3)
+        # stable identities: one callable per kind
+        assert llama4.block_fwd_for(cfg, 0) is llama4.block_fwd_for(cfg, 1)
+        assert llama4.block_fwd_for(cfg, 3) is not \
+            llama4.block_fwd_for(cfg, 0)
