@@ -34,7 +34,8 @@ _MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 def decode_attention_ref(q, k_cache, v_cache, pos, k_scale, v_scale,
                          sm_scale: float, softcap: float = 0.0,
                          window: Optional[int] = None,
-                         sinks: Optional[jax.Array] = None):
+                         sinks: Optional[jax.Array] = None,
+                         chunk: Optional[int] = None):
     """Reference: dequantize + masked softmax attention.
 
     q (B, nh, hd); k/v_cache (B, T, n_kv, hd) int8 (or any dtype);
@@ -58,6 +59,8 @@ def decode_attention_ref(q, k_cache, v_cache, pos, k_scale, v_scale,
     valid = idx <= pos[:, None, None]
     if window is not None:
         valid = valid & (idx > pos[:, None, None] - window)
+    if chunk is not None:
+        valid = valid & (idx >= (pos[:, None, None] // chunk) * chunk)
     s = jnp.where(valid, s, _MASK_VALUE)
     if sinks is not None:
         sc = jnp.broadcast_to(
@@ -73,7 +76,8 @@ def decode_attention_ref(q, k_cache, v_cache, pos, k_scale, v_scale,
 def _decode_kernel(pos_ref, ks_ref, vs_ref, sink_ref, q_ref, k_ref, v_ref,
                    o_ref, m_ref, l_ref, acc_ref, *, sm_scale: float,
                    block_k: int, n_t: int, nkv: int, g8: int,
-                   softcap: float, window: Optional[int], has_sinks: bool,
+                   softcap: float, window: Optional[int],
+                   chunk: Optional[int], has_sinks: bool,
                    out_dtype):
     """Grid (B, T/block_k); each program streams the CONTIGUOUS
     all-heads (block_k, nkv*hd) int8 slab of one sequence and loops the
@@ -97,6 +101,11 @@ def _decode_kernel(pos_ref, ks_ref, vs_ref, sink_ref, q_ref, k_ref, v_ref,
     if window is not None:
         should = jnp.logical_and(should,
                                  (t + 1) * block_k - 1 > pos - window)
+    if chunk is not None:
+        # Llama4 chunked attention: only the query's own chunk is live
+        should = jnp.logical_and(should,
+                                 (t + 1) * block_k - 1
+                                 >= (pos // chunk) * chunk)
 
     @pl.when(should)
     def _():
@@ -107,6 +116,9 @@ def _decode_kernel(pos_ref, ks_ref, vs_ref, sink_ref, q_ref, k_ref, v_ref,
         valid = cols <= pos
         if window is not None:
             valid = jnp.logical_and(valid, cols > pos - window)
+        if chunk is not None:
+            valid = jnp.logical_and(valid,
+                                    cols >= (pos // chunk) * chunk)
         reps = block_k // 128
         for h in range(nkv):
             r0 = h * g8
@@ -156,6 +168,7 @@ def _decode_kernel(pos_ref, ks_ref, vs_ref, sink_ref, q_ref, k_ref, v_ref,
 def decode_attention(q, k_cache, v_cache, pos, k_scale, v_scale,
                      sm_scale: float, softcap: float = 0.0,
                      window: Optional[int] = None,
+                     chunk: Optional[int] = None,
                      sinks: Optional[jax.Array] = None,
                      block_k: int = 512, interpret: bool = False):
     """Fused single-token attention over an int8 KV cache.
@@ -184,7 +197,7 @@ def decode_attention(q, k_cache, v_cache, pos, k_scale, v_scale,
     if not eligible:
         return decode_attention_ref(q, k_cache, v_cache, pos, k_scale,
                                     v_scale, sm_scale, softcap, window,
-                                    sinks)
+                                    sinks, chunk=chunk)
 
     G8 = 8
     qf = q.reshape(B, nkv, G, hd).astype(jnp.float32)
@@ -227,7 +240,7 @@ def decode_attention(q, k_cache, v_cache, pos, k_scale, v_scale,
     out = pl.pallas_call(
         functools.partial(_decode_kernel, sm_scale=sm_scale,
                           block_k=block_k, n_t=n_t, nkv=nkv, g8=G8,
-                          softcap=softcap, window=window,
+                          softcap=softcap, window=window, chunk=chunk,
                           has_sinks=has_sinks, out_dtype=q.dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, nkv * G8, hd), q.dtype),

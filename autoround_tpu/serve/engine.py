@@ -266,13 +266,6 @@ class QuantizedLlama:
                              kv_quant: Optional[str] = None
                              ) -> "QuantizedLlama":
         from ..models.deepseek import DeepseekConfig
-        from ..models.llama4 import Llama4Config
-        if isinstance(cfg, Llama4Config):
-            raise NotImplementedError(
-                "Llama4 serving (NoPE layers / chunked-cache decode / "
-                "input-scaled MoE) is not wired into the cached engine "
-                "yet — use the quantize/export path; eval runs through "
-                "model_fwd")
         is_mla = isinstance(cfg, DeepseekConfig) and bool(cfg.kv_lora_rank)
         packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
         kinds: Dict[str, str] = {}
@@ -847,11 +840,38 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
     q = q.reshape(B, S, cfg.num_heads, hd)
     k = k.reshape(B, S, cfg.num_kv_heads, hd)
     v = v.reshape(B, S, cfg.num_kv_heads, hd)
-    if cfg.qk_norm:  # Qwen3/Gemma3
-        q = llama.rms_norm(q, weights["q_norm"], cfg.rms_eps, off)
-        k = llama.rms_norm(k, weights["k_norm"], cfg.rms_eps, off)
-    q = llama.apply_rope(q, cos, sin)
-    k = llama.apply_rope(k, cos, sin)
+    from ..models.llama4 import Llama4Config, _interleave, _l2_norm, \
+        layer_uses_rope
+    l4 = isinstance(cfg, Llama4Config)
+    if l4:
+        # Llama4: interleaved rope + weightless L2 q/k norm on rope
+        # layers; NoPE layers skip rope and temperature-scale queries
+        if layer_uses_rope(cfg, block_idx or 0):
+            q = llama.apply_rope(_interleave(q), cos, sin)
+            k = llama.apply_rope(_interleave(k), cos, sin)
+            if cfg.use_qk_norm:
+                q = _l2_norm(q, cfg.rms_eps)
+                k = _l2_norm(k, cfg.rms_eps)
+        elif cfg.attn_temperature_tuning:
+            per_slot = pos is not None and jnp.ndim(pos) != 0
+            if pos is None:
+                p4 = jnp.arange(S)                       # prefill
+            elif per_slot:
+                p4 = pos                                  # (B,) decode
+            else:
+                p4 = pos + jnp.arange(S)                  # scalar decode
+            ts = (jnp.log1p(jnp.floor((p4.astype(jnp.float32) + 1.0)
+                                      / cfg.floor_scale))
+                  * cfg.temp_attn_scale + 1.0)
+            ts = (ts[:, None, None, None] if per_slot
+                  else jnp.reshape(ts, (1, -1, 1, 1)))
+            q = (q.astype(jnp.float32) * ts).astype(q.dtype)
+    else:
+        if cfg.qk_norm:  # Qwen3/Gemma3
+            q = llama.rms_norm(q, weights["q_norm"], cfg.rms_eps, off)
+            k = llama.rms_norm(k, weights["k_norm"], cfg.rms_eps, off)
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
     k_new, v_new = k, v
 
     sliding = (block_idx is not None
@@ -886,10 +906,13 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
             v_full = v_all.at[bidx, pos].set(v_tok[:, 0])
         sm = 1.0 / (cfg.attn_scale if cfg.attn_scale is not None
                     else float(np.sqrt(hd)))
+        chunked = bool(getattr(cfg, "chunked_attention", False))
         attn = decode_attention(
             q[:, 0], k_full, v_full, pos, ksv, vsv, sm,
             softcap=cfg.attn_logit_softcap or 0.0,
-            window=cfg.sliding_window if sliding else None,
+            window=(cfg.sliding_window if sliding and not chunked
+                    else None),
+            chunk=(cfg.sliding_window if sliding and chunked else None),
             sinks=sinks)[:, None]
     else:
         k_all, v_all = kv  # (B, T, n_kv, hd) preallocated
@@ -904,7 +927,11 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
             # also drop positions older than the window
             valid = idx <= pos  # current token at index pos
             if sliding:
-                valid = valid & (idx > pos - cfg.sliding_window)
+                w = cfg.sliding_window
+                if getattr(cfg, "chunked_attention", False):
+                    valid = valid & (idx >= (pos // w) * w)
+                else:
+                    valid = valid & (idx > pos - w)
             bias = jnp.where(valid, 0.0, -1e30)[None, None, None, :]
         else:
             # per-slot positions (continuous batching): each slot appends
@@ -914,8 +941,12 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
             v_full = v_all.at[bidx, pos].set(v[:, 0].astype(v_all.dtype))
             valid = idx[None, :] <= pos[:, None]
             if sliding:
-                valid = valid & (idx[None, :]
-                                 > pos[:, None] - cfg.sliding_window)
+                w = cfg.sliding_window
+                if getattr(cfg, "chunked_attention", False):
+                    valid = valid & (idx[None, :]
+                                     >= (pos[:, None] // w) * w)
+                else:
+                    valid = valid & (idx[None, :] > pos[:, None] - w)
             bias = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
         # attention() expects mask broadcastable to (B, nh, S, T)
         if sinks is not None:
@@ -937,7 +968,10 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
         h = llama.rms_norm(x, weights["post_attention_layernorm"],
                            cfg.rms_eps, off)
     if "experts" in weights:
-        if "router_bias" in weights:
+        if l4:
+            from ..models.llama4 import _moe_mlp as _l4_moe_mlp
+            mlp_out = _l4_moe_mlp(weights, h, cfg, lf)
+        elif "router_bias" in weights:
             # GPT-OSS: top-k-then-softmax router with bias + clamped
             # SwiGLU experts — shared with the tuning path
             from ..models.gptoss import _moe_mlp as _oss_moe_mlp

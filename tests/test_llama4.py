@@ -97,3 +97,56 @@ class TestQuantize:
         assert llama4.block_fwd_for(cfg, 0) is llama4.block_fwd_for(cfg, 1)
         assert llama4.block_fwd_for(cfg, 3) is not \
             llama4.block_fwd_for(cfg, 0)
+
+
+class TestServing:
+    @pytest.fixture(scope="class")
+    def quantized(self):
+        cfg = llama4.CONFIG_PRESETS["tiny-llama4"]
+        params = llama4.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        return cfg, res
+
+    @pytest.mark.parametrize("kv_quant", [None, "int8"])
+    def test_prefill_decode_match_model_fwd(self, quantized, kv_quant):
+        from autoround_tpu.serve import QuantizedLlama
+        cfg, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32,
+                                                  kv_quant=kv_quant)
+        # S=12 > chunk=8; layer 3 NoPE with temperature scaling
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2, 12), 0, 256)
+        logits, cache = eng.prefill(ids)
+        want = llama4.model_fwd(res.params, ids, cfg)[:, -1]
+        tol = 5e-2 if kv_quant is None else 2e-1
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=tol, atol=tol)
+        # decode crosses a chunk boundary (pos 12..15 vs chunk 8)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        seq = ids
+        for _ in range(3):
+            logits, cache = eng.decode_step(tok, cache)
+            seq = jnp.concatenate([seq, tok[:, None]], axis=1)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        want2 = llama4.model_fwd(res.params, seq, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want2, np.float32),
+                                   rtol=tol, atol=tol)
+
+    def test_continuous_batching(self, quantized):
+        from autoround_tpu.serve import QuantizedLlama
+        from autoround_tpu.serve.batching import ContinuousBatchingEngine
+        cfg, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=64)
+        cb = ContinuousBatchingEngine(eng, max_batch=2, max_seq=64,
+                                      prompt_buckets=(16,))
+        prompts = [[3, 5, 7, 2, 9, 11, 1, 8, 6, 4], [12, 4, 9]]
+        rids = [cb.submit(p, max_new_tokens=4) for p in prompts]
+        while cb.pending():
+            cb.step()
+        for p, rid in zip(prompts, rids):
+            want = np.asarray(eng.generate(
+                jnp.asarray([p], jnp.int32), max_new_tokens=4))[0]
+            np.testing.assert_array_equal(np.asarray(cb.result(rid)), want)
