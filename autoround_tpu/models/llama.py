@@ -65,6 +65,9 @@ class LlamaConfig:
     # scaling; global layers use rope_theta / linear rope_scaling_factor
     rope_local_theta: float = 0.0
     rope_scaling_factor: float = 1.0
+    # Llama-3.1+ NTK-by-parts rope scaling:
+    # (factor, low_freq_factor, high_freq_factor, original_max_pos)
+    rope_llama3: Optional[Tuple[float, float, float, int]] = None
     attn_scale: Optional[float] = None  # score divisor override (Gemma2
     #                                      query_pre_attn_scalar ** 0.5)
     # QuaRot-style online R4: rotate the down_proj input at runtime with a
@@ -265,6 +268,18 @@ def rope_tables(cfg: LlamaConfig, seqlen: int,
     inv_freq = 1.0 / (theta ** (np.arange(0, hd, 2) / hd))
     if not local and cfg.rope_scaling_factor != 1.0:
         inv_freq = inv_freq / cfg.rope_scaling_factor  # HF linear scaling
+    if not local and cfg.rope_llama3 is not None:
+        # Llama-3.1 NTK-by-parts (HF _compute_llama3_parameters): long
+        # wavelengths interpolate by `factor`, short ones extrapolate,
+        # with a smooth ramp between
+        factor, lo_f, hi_f, orig = cfg.rope_llama3
+        wavelen = 2.0 * np.pi / inv_freq
+        lo_wl, hi_wl = orig / lo_f, orig / hi_f
+        smooth = np.clip((orig / wavelen - lo_f) / (hi_f - lo_f), 0.0, 1.0)
+        blended = (1 - smooth) * inv_freq / factor + smooth * inv_freq
+        inv_freq = np.where(wavelen < hi_wl, inv_freq,
+                            np.where(wavelen > lo_wl, inv_freq / factor,
+                                     blended))
     if positions is None:
         positions = jnp.arange(seqlen)
     ang = positions[:, None].astype(jnp.float32) * jnp.asarray(

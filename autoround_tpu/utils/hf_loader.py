@@ -134,6 +134,7 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
                 cfg.get("attn_temperature_tuning", True)),
             floor_scale=cfg.get("floor_scale", 8192.0),
             temp_attn_scale=cfg.get("attn_scale", 0.1),
+            rope_llama3=_llama3_rope(cfg),
             dtype=dtype,
         )
     if mt == "gpt_oss":
@@ -225,8 +226,20 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
             if mt == "gemma3_text" and (cfg.get("rope_scaling") or {}
                                         ).get("rope_type") == "linear"
             else 1.0),
+        rope_llama3=_llama3_rope(cfg),
         dtype=dtype,
     )
+
+
+def _llama3_rope(cfg: Dict[str, Any]):
+    """HF rope_scaling rope_type 'llama3' → (factor, low, high, orig)
+    (Llama-3.1+, Llama-4 Scout)."""
+    rs = cfg.get("rope_scaling") or {}
+    if rs.get("rope_type", rs.get("type")) != "llama3":
+        return None
+    return (rs.get("factor", 8.0), rs.get("low_freq_factor", 1.0),
+            rs.get("high_freq_factor", 4.0),
+            rs.get("original_max_position_embeddings", 8192))
 
 
 def _deepseek_config_from_hf(cfg: Dict[str, Any], mt: str, dtype):

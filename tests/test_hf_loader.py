@@ -167,3 +167,34 @@ class TestQwen2MoeLoader:
         res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
         assert "blocks.0.shared_expert.w1" in res.layers
         assert "blocks.1.shared_expert.w2" in res.layers
+
+
+class TestLlama3RopeScaling:
+    def test_llama31_rope_parity(self, tmp_path):
+        """Real Llama-3.1+ checkpoints carry rope_scaling llama3 —
+        NTK-by-parts inv_freq correction must match transformers."""
+        import torch
+        from transformers import LlamaConfig as HFLlamaConfig
+        from transformers import LlamaForCausalLM
+        torch.manual_seed(0)
+        hf_cfg = HFLlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, rope_theta=500000.0,
+            max_position_embeddings=64,
+            rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                          "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                          "original_max_position_embeddings": 16},
+            attn_implementation="eager")
+        model = LlamaForCausalLM(hf_cfg).float().eval()
+        model.save_pretrained(str(tmp_path), safe_serialization=True)
+        params, cfg = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+        assert cfg.rope_llama3 == (8.0, 1.0, 4.0, 16)
+        # S > original_max_position so the interpolated band matters
+        ids = np.random.default_rng(0).integers(0, 256, (2, 32))
+        ours = np.asarray(llama.model_fwd(params, jnp.asarray(ids), cfg),
+                          np.float32)
+        with torch.no_grad():
+            want = model(torch.tensor(ids, dtype=torch.long)
+                         ).logits.float().numpy()
+        np.testing.assert_allclose(ours, want, rtol=3e-2, atol=3e-2)
