@@ -10,7 +10,8 @@ from __future__ import annotations
 from types import SimpleNamespace
 from typing import Any, Dict
 
-from . import deepseek, dit, glm4moe, gptoss, llama, llama4, llava, mixtral
+from . import (deepseek, dit, glm4moe, gptoss, llama, llama4, llava,
+               mixtral, qwen3next)
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -82,6 +83,17 @@ def get_model_fns(cfg) -> SimpleNamespace:
             model_fwd=deepseek.model_fwd,
             block_linear_names=deepseek.block_linear_names,
         )
+    if isinstance(cfg, qwen3next.Qwen3NextConfig):
+        return SimpleNamespace(
+            init_params=qwen3next.init_params,
+            block_fwd=qwen3next.block_fwd,
+            block_fwd_for=qwen3next.block_fwd_for,  # linear vs full attn
+            embed_fwd=llama.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=llama.rope_tables,
+            model_fwd=qwen3next.model_fwd,
+            block_linear_names=qwen3next.block_linear_names,
+        )
     if isinstance(cfg, mixtral.MixtralConfig):
         return SimpleNamespace(
             init_params=mixtral.init_params,
@@ -111,6 +123,7 @@ ALL_PRESETS.update(deepseek.CONFIG_PRESETS)
 ALL_PRESETS.update(gptoss.CONFIG_PRESETS)
 ALL_PRESETS.update(glm4moe.CONFIG_PRESETS)
 ALL_PRESETS.update(llama4.CONFIG_PRESETS)
+ALL_PRESETS.update(qwen3next.CONFIG_PRESETS)
 ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(dit.CONFIG_PRESETS)

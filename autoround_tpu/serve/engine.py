@@ -266,6 +266,12 @@ class QuantizedLlama:
                              kv_quant: Optional[str] = None
                              ) -> "QuantizedLlama":
         from ..models.deepseek import DeepseekConfig
+        from ..models.qwen3next import Qwen3NextConfig
+        if isinstance(cfg, Qwen3NextConfig):
+            raise NotImplementedError(
+                "Qwen3-Next serving (GatedDeltaNet conv/recurrent state "
+                "caches) is not wired into the cached engine yet — use "
+                "the quantize/export path; eval runs through model_fwd")
         is_mla = isinstance(cfg, DeepseekConfig) and bool(cfg.kv_lora_rank)
         packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
         kinds: Dict[str, str] = {}

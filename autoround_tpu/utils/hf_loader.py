@@ -137,6 +137,44 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
             rope_llama3=_llama3_rope(cfg),
             dtype=dtype,
         )
+    if mt == "qwen3_next":
+        from ..models.qwen3next import Qwen3NextConfig
+        step = cfg.get("decoder_sparse_step", 1)
+        mlp_only = set(cfg.get("mlp_only_layers") or ())
+        if cfg.get("num_experts", 0) and step > 1:
+            mlp_only |= {li for li in range(cfg["num_hidden_layers"])
+                         if (li + 1) % step != 0}
+        return Qwen3NextConfig(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg.get("num_key_value_heads",
+                                 cfg["num_attention_heads"]),
+            head_dim=cfg.get("head_dim"),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_eps=cfg.get("rms_norm_eps", 1e-6),
+            tie_embeddings=cfg.get("tie_word_embeddings", False),
+            norm_offset=1.0,   # Qwen3NextRMSNorm is zero-centered (1+w)
+            partial_rotary_factor=cfg.get("partial_rotary_factor", 0.25),
+            layer_types=tuple(cfg.get("layer_types") or ()),
+            linear_num_key_heads=cfg.get("linear_num_key_heads", 16),
+            linear_num_value_heads=cfg.get("linear_num_value_heads", 32),
+            linear_key_head_dim=cfg.get("linear_key_head_dim", 128),
+            linear_value_head_dim=cfg.get("linear_value_head_dim", 128),
+            linear_conv_kernel_dim=cfg.get("linear_conv_kernel_dim", 4),
+            num_experts=cfg.get("num_experts", 0),
+            top_k=cfg.get("num_experts_per_tok", 2),
+            shared_expert_intermediate=cfg.get(
+                "shared_expert_intermediate_size", 0) or 0,
+            shared_expert_gate=(cfg.get(
+                "shared_expert_intermediate_size", 0) or 0) > 0,
+            norm_topk_prob=cfg.get("norm_topk_prob", True),
+            mlp_only_layers=tuple(sorted(mlp_only)),
+            dtype=dtype,
+        )
     if mt == "gpt_oss":
         from ..models.gptoss import GptOssConfig
         rs = cfg.get("rope_scaling") or {}
@@ -435,9 +473,11 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
     from ..models.deepseek import DeepseekConfig
     from ..models.gptoss import GptOssConfig
     from ..models.llama4 import Llama4Config
+    from ..models.qwen3next import Qwen3NextConfig
     is_deepseek = isinstance(cfg, DeepseekConfig)
     is_gptoss = isinstance(cfg, GptOssConfig)
     is_llama4 = isinstance(cfg, Llama4Config)
+    is_q3next = isinstance(cfg, Qwen3NextConfig)
     n_experts = getattr(cfg, "num_experts", 0)
     blocks = [
         ({"experts": [dict() for _ in range(n_experts)]} if n_experts
@@ -470,6 +510,26 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
                                              n_experts):
                 n += 1
                 continue
+            if is_q3next and sub.startswith("linear_attn."):
+                if sub in ("linear_attn.dt_bias", "linear_attn.A_log"):
+                    arr = jnp.asarray(tensor).astype(jnp.float32)
+                name = {
+                    "linear_attn.in_proj_qkvz.weight": "in_proj_qkvz",
+                    "linear_attn.in_proj_ba.weight": "in_proj_ba",
+                    "linear_attn.out_proj.weight": "out_proj",
+                    "linear_attn.norm.weight": "linear_norm",
+                    "linear_attn.dt_bias": "dt_bias",
+                    "linear_attn.A_log": "A_log",
+                }.get(sub)
+                if sub == "linear_attn.conv1d.weight":
+                    # (conv_dim, 1, K) depthwise → (conv_dim, K)
+                    blocks[int(li)]["conv1d"] = arr[:, 0, :]
+                    n += 1
+                    continue
+                if name:
+                    blocks[int(li)][name] = arr
+                    n += 1
+                    continue
             if sub in _BLOCK_MAP:
                 blocks[int(li)][_BLOCK_MAP[sub]] = arr
                 n += 1
@@ -540,14 +600,15 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
             if isinstance(b.get("experts"), dict):
                 exp = b["experts"]
                 b["experts"] = [exp[e] for e in sorted(exp)]
-    if is_llama4:
+    if is_llama4 or is_q3next:
         # dense (non-MoE) layers got pre-seeded empty expert lists
         for b in blocks:
             if isinstance(b.get("experts"), list) and \
                     all(not d for d in b["experts"]):
                 b.pop("experts", None)
     q_key = ("q_a_proj" if is_deepseek and cfg.q_lora_rank else "q_proj")
-    missing = [i for i, b in enumerate(blocks) if q_key not in b]
+    missing = [i for i, b in enumerate(blocks)
+               if q_key not in b and "in_proj_qkvz" not in b]
     if missing:
         raise ValueError(f"blocks missing attention weights: {missing}")
     logger.info("loaded %d tensors from %s", n, path)
