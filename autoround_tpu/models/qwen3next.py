@@ -185,7 +185,8 @@ def _l2norm(x, eps=1e-6):
                               + eps)
 
 
-def chunk_gated_delta_rule(q, k, v, g, beta, chunk: int = 64):
+def chunk_gated_delta_rule(q, k, v, g, beta, chunk: int = 64,
+                           return_state: bool = False):
     """Chunked gated delta rule (HF ``torch_chunk_gated_delta_rule``,
     numerics-equivalent): q/k/v (B, S, H, d*), g/beta (B, S, H) →
     (B, S, H, dv).  The intra-chunk UT transform ``(I − A)⁻¹`` is one
@@ -253,13 +254,22 @@ def chunk_gated_delta_rule(q, k, v, g, beta, chunk: int = 64):
           g.transpose(2, 0, 1, 3),
           decay.transpose(2, 0, 1, 3, 4))
     state0 = jnp.zeros((B, H, dk, dv), f32)
-    _, outs = jax.lax.scan(step, state0, xs)       # (N, B, H, C, dv)
+    final_state, outs = jax.lax.scan(step, state0, xs)  # (N, B, H, C, dv)
     out = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, St, dv)
-    return out[:, :, :S].transpose(0, 2, 1, 3)      # (B, S, H, dv)
+    out = out[:, :, :S].transpose(0, 2, 1, 3)       # (B, S, H, dv)
+    if return_state:
+        # NOTE: with padding the last chunk's tail is zeros — zeros have
+        # k=0 so they do not perturb the state, but the decay g pads as 0
+        # (exp(0)=1), which is also a no-op.  Exact.
+        return out, final_state
+    return out
 
 
-def _gated_delta_net(weights, h, cfg: Qwen3NextConfig, lf):
-    """GatedDeltaNet token mixer (full-sequence form — tuning/eval)."""
+def _gated_delta_net(weights, h, cfg: Qwen3NextConfig, lf,
+                     return_cache: bool = False):
+    """GatedDeltaNet token mixer (full-sequence form — tuning/eval).
+    ``return_cache`` also returns (conv_tail (B, K-1, conv_dim) raw
+    pre-conv inputs, recurrent state (B, nv, dk, dv)) for decode."""
     B, S, _ = h.shape
     nk, nv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
     dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
@@ -276,11 +286,13 @@ def _gated_delta_net(weights, h, cfg: Qwen3NextConfig, lf):
     b = ba[..., :r].reshape(B, S, nv)
     a = ba[..., r:].reshape(B, S, nv)
     # depthwise causal conv over the concatenated q/k/v stream + SiLU
-    mixed = jnp.concatenate([qh.reshape(B, S, -1), kh.reshape(B, S, -1),
-                             vh.reshape(B, S, -1)], axis=-1)
+    mixed_raw = jnp.concatenate([qh.reshape(B, S, -1),
+                                 kh.reshape(B, S, -1),
+                                 vh.reshape(B, S, -1)], axis=-1)
     w = weights["conv1d"].astype(jnp.float32)      # (conv_dim, K)
     K = w.shape[1]
-    xpad = jnp.pad(mixed.astype(jnp.float32), ((0, 0), (K - 1, 0), (0, 0)))
+    xpad = jnp.pad(mixed_raw.astype(jnp.float32),
+                   ((0, 0), (K - 1, 0), (0, 0)))
     conv = sum(xpad[:, i:i + S, :] * w[:, i][None, None, :]
                for i in range(K))
     mixed = jax.nn.silu(conv)
@@ -295,12 +307,24 @@ def _gated_delta_net(weights, h, cfg: Qwen3NextConfig, lf):
     if r > 1:
         q = jnp.repeat(q, r, axis=2)
         k = jnp.repeat(k, r, axis=2)
-    core = chunk_gated_delta_rule(q, k, v, g, beta, cfg.delta_chunk)
+    if return_cache:
+        core, state = chunk_gated_delta_rule(q, k, v, g, beta,
+                                             cfg.delta_chunk,
+                                             return_state=True)
+    else:
+        core = chunk_gated_delta_rule(q, k, v, g, beta, cfg.delta_chunk)
     # gated RMSNorm: norm(x) * silu(z), per value head
     xn = rms_norm(core.astype(cfg.dtype), weights["linear_norm"],
                   cfg.rms_eps).astype(jnp.float32)
     out = (xn * jax.nn.silu(z.astype(jnp.float32))).astype(h.dtype)
-    return lf("out_proj", out.reshape(B, S, nv * dv), weights["out_proj"])
+    y = lf("out_proj", out.reshape(B, S, nv * dv), weights["out_proj"])
+    if return_cache:
+        Kc = weights["conv1d"].shape[1]
+        # raw pre-conv inputs of the last K-1 tokens (left-pad for S<K-1)
+        tail = jnp.pad(mixed_raw, ((0, 0), (Kc - 1, 0), (0, 0)))[
+            :, S:S + Kc - 1, :]
+        return y, tail, state
+    return y
 
 
 def _full_attention(weights, h, cos, sin, cfg: Qwen3NextConfig, lf):
@@ -369,3 +393,130 @@ def model_fwd(params: Dict[str, Any], input_ids: jax.Array,
         x = block_fwd(b, x, cos, sin, cfg,
                       linear_attn=_is_linear_layer(cfg, li))
     return llama.final_fwd(params, x, cfg)
+
+
+def gated_delta_step(weights, h, cfg: Qwen3NextConfig, lf, conv_tail,
+                    state):
+    """One-token GatedDeltaNet decode (HF ``torch_recurrent_gated_delta_
+    rule`` + ``causal_conv1d_update``): O(1) per token — the linear-
+    attention serving win.  h (B, 1, H); conv_tail (B, K-1, conv_dim)
+    raw pre-conv inputs; state (B, nv, dk, dv) f32.  Returns
+    (out (B, 1, H), new_tail, new_state)."""
+    B = h.shape[0]
+    nk, nv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
+    dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
+    r = nv // nk
+    f32 = jnp.float32
+    qkvz = lf("in_proj_qkvz", h, weights["in_proj_qkvz"])
+    ba = lf("in_proj_ba", h, weights["in_proj_ba"])
+    qkvz = qkvz.reshape(B, 1, nk, 2 * dk + 2 * r * dv)
+    qh = qkvz[..., :dk]
+    kh = qkvz[..., dk:2 * dk]
+    vh = qkvz[..., 2 * dk:2 * dk + r * dv].reshape(B, 1, nv, dv)
+    z = qkvz[..., 2 * dk + r * dv:].reshape(B, 1, nv, dv)
+    ba = ba.reshape(B, 1, nk, 2 * r)
+    b = ba[..., :r].reshape(B, nv)
+    a = ba[..., r:].reshape(B, nv)
+    mixed = jnp.concatenate([qh.reshape(B, 1, -1), kh.reshape(B, 1, -1),
+                             vh.reshape(B, 1, -1)], axis=-1)
+    window = jnp.concatenate([conv_tail.astype(f32),
+                              mixed.astype(f32)], axis=1)  # (B, K, cd)
+    w = weights["conv1d"].astype(f32)                      # (cd, K)
+    conv = jnp.einsum("bkc,ck->bc", window, w)
+    mixed_c = jax.nn.silu(conv)                            # (B, cd)
+    Kd = nk * dk
+    q = mixed_c[:, :Kd].reshape(B, nk, dk)
+    k = mixed_c[:, Kd:2 * Kd].reshape(B, nk, dk)
+    v = mixed_c[:, 2 * Kd:].reshape(B, nv, dv)
+    if r > 1:
+        q = jnp.repeat(q, r, axis=1)
+        k = jnp.repeat(k, r, axis=1)
+    q = _l2norm(q) * (dk ** -0.5)
+    k = _l2norm(k)
+    beta = jax.nn.sigmoid(b.astype(f32))                   # (B, nv)
+    g = (-jnp.exp(weights["A_log"].astype(f32))
+         * jax.nn.softplus(a.astype(f32)
+                           + weights["dt_bias"].astype(f32)))
+    state = state * jnp.exp(g)[..., None, None]
+    kv_mem = jnp.einsum("bhdv,bhd->bhv", state, k)
+    delta = (v.astype(f32) - kv_mem) * beta[..., None]
+    state = state + jnp.einsum("bhd,bhv->bhdv", k, delta)
+    core = jnp.einsum("bhdv,bhd->bhv", state, q)           # (B, nv, dv)
+    xn = rms_norm(core[:, None].astype(cfg.dtype), weights["linear_norm"],
+                  cfg.rms_eps).astype(f32)
+    out = (xn * jax.nn.silu(z.astype(f32))).astype(h.dtype)
+    y = lf("out_proj", out.reshape(B, 1, nv * dv), weights["out_proj"])
+    return y, window[:, 1:].astype(conv_tail.dtype), state
+
+
+def full_attention_with_cache(weights, h, cos, sin, cfg: Qwen3NextConfig,
+                              lf, kv, pos):
+    """Gated full attention over a preallocated cache (scalar pos).
+    kv=None → prefill (causal, returns k/v for the cache)."""
+    B, S, _ = h.shape
+    hd = cfg.hd
+    qg = lf("q_proj", h, weights["q_proj"]).reshape(
+        B, S, cfg.num_heads, 2 * hd)
+    q, gate = qg[..., :hd], qg[..., hd:]
+    k = lf("k_proj", h, weights["k_proj"]).reshape(
+        B, S, cfg.num_kv_heads, hd)
+    v = lf("v_proj", h, weights["v_proj"]).reshape(
+        B, S, cfg.num_kv_heads, hd)
+    q = rms_norm(q, weights["q_norm"], cfg.rms_eps, cfg.norm_offset)
+    k = rms_norm(k, weights["k_norm"], cfg.rms_eps, cfg.norm_offset)
+    q = llama.apply_rope(q, cos, sin)
+    k = llama.apply_rope(k, cos, sin)
+    k_new, v_new = k, v
+    if kv is None:
+        attn = llama.attention(q, k, v, None, cfg)
+    else:
+        k_all, v_all = kv
+        T = k_all.shape[1]
+        k_full = jax.lax.dynamic_update_slice(
+            k_all, k.astype(k_all.dtype), (0, pos, 0, 0))
+        v_full = jax.lax.dynamic_update_slice(
+            v_all, v.astype(v_all.dtype), (0, pos, 0, 0))
+        idx = jnp.arange(T)
+        bias = jnp.where(idx <= pos, 0.0, -1e30)[None, None, None, :]
+        attn = llama.attention(q, k_full, v_full, bias, cfg)
+    attn = (attn.astype(jnp.float32)
+            * jax.nn.sigmoid(gate.astype(jnp.float32))).astype(h.dtype)
+    return (lf("o_proj", attn.reshape(B, S, -1), weights["o_proj"]),
+            k_new, v_new)
+
+
+def block_with_cache(weights, x, cos, sin, cfg: Qwen3NextConfig, cache_in,
+                     pos, lf):
+    """Serving block: returns (out, cache_pieces).
+
+    ``cache_in``: None (prefill) or ("lin", conv_tail, state) /
+    ("full", k_all, v_all) for decode.  cache_pieces mirrors the layer
+    kind: ("lin", tail, state) or ("full", k_new, v_new)."""
+    off = cfg.norm_offset
+    h = rms_norm(x, weights["input_layernorm"], cfg.rms_eps, off)
+    if "in_proj_qkvz" in weights:
+        if cache_in is None:
+            y, tail, state = _gated_delta_net(weights, h, cfg, lf,
+                                              return_cache=True)
+        else:
+            _, tail_in, state_in = cache_in
+            y, tail, state = gated_delta_step(weights, h, cfg, lf,
+                                              tail_in, state_in)
+        pieces = ("lin", tail, state)
+    else:
+        kv = None if cache_in is None else (cache_in[1], cache_in[2])
+        y, k_new, v_new = full_attention_with_cache(
+            weights, h, cos, sin, cfg, lf, kv, pos)
+        pieces = ("full", k_new, v_new)
+    x = x + y
+    h = rms_norm(x, weights["post_attention_layernorm"], cfg.rms_eps, off)
+    if "experts" in weights:
+        from .. import envs
+        x = x + mixtral._moe_mlp(weights, h, cfg, lf,
+                                 capacity_factor=envs.AR_MOE_CAPACITY_FACTOR)
+    else:
+        act = llama._act(cfg.hidden_act)
+        gate = act(lf("gate_proj", h, weights["gate_proj"]))
+        up = lf("up_proj", h, weights["up_proj"])
+        x = x + lf("down_proj", gate * up, weights["down_proj"])
+    return x, pieces

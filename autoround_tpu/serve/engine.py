@@ -46,6 +46,18 @@ class KVCache(NamedTuple):
     v_scale: Optional[jax.Array] = None
 
 
+class HybridCache(NamedTuple):
+    """Qwen3-Next hybrid cache: standard KV for the full-attention
+    layers, depthwise-conv tails + recurrent delta-rule states for the
+    linear-attention layers (O(1) decode — the linear-attention win)."""
+
+    k: jax.Array          # (L_full, B, T, n_kv, hd)
+    v: jax.Array
+    conv: jax.Array       # (L_lin, B, K-1, conv_dim)
+    state: jax.Array      # (L_lin, B, nv, dk, dv) f32
+    length: jax.Array
+
+
 _KV_QMAX = {"int8": 127.0, "fp8": 448.0}
 _KV_DTYPE = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}
 
@@ -266,12 +278,6 @@ class QuantizedLlama:
                              kv_quant: Optional[str] = None
                              ) -> "QuantizedLlama":
         from ..models.deepseek import DeepseekConfig
-        from ..models.qwen3next import Qwen3NextConfig
-        if isinstance(cfg, Qwen3NextConfig):
-            raise NotImplementedError(
-                "Qwen3-Next serving (GatedDeltaNet conv/recurrent state "
-                "caches) is not wired into the cached engine yet — use "
-                "the quantize/export path; eval runs through model_fwd")
         is_mla = isinstance(cfg, DeepseekConfig) and bool(cfg.kv_lora_rank)
         packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
         kinds: Dict[str, str] = {}
@@ -554,6 +560,13 @@ class QuantizedLlama:
     def _prefill_impl(self, params, packed, input_ids):
         kinds = self.packed_kinds
         from ..models.deepseek import DeepseekConfig
+        from ..models.qwen3next import Qwen3NextConfig
+        if isinstance(self.cfg, Qwen3NextConfig):
+            return _q3n_prefill_core(
+                params, packed, input_ids, cfg=self.cfg,
+                max_seq=self.max_seq,
+                lf_maker=lambda p, i: self._make_linear_fn(p, i, kinds),
+                kinds=kinds)
         if isinstance(self.cfg, DeepseekConfig) and self.cfg.kv_lora_rank:
             return _mla_prefill_core(
                 params, packed, input_ids, cfg=self.cfg,
@@ -573,6 +586,12 @@ class QuantizedLlama:
     def _decode_impl(self, params, packed, token, cache):
         kinds = self.packed_kinds
         from ..models.deepseek import DeepseekConfig
+        from ..models.qwen3next import Qwen3NextConfig
+        if isinstance(self.cfg, Qwen3NextConfig):
+            return _q3n_decode_core(
+                params, packed, token, cache, cfg=self.cfg,
+                lf_maker=lambda p, i: self._make_linear_fn(p, i, kinds),
+                kinds=kinds)
         if isinstance(self.cfg, DeepseekConfig) and self.cfg.kv_lora_rank:
             return _mla_decode_core(
                 params, packed, token, cache, cfg=self.cfg,
@@ -721,6 +740,96 @@ def _mla_decode_core(params, packed, token, cache, *, cfg, kv_quant,
                                final_combine)
     return logits[:, 0], KVCache(new_k, new_v, pos + 1,
                                  cache.k_scale, cache.v_scale)
+
+
+def _q3n_prefill_core(params, packed, input_ids, *, cfg, max_seq,
+                      lf_maker, kinds=None):
+    """Qwen3-Next hybrid prompt pass: KV for full-attention layers,
+    conv tails + recurrent states for the GatedDeltaNet layers."""
+    from ..models import qwen3next
+    B, S = input_ids.shape
+    lt = cfg.layer_types
+    full_ids = [i for i in range(cfg.num_layers)
+                if lt[i] == "full_attention"]
+    lin_ids = [i for i in range(cfg.num_layers)
+               if lt[i] == "linear_attention"]
+    x = llama.embed_fwd(params, input_ids, cfg)
+    cos, sin = llama.rope_tables(cfg, S)
+    ks, vs, tails, states = {}, {}, {}, {}
+    for i in range(cfg.num_layers):
+        x, pieces = qwen3next.block_with_cache(
+            params["blocks"][i], x, cos, sin, cfg, None, None,
+            lf_maker(packed, i))
+        if pieces[0] == "lin":
+            tails[i], states[i] = pieces[1], pieces[2]
+        else:
+            ks[i], vs[i] = pieces[1], pieces[2]
+    nkv, hd = cfg.num_kv_heads, cfg.hd
+    k_buf = jnp.zeros((len(full_ids), B, max_seq, nkv, hd), cfg.dtype)
+    v_buf = jnp.zeros_like(k_buf)
+    if full_ids:
+        k_buf = jax.lax.dynamic_update_slice(
+            k_buf, jnp.stack([ks[i] for i in full_ids]).astype(
+                k_buf.dtype), (0, 0, 0, 0, 0))
+        v_buf = jax.lax.dynamic_update_slice(
+            v_buf, jnp.stack([vs[i] for i in full_ids]).astype(
+                v_buf.dtype), (0, 0, 0, 0, 0))
+    cache = HybridCache(
+        k=k_buf, v=v_buf,
+        conv=jnp.stack([tails[i] for i in lin_ids]),
+        state=jnp.stack([states[i] for i in lin_ids]),
+        length=jnp.asarray(S, jnp.int32),
+    )
+    logits = _final_fwd_packed(params, packed, x[:, -1:], cfg, kinds)
+    return logits[:, 0], cache
+
+
+def _q3n_decode_core(params, packed, token, cache, *, cfg, lf_maker,
+                     kinds=None):
+    """One hybrid decode step: O(1) recurrent updates on linear layers,
+    cached attention on full layers."""
+    from ..models import qwen3next
+    lt = cfg.layer_types
+    full_pos = {}
+    lin_pos = {}
+    nf = nl = 0
+    for i in range(cfg.num_layers):
+        if lt[i] == "full_attention":
+            full_pos[i] = nf
+            nf += 1
+        else:
+            lin_pos[i] = nl
+            nl += 1
+    pos = cache.length
+    x = llama.embed_fwd(params, token[:, None], cfg)
+    cos, sin = llama.rope_tables(cfg, 1, positions=pos[None])
+    new_k, new_v = cache.k, cache.v
+    new_conv, new_state = cache.conv, cache.state
+    for i in range(cfg.num_layers):
+        if i in lin_pos:
+            j = lin_pos[i]
+            cin = ("lin", new_conv[j], new_state[j])
+        else:
+            j = full_pos[i]
+            cin = ("full", new_k[j], new_v[j])
+        x, pieces = qwen3next.block_with_cache(
+            params["blocks"][i], x, cos, sin, cfg, cin, pos,
+            lf_maker(packed, i))
+        if pieces[0] == "lin":
+            new_conv = new_conv.at[lin_pos[i]].set(
+                pieces[1].astype(new_conv.dtype))
+            new_state = new_state.at[lin_pos[i]].set(pieces[2])
+        else:
+            j = full_pos[i]
+            new_k = jax.lax.dynamic_update_slice(
+                new_k, pieces[1][None].astype(new_k.dtype),
+                (j, 0, pos, 0, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                new_v, pieces[2][None].astype(new_v.dtype),
+                (j, 0, pos, 0, 0))
+    logits = _final_fwd_packed(params, packed, x, cfg, kinds)
+    return logits[:, 0], HybridCache(new_k, new_v, new_conv, new_state,
+                                     pos + 1)
 
 
 def _prefill_core(params, packed, input_ids, *, cfg, max_seq, kv_quant,

@@ -95,3 +95,48 @@ class TestQuantize:
                                    rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(y8), np.asarray(y24),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestServing:
+    @pytest.fixture(scope="class")
+    def quantized(self):
+        cfg = qwen3next.CONFIG_PRESETS["tiny-qwen3next"]
+        params = qwen3next.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        return cfg, res
+
+    def test_prefill_decode_match_model_fwd(self, quantized):
+        from autoround_tpu.serve import QuantizedLlama
+        cfg, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2, 12), 0, 256)
+        logits, cache = eng.prefill(ids)
+        # hybrid cache: 1 full layer KV buffer, 3 linear states
+        assert cache.k.shape[0] == 1 and cache.state.shape[0] == 3
+        assert cache.conv.shape[2] == cfg.linear_conv_kernel_dim - 1
+        want = qwen3next.model_fwd(res.params, ids, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+        # O(1) recurrent decode steps track the full forward
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        seq = ids
+        for _ in range(3):
+            logits, cache = eng.decode_step(tok, cache)
+            seq = jnp.concatenate([seq, tok[:, None]], axis=1)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        want2 = qwen3next.model_fwd(res.params, seq, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want2, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+    def test_generate_scan(self, quantized):
+        from autoround_tpu.serve import QuantizedLlama
+        cfg, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        ids = jax.random.randint(jax.random.PRNGKey(4), (2, 4), 0, 256)
+        out = eng.generate_scan(ids, max_new_tokens=6)
+        out2 = eng.generate(ids, max_new_tokens=6)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
