@@ -699,6 +699,19 @@ _BIAS_NAME = {"q_bias": "attn_q", "k_bias": "attn_k", "v_bias": "attn_v"}
 
 def gguf_arch(model_cfg) -> str:
     """llama.cpp architecture id for a model config."""
+    name = type(model_cfg).__name__
+    by_cls = {"DeepseekConfig": "deepseek2", "Glm4MoeConfig": "glm4moe",
+              "GptOssConfig": "gpt-oss", "Llama4Config": "llama4",
+              "Qwen3NextConfig": "qwen3next"}
+    if name in by_cls:
+        return by_cls[name]
+    if name == "MixtralConfig":
+        return ("qwen3moe" if getattr(model_cfg, "qk_norm", False)
+                else "qwen2moe" if getattr(
+                    model_cfg, "shared_expert_intermediate", 0)
+                else "llama")  # Mixtral exports under the llama arch
+    if getattr(model_cfg, "rope_local_theta", 0.0):
+        return "gemma3"
     if getattr(model_cfg, "qk_norm", False):
         return "qwen3"
     if getattr(model_cfg, "sandwich_norms", False):
