@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "calibration batch")
     p.add_argument("--nblocks", type=int, default=1,
                    help="tune N consecutive blocks jointly")
+    p.add_argument("--enable-rotation", default=None,
+                   help="pre-quantization rotations: r1 | r4 | spin | r2 "
+                        "(comma-combinable, e.g. 'spin,r2,r4')")
     p.add_argument("--model-free", action="store_true",
                    help="streaming shard RTN without model instantiation")
     p.add_argument("--seed", type=int, default=42)
@@ -142,6 +145,7 @@ def main(argv=None) -> int:
                    minmax_lr=args.minmax_lr, nblocks=args.nblocks,
                    quant_lm_head=args.quant_lm_head,
                    ignore_layers=args.ignore_layers,
+                   enable_rotation=args.enable_rotation or False,
                    seed=args.seed, **recipe)
     result = ar.quantize(ids, mask=mask)
     out = ar.save_quantized(args.output, format=args.format)
@@ -150,7 +154,9 @@ def main(argv=None) -> int:
     if args.eval_ppl:
         from .eval import perplexity
         report["ppl_fp"] = perplexity(params, cfg, ids, mask)
-        report["ppl_quant"] = perplexity(result.params, cfg, ids, mask)
+        # ar.model_cfg carries rotation-induced config changes (online R4)
+        report["ppl_quant"] = perplexity(result.params, ar.model_cfg, ids,
+                                         mask)
     print(json.dumps(report))
     return 0
 
