@@ -269,6 +269,15 @@ class TPQuantizedLlama:
         ``dp``/``tp``) and return the mesh-parallel engine."""
         tp = mesh.shape["tp"]
         cfg = engine.cfg
+        from ..models.deepseek import DeepseekConfig
+        from ..models.llama4 import Llama4Config
+        from ..models.qwen3next import Qwen3NextConfig
+        if isinstance(cfg, (Llama4Config, Qwen3NextConfig)) or (
+                isinstance(cfg, DeepseekConfig) and cfg.kv_lora_rank):
+            raise NotImplementedError(
+                f"TP engine covers the llama-family cache layout; "
+                f"{type(cfg).__name__} (MLA latents / NoPE / recurrent "
+                "state) needs its own sharded cores")
         packed = {k: v for k, v in engine.packed.items()
                   if not k.endswith(("qkv", "gate_up"))}
         _validate_shardable(cfg, packed, engine.params, tp)
