@@ -333,7 +333,7 @@ def attention(q, k, v, mask: Optional[jax.Array], cfg: LlamaConfig):
     (ops/flash_attention.py) — no (S, T) scores materialization.
     """
     B, S, nh, hd = q.shape
-    if (mask is None and hd == 128 and S >= 512 and S % 256 == 0
+    if (mask is None and hd % 128 == 0 and S >= 512 and S % 256 == 0
             and k.shape[1] % 256 == 0 and cfg.attn_logit_softcap == 0.0
             and cfg.attn_scale is None
             and jax.devices()[0].platform == "tpu"):

@@ -93,14 +93,20 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
         l_ref[:] = l_next
 
         v = v_ref[0, 0]                 # (block_k, D)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+        D = acc_ref.shape[-1]
+        alpha_d = (jnp.concatenate([alpha] * (D // 128), axis=1)
+                   if D > 128 else alpha)
+        acc_ref[:] = acc_ref[:] * alpha_d + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
     @pl.when(kv_idx == n_kv - 1)
     def _():
         l = l_ref[:]
         inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_ref[:] * inv).astype(o_ref.dtype)
+        D = acc_ref.shape[-1]
+        inv_d = (jnp.concatenate([inv] * (D // 128), axis=1)
+                 if D > 128 else inv)
+        o_ref[0, 0] = (acc_ref[:] * inv_d).astype(o_ref.dtype)
         # logsumexp per row, lane-replicated (block_q, 128) — the
         # backward kernels re-normalize recomputed scores with it
         lse_ref[0, 0] = m_ref[:] + jnp.log(jnp.where(l == 0.0, 1.0, l))
@@ -313,7 +319,7 @@ def _flash_fwd_impl(q, k, v, causal: bool = True, block_q: int = 256,
     block_k = min(block_k, T)
     usable = (jax.devices()[0].platform == "tpu"
               and S % block_q == 0 and T % block_k == 0
-              and block_q >= 8 and block_k >= 128 and D == 128)
+              and block_q >= 8 and block_k >= 128 and D % 128 == 0)
     if not usable:
         return flash_attention_ref(q, k, v, causal), None
 
