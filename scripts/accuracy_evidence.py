@@ -41,7 +41,14 @@ def main():
     from autoround_tpu.models import llama
 
     cfg = llama.CONFIG_PRESETS[args.preset]
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    # host-side init + one device_put: on-device init_params issues ~100
+    # tiny RNG executables — minutes of remote compiles over the tunnel
+    from e2e_flagship import host_init_params
+    t0 = time.time()
+    host = host_init_params(cfg)
+    params = jax.device_put(host)
+    jax.block_until_ready(params["embed_tokens"])
+    print(f"[stage] init+upload {time.time()-t0:.1f}s", flush=True)
     rng = np.random.default_rng(7)
     calib = rng.integers(0, cfg.vocab_size,
                          (args.nsamples, args.seqlen)).astype(np.int32)
@@ -52,13 +59,18 @@ def main():
               "iters": args.iters, "nsamples": args.nsamples,
               "seqlen": args.seqlen}
 
+    t0 = time.time()
     report["ppl_fp"] = float(perplexity(params, cfg, heldout))
+    print(f"[stage] ppl_fp {report['ppl_fp']:.1f} "
+          f"({time.time()-t0:.1f}s)", flush=True)
 
     t0 = time.time()
     rtn = AutoRound((params, cfg), scheme=args.scheme,
                     iters=0).quantize(calib)
     report["ppl_rtn"] = float(perplexity(rtn.params, cfg, heldout))
     report["rtn_wall_s"] = round(time.time() - t0, 1)
+    print(f"[stage] rtn done {report['rtn_wall_s']}s "
+          f"ppl {report['ppl_rtn']:.1f}", flush=True)
     del rtn
 
     t0 = time.time()

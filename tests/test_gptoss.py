@@ -104,3 +104,19 @@ class TestGptOssServing:
         np.testing.assert_allclose(np.asarray(logits2, np.float32),
                                    np.asarray(want2, np.float32),
                                    rtol=tol, atol=tol)
+
+    def test_continuous_batching(self, quantized):
+        from autoround_tpu.serve import QuantizedLlama
+        from autoround_tpu.serve.batching import ContinuousBatchingEngine
+        cfg, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=64)
+        cb = ContinuousBatchingEngine(eng, max_batch=2, max_seq=64,
+                                      prompt_buckets=(16,))
+        prompts = [[3, 5, 7, 2, 9, 11, 1, 8, 6, 4], [12, 4, 9]]
+        rids = [cb.submit(p, max_new_tokens=4) for p in prompts]
+        while cb.pending():
+            cb.step()
+        for p, rid in zip(prompts, rids):
+            want = np.asarray(eng.generate(
+                jnp.asarray([p], jnp.int32), max_new_tokens=4))[0]
+            np.testing.assert_array_equal(np.asarray(cb.result(rid)), want)
