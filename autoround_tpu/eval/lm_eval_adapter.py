@@ -32,8 +32,8 @@ def _score_fn(cfg, packed=None, kinds=None):
     mfns = get_model_fns(cfg)
     model_fwd = mfns.model_fwd
 
-    def fwd(params, ids):
-        if packed is None:
+    def fwd(params, pk, ids):
+        if pk is None:
             return model_fwd(params, ids, cfg)
         from ..serve.engine import QuantizedLlama
         x = llama.embed_fwd(params, ids, cfg)
@@ -48,14 +48,15 @@ def _score_fn(cfg, packed=None, kinds=None):
             x = mfns.block_fwd(
                 b, x, cos, sin, cfg, mask=m,
                 linear_fn=QuantizedLlama._make_linear_fn(
-                    packed, i, kinds))
+                    pk, i, kinds))
         return llama.final_fwd(params, x, cfg)
 
+    # packed weights ride as a jit ARGUMENT — closure capture would bake
+    # the packed payloads into the HLO as constants (GBs at 8B scale,
+    # which the remote-compile service cannot swallow)
     @jax.jit
-    def score(params, ids, cont_mask):
-        """ids (B, S); cont_mask (B, S) 1.0 on continuation positions.
-        Returns (sum logp of continuation, greedy-match flags)."""
-        logits = fwd(params, ids[:, :-1]).astype(jnp.float32)
+    def score_impl(params, pk, ids, cont_mask):
+        logits = fwd(params, pk, ids[:, :-1]).astype(jnp.float32)
         targets = ids[:, 1:]
         logp = jax.nn.log_softmax(logits, axis=-1)
         tok_lp = jnp.take_along_axis(logp, targets[..., None],
@@ -65,6 +66,11 @@ def _score_fn(cfg, packed=None, kinds=None):
         greedy = jnp.argmax(logits, axis=-1) == targets
         all_greedy = jnp.all(jnp.where(m > 0, greedy, True), axis=-1)
         return total, all_greedy
+
+    def score(params, ids, cont_mask):
+        """ids (B, S); cont_mask (B, S) 1.0 on continuation positions.
+        Returns (sum logp of continuation, greedy-match flags)."""
+        return score_impl(params, packed, ids, cont_mask)
 
     return score
 

@@ -23,9 +23,12 @@ def lm_nll(params: Dict[str, Any], cfg: llama.LlamaConfig,
     from ..models.registry import get_model_fns
     model_fwd = get_model_fns(cfg).model_fwd
 
+    # params MUST be a jit argument, not a closure capture: captured
+    # params bake into the HLO as constants (GBs for real models — the
+    # remote-compile payload then ships the whole model per compile)
     @jax.jit
-    def nll_batch(ids, m):
-        logits = model_fwd(params, ids[:, :-1], cfg).astype(jnp.float32)
+    def nll_batch(p, ids, m):
+        logits = model_fwd(p, ids[:, :-1], cfg).astype(jnp.float32)
         targets = ids[:, 1:]
         logp = jax.nn.log_softmax(logits, axis=-1)
         tok_nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
@@ -36,7 +39,7 @@ def lm_nll(params: Dict[str, Any], cfg: llama.LlamaConfig,
         mask = jnp.ones((N, S), jnp.float32)
     tot, cnt = 0.0, 0.0
     for s in range(0, N, batch):
-        t, c = nll_batch(input_ids[s:s + batch], mask[s:s + batch])
+        t, c = nll_batch(params, input_ids[s:s + batch], mask[s:s + batch])
         tot += float(t)
         cnt += float(c)
     return tot / max(cnt, 1.0)

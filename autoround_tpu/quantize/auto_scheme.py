@@ -134,14 +134,16 @@ def gen_auto_scheme(
             cached = (z["scores"], z["bits_cost"], z["nparams"])
             logger.info("AutoScheme: score cache hit %s", cache_path)
 
-    # one gradient pass over the quantizable leaves
-    def loss_of_blocks(blocks):
-        p = dict(params)
-        p["blocks"] = blocks
-        return _lm_loss(p, model_cfg, ids)
+    # one gradient pass over the quantizable leaves — jitted with the
+    # params as ARGUMENTS (no captured-constant HLO, one executable)
+    def _grad_blocks(blocks, rest, i):
+        return jax.grad(
+            lambda b: _lm_loss({**rest, "blocks": b}, model_cfg, i))(blocks)
 
-    grads_blocks = (jax.grad(loss_of_blocks)(params["blocks"])
-                    if cached is None else None)
+    grads_blocks = (jax.jit(_grad_blocks)(
+        params["blocks"],
+        {k: v for k, v in params.items() if k != "blocks"}, ids)
+        if cached is None else None)
 
     # activation-side damage (reference mix_score = weight_score +
     # act_score, delta_loss.py:100-160): capture each quantized linear's
@@ -159,7 +161,10 @@ def gen_auto_scheme(
         inner = {n.split(".", 2)[2] for n in layer_names}
         cos, sin = mfns.rope_tables(model_cfg, ids.shape[1] - 1)
 
-        def fwd_with_probes(probes):
+        # params/ids ride as jit ARGUMENTS (closure capture would bake
+        # the whole model into the HLO as constants — the remote-compile
+        # payload then ships GBs per compile)
+        def fwd_with_probes(probes, params, ids):
             x = mfns.embed_fwd(params, ids[:, :-1], model_cfg)
             captured = {}
 
@@ -192,11 +197,12 @@ def gen_auto_scheme(
         probes = {k: jnp.zeros(s, x0.dtype) for k, s in probe_shapes.items()}
         if act_options:
             (loss_val, act_x), g = jax.jit(
-                lambda p: jax.value_and_grad(fwd_with_probes, has_aux=True)(p)
-            )(probes)
+                lambda p, w, i: jax.value_and_grad(
+                    fwd_with_probes, has_aux=True)(p, w, i)
+            )(probes, params, ids)
             act_g = g
         else:   # imatrix only: plain forward capture, no gradient
-            _, act_x = jax.jit(fwd_with_probes)(probes)
+            _, act_x = jax.jit(fwd_with_probes)(probes, params, ids)
         if auto_scheme.use_imatrix:
             imatrices = {k: jnp.mean(jnp.square(v.astype(jnp.float32)),
                                      axis=(0, 1))
