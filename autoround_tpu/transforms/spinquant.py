@@ -139,11 +139,37 @@ def train_r1_rotation(
 
     A0 = jnp.zeros((cfg.hidden_size, cfg.hidden_size), jnp.float32)
 
+    # the loss data (weights/activations) rides as a jit ARGUMENT — a
+    # closure capture would bake it into the HLO as constants (GBs at
+    # real-model scale, shipped with every remote compile)
+    if calib_x is not None:
+        loss_data = (tuple(blocks), x0, tuple(fp_outs))
+
+        def loss_with(A, data):
+            nonlocal blocks, x0, fp_outs
+            blocks_s, x0_s, fp_s = blocks, x0, fp_outs
+            blocks, x0, fp_outs = list(data[0]), data[1], list(data[2])
+            try:
+                return loss_fn(A)
+            finally:
+                blocks, x0, fp_outs = blocks_s, x0_s, fp_s
+    else:
+        loss_data = tuple(read_ws)
+
+        def loss_with(A, data):
+            nonlocal read_ws
+            saved = read_ws
+            read_ws = list(data)
+            try:
+                return loss_fn(A)
+            finally:
+                read_ws = saved
+
     @jax.jit
-    def run(A0):
+    def run(A0, data):
         def step(carry, i):
             A, best_A, best_l = carry
-            l, g = jax.value_and_grad(loss_fn)(A)
+            l, g = jax.value_and_grad(loss_with)(A, data)
             is_best = l < best_l
             best_A = jnp.where(is_best, A, best_A)
             best_l = jnp.minimum(best_l, l)
@@ -154,7 +180,7 @@ def train_r1_rotation(
             step, (A0, A0, jnp.inf), jnp.arange(sq_cfg.steps))
         return best_A, losses
 
-    best_A, losses = run(A0)
+    best_A, losses = run(A0, loss_data)
     logger.info("SpinQuant R1: loss %.5g -> %.5g over %d steps",
                 float(losses[0]), float(jnp.min(losses)), sq_cfg.steps)
     return H @ cayley(_skew(best_A))
@@ -205,11 +231,21 @@ def train_r2_rotations(
 
     A0 = jnp.zeros((L, hd, hd), jnp.float32)
 
+    # weights ride as jit arguments (no captured-constant HLO)
+    def loss_with(A, data):
+        nonlocal wv, wo
+        saved = (wv, wo)
+        wv, wo = data
+        try:
+            return loss_fn(A)
+        finally:
+            wv, wo = saved
+
     @jax.jit
-    def run(A0):
+    def run(A0, data):
         def step(carry, i):
             A, best_A, best_l = carry
-            l, g = jax.value_and_grad(loss_fn)(A)
+            l, g = jax.value_and_grad(loss_with)(A, data)
             is_best = l < best_l
             best_A = jnp.where(is_best, A, best_A)
             best_l = jnp.minimum(best_l, l)
@@ -220,7 +256,7 @@ def train_r2_rotations(
             step, (A0, A0, jnp.inf), jnp.arange(sq_cfg.steps))
         return best_A, losses
 
-    best_A, losses = run(A0)
+    best_A, losses = run(A0, (wv, wo))
     logger.info("SpinQuant R2: loss %.5g -> %.5g over %d steps",
                 float(losses[0]), float(jnp.min(losses)), sq_cfg.steps)
     return jax.vmap(lambda a: H2 @ cayley(_skew(a)))(best_A)
