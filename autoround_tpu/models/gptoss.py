@@ -214,24 +214,80 @@ def _clamped_swiglu(gate, up, cfg: GptOssConfig):
     return ((up + 1.0) * glu)
 
 
-def _moe_mlp(weights, h, cfg: GptOssConfig, lf):
+def _moe_mlp(weights, h, cfg: GptOssConfig, lf,
+             capacity_factor: float = 0.0):
     """Router: top-k logits → softmax over the k; dense-then-mask expert
-    compute with clamped SwiGLU (every expert projection through ``lf``)."""
+    compute with clamped SwiGLU (every expert projection through ``lf``).
+
+    Serving fast paths mirror ``mixtral._moe_mlp``: stacked experts run
+    through ``lf.grouped`` (one grouped Pallas GEMM per projection; the
+    per-expert biases — which the grouped kernel doesn't carry — stack
+    once and add to the (E, C, O) slab), and ``capacity_factor > 0``
+    switches to capacity dispatch (output scaled by the routing weight,
+    the standard combine)."""
     logits = (jnp.einsum("...h,eh->...e", h.astype(jnp.float32),
                          weights["router"].astype(jnp.float32))
               + weights["router_bias"].astype(jnp.float32))
     topv, topi = jax.lax.top_k(logits, cfg.top_k)
     topw = jax.nn.softmax(topv, axis=-1)
-    out = jnp.zeros_like(h, dtype=jnp.float32)
-    for e, ew in enumerate(weights["experts"]):
+    E = cfg.num_experts
+
+    gnames = getattr(lf, "grouped_names", frozenset())
+    use_grouped = {"gate_proj", "up_proj", "down_proj"} <= set(gnames)
+
+    def _bias_stack(name):
+        ex = weights["experts"]
+        if ex and ex[0].get(name) is not None:
+            return jnp.stack([ew[name] for ew in ex])[:, None, :]
+        return None
+
+    def grouped_clamped_swiglu(buf):  # (E, C, H) → (E, C, H)
+        gate = lf.grouped("gate_proj", buf)
+        up = lf.grouped("up_proj", buf)
+        gb, ub = _bias_stack("gate_bias"), _bias_stack("up_bias")
+        if gb is not None:
+            gate = gate + gb.astype(gate.dtype)
+        if ub is not None:
+            up = up + ub.astype(up.dtype)
+        mid = _clamped_swiglu(gate, up, cfg).astype(buf.dtype)
+        y = lf.grouped("down_proj", mid)
+        db = _bias_stack("down_bias")
+        return y + db.astype(y.dtype) if db is not None else y
+
+    def apply_expert(e, xb):
+        ew = weights["experts"][e]
         p = f"experts.{e}."
-        gate = lf(p + "gate_proj", h, ew["gate_proj"], ew.get("gate_bias"))
-        up = lf(p + "up_proj", h, ew["up_proj"], ew.get("up_bias"))
-        mid = _clamped_swiglu(gate, up, cfg).astype(h.dtype)
-        y = lf(p + "down_proj", mid, ew["down_proj"],
-               ew.get("down_bias")).astype(jnp.float32)
-        w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)
-        out = out + y * w_e[..., None]
+        gate = lf(p + "gate_proj", xb, ew["gate_proj"],
+                  ew.get("gate_bias"))
+        up = lf(p + "up_proj", xb, ew["up_proj"], ew.get("up_bias"))
+        mid = _clamped_swiglu(gate, up, cfg).astype(xb.dtype)
+        return lf(p + "down_proj", mid, ew["down_proj"],
+                  ew.get("down_bias"))
+
+    if capacity_factor and capacity_factor > 0:
+        from .mixtral import capacity_dispatch
+        out = capacity_dispatch(
+            h, topi, topw, E, capacity_factor, apply_expert,
+            grouped_apply=grouped_clamped_swiglu if use_grouped else None)
+        out = out.astype(jnp.float32)
+    elif use_grouped:
+        # dense-then-mask through the grouped kernel (exact; biases make
+        # unselected experts nonzero, so the per-token weight matrix —
+        # zero off the top-k — masks them in the combine)
+        B, S, H = h.shape
+        N, k = B * S, cfg.top_k
+        buf = jnp.broadcast_to(h.reshape(1, N, H), (E, N, H))
+        ys = grouped_clamped_swiglu(buf).astype(jnp.float32)
+        w_tok = jnp.zeros((N, E), jnp.float32).at[
+            jnp.repeat(jnp.arange(N), k), topi.reshape(-1)].add(
+            topw.reshape(-1).astype(jnp.float32))
+        out = jnp.einsum("enh,ne->nh", ys, w_tok).reshape(B, S, H)
+    else:
+        out = jnp.zeros_like(h, dtype=jnp.float32)
+        for e in range(E):
+            y = apply_expert(e, h).astype(jnp.float32)
+            w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)
+            out = out + y * w_e[..., None]
     return out.astype(h.dtype)
 
 

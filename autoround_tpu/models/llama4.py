@@ -162,9 +162,16 @@ def _l2_norm(x, eps):
         jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)).astype(x.dtype)
 
 
-def _moe_mlp(weights, h, cfg: Llama4Config, lf):
+def _moe_mlp(weights, h, cfg: Llama4Config, lf,
+             capacity_factor: float = 0.0):
     """Llama4 router: sigmoid(top-k logits) scales each expert's INPUT
-    (non-selected experts see zeros → contribute zero exactly)."""
+    (non-selected experts see zeros → contribute zero exactly).
+
+    Serving fast paths mirror ``mixtral._moe_mlp``: stacked experts run
+    through ``lf.grouped`` (one grouped Pallas GEMM per projection), and
+    ``capacity_factor > 0`` switches to capacity dispatch with
+    ``scale_input=True`` (the routing weight multiplies the expert input,
+    matching the dense semantics above)."""
     act = llama._act(cfg.hidden_act)
     logits = jnp.einsum("...h,eh->...e", h.astype(jnp.float32),
                         weights["router"].astype(jnp.float32))
@@ -172,13 +179,50 @@ def _moe_mlp(weights, h, cfg: Llama4Config, lf):
     thresh = topv[..., -1:]                      # smallest selected logit
     selected = logits >= thresh
     scores = jnp.where(selected, jax.nn.sigmoid(logits), 0.0)  # (..., E)
-    out = jnp.zeros_like(h, dtype=jnp.float32)
-    for e, ew in enumerate(weights["experts"]):
-        xe = (h.astype(jnp.float32) * scores[..., e:e + 1]).astype(h.dtype)
-        gate = act(lf(f"experts.{e}.gate_proj", xe, ew["gate_proj"]))
-        up = lf(f"experts.{e}.up_proj", xe, ew["up_proj"])
-        y = lf(f"experts.{e}.down_proj", gate * up, ew["down_proj"])
-        out = out + y.astype(jnp.float32)
+
+    gnames = getattr(lf, "grouped_names", frozenset())
+    use_grouped = {"gate_proj", "up_proj", "down_proj"} <= set(gnames)
+
+    def grouped_swiglu(buf):  # (E, C, H) → (E, C, H)
+        mid = act(lf.grouped("gate_proj", buf)) * lf.grouped("up_proj",
+                                                             buf)
+        return lf.grouped("down_proj", mid)
+
+    if capacity_factor and capacity_factor > 0:
+        from .mixtral import capacity_dispatch
+
+        def apply_expert(e, xb):
+            ew = weights["experts"][e]
+            gate = act(lf(f"experts.{e}.gate_proj", xb, ew["gate_proj"]))
+            up = lf(f"experts.{e}.up_proj", xb, ew["up_proj"])
+            return lf(f"experts.{e}.down_proj", gate * up,
+                      ew["down_proj"])
+
+        out = capacity_dispatch(
+            h, topi, jax.nn.sigmoid(topv), cfg.num_experts,
+            capacity_factor, apply_expert,
+            grouped_apply=grouped_swiglu if use_grouped else None,
+            scale_input=True)
+        out = out.astype(jnp.float32)
+    elif use_grouped:
+        # dense path through the grouped kernel: expert e's slab is
+        # score_e · h (zero rows for unselected → exact zero output,
+        # SwiGLU has no bias), so the combine is a plain sum over E
+        B, S, H = h.shape
+        E = cfg.num_experts
+        buf = (h.astype(jnp.float32).reshape(1, B * S, H)
+               * scores.reshape(B * S, E).T[:, :, None]).astype(h.dtype)
+        out = jnp.sum(grouped_swiglu(buf).astype(jnp.float32),
+                      axis=0).reshape(B, S, H)
+    else:
+        out = jnp.zeros_like(h, dtype=jnp.float32)
+        for e, ew in enumerate(weights["experts"]):
+            xe = (h.astype(jnp.float32)
+                  * scores[..., e:e + 1]).astype(h.dtype)
+            gate = act(lf(f"experts.{e}.gate_proj", xe, ew["gate_proj"]))
+            up = lf(f"experts.{e}.up_proj", xe, ew["up_proj"])
+            y = lf(f"experts.{e}.down_proj", gate * up, ew["down_proj"])
+            out = out + y.astype(jnp.float32)
     sw = weights["shared_expert"]
     gate = act(lf("shared_expert.gate_proj", h, sw["gate_proj"]))
     up = lf("shared_expert.up_proj", h, sw["up_proj"])

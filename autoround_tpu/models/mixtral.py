@@ -128,7 +128,8 @@ def init_params(cfg: MixtralConfig, key: jax.Array) -> Dict[str, Any]:
 
 def capacity_dispatch(h, topi, topv, E: int, capacity_factor: float,
                       apply_expert, grouped_apply=None,
-                      expert_offset=0, n_global_experts: int = 0):
+                      expert_offset=0, n_global_experts: int = 0,
+                      scale_input: bool = False):
     """Capacity-based MoE dispatch (role of the reference's fused-MoE
     grouped GEMM, ``modeling/fused_moe``): tokens gather into fixed
     (E, C, H) slabs, each expert's kernels run on C tokens instead of
@@ -146,6 +147,11 @@ def capacity_dispatch(h, topi, topv, E: int, capacity_factor: float,
     each shard owns E local experts: global routing ids map to local
     rows, foreign slots drop into the spill row, and the caller psums
     the partial routed output across shards (the combine).
+
+    ``scale_input=True`` applies the routing weight to the expert INPUT
+    instead of the output (Llama4 router semantics — the expert is
+    nonlinear, so the two are not equivalent); the combine then sums
+    kept contributions unweighted.
     """
     B, S, H = h.shape
     k = topi.shape[-1]
@@ -166,14 +172,19 @@ def capacity_dispatch(h, topi, topv, E: int, capacity_factor: float,
     keep = local & (pos_e < C)
     pos_c = jnp.where(keep, pos_e, C)             # drops land in a
     buf = jnp.zeros((E, C + 1, H), h.dtype)       # spill row
-    buf = buf.at[e_idx, pos_c].set(hf[n_idx])
+    vals = hf[n_idx]
+    if scale_input:
+        vals = (vals.astype(jnp.float32)
+                * w_slot[:, None]).astype(h.dtype)
+    buf = buf.at[e_idx, pos_c].set(vals)
     if grouped_apply is not None:
         ys = grouped_apply(buf[:, :C]).astype(jnp.float32)
     else:
         ys = jnp.stack([apply_expert(e, buf[e, :C])
                         for e in range(E)]).astype(jnp.float32)
-    contrib = ys[e_idx, pos_c.clip(0, C - 1)] * (
-        w_slot * keep.astype(jnp.float32))[:, None]
+    w_comb = (keep.astype(jnp.float32) if scale_input
+              else w_slot * keep.astype(jnp.float32))
+    contrib = ys[e_idx, pos_c.clip(0, C - 1)] * w_comb[:, None]
     out = jnp.zeros((N, H), jnp.float32).at[n_idx].add(contrib)
     return out.reshape(B, S, H)
 

@@ -72,6 +72,12 @@ class ContinuousBatchingEngine:
         self.eos = eos_token
         cfg = self.cfg
         from ..models.deepseek import DeepseekConfig
+        from ..models.qwen3next import Qwen3NextConfig
+        if isinstance(cfg, Qwen3NextConfig):
+            raise NotImplementedError(
+                "continuous batching for Qwen3-Next needs per-slot "
+                "conv/recurrent state buffers — use the single-batch "
+                "engine (QuantizedLlama.generate/generate_scan)")
         self._mla = (isinstance(cfg, DeepseekConfig)
                      and bool(cfg.kv_lora_rank))
         if self._mla:

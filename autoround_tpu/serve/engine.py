@@ -375,8 +375,11 @@ class QuantizedLlama:
                    for k in set(kinds.values())}
         logger.info("serving engine: %d layers packed (%s), rest dense",
                     len(packed), by_kind or "none")
+        from ..models.gptoss import GptOssConfig
+        from ..models.llama4 import Llama4Config
         from ..models.mixtral import MixtralConfig
-        if isinstance(cfg, (MixtralConfig, DeepseekConfig)):
+        if isinstance(cfg, (MixtralConfig, DeepseekConfig, Llama4Config,
+                            GptOssConfig)):
             packed, kinds = _stack_experts(packed, kinds, cfg)
         if is_mla:
             fused, splits = packed, None  # no qkv/gate_up fusion groups
@@ -1083,14 +1086,19 @@ def _block_with_cache(weights, x, cos, sin, cfg, kv, pos, lf,
         h = llama.rms_norm(x, weights["post_attention_layernorm"],
                            cfg.rms_eps, off)
     if "experts" in weights:
+        from .. import envs
         if l4:
             from ..models.llama4 import _moe_mlp as _l4_moe_mlp
-            mlp_out = _l4_moe_mlp(weights, h, cfg, lf)
+            mlp_out = _l4_moe_mlp(
+                weights, h, cfg, lf,
+                capacity_factor=envs.AR_MOE_CAPACITY_FACTOR)
         elif "router_bias" in weights:
             # GPT-OSS: top-k-then-softmax router with bias + clamped
             # SwiGLU experts — shared with the tuning path
             from ..models.gptoss import _moe_mlp as _oss_moe_mlp
-            mlp_out = _oss_moe_mlp(weights, h, cfg, lf)
+            mlp_out = _oss_moe_mlp(
+                weights, h, cfg, lf,
+                capacity_factor=envs.AR_MOE_CAPACITY_FACTOR)
         elif "gate" in weights:
             # DeepSeek/GLM-style router (sigmoid/softmax + aux-free bias
             # + group limiting) — shared with the tuning path; capacity

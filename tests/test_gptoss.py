@@ -120,3 +120,54 @@ class TestGptOssServing:
             want = np.asarray(eng.generate(
                 jnp.asarray([p], jnp.int32), max_new_tokens=4))[0]
             np.testing.assert_array_equal(np.asarray(cb.result(rid)), want)
+
+
+class TestGroupedExpertServing:
+    """GPT-OSS experts (with per-expert biases) stack into the grouped
+    MoE kernel payload; biases stack separately and add to the slab."""
+
+    @pytest.fixture(scope="class")
+    def engine(self):
+        from autoround_tpu.serve import QuantizedLlama
+        # kernel-sized dims (K % 1024 == 0, O % 256 == 0): the tiny
+        # preset's 64-wide layers fall below the packing constraints
+        cfg = gptoss.GptOssConfig(
+            vocab_size=128, hidden_size=1024, intermediate_size=1024,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+            rope_theta=1e4, attn_bias=True, sliding_window=8,
+            num_experts=4, top_k=2, dtype=jnp.float32)
+        params = gptoss.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        return cfg, res, eng
+
+    def test_experts_stacked(self, engine):
+        cfg, res, eng = engine
+        stacked = sorted(k for k in eng.packed if "experts_stack" in k)
+        assert len(stacked) == 3 * cfg.num_layers
+        assert not any(".experts." in k for k in eng.packed)
+
+    def test_grouped_parity(self, engine):
+        cfg, res, eng = engine
+        ids = jax.random.randint(jax.random.PRNGKey(5), (2, 12), 0,
+                                  cfg.vocab_size)
+        logits, _ = eng.prefill(ids)
+        want = gptoss.model_fwd(res.params, ids, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+    def test_capacity_dispatch(self, engine, monkeypatch):
+        from autoround_tpu import envs
+        cfg, res, eng = engine
+        monkeypatch.setattr(envs, "AR_MOE_CAPACITY_FACTOR", 4.0)
+        ids = jax.random.randint(jax.random.PRNGKey(6), (2, 12), 0,
+                                  cfg.vocab_size)
+        logits, cache = jax.jit(eng._prefill_impl)(eng.params, eng.packed,
+                                                   ids)
+        want = gptoss.model_fwd(res.params, ids, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=5e-2, atol=5e-2)

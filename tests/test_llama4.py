@@ -150,3 +150,61 @@ class TestServing:
             want = np.asarray(eng.generate(
                 jnp.asarray([p], jnp.int32), max_new_tokens=4))[0]
             np.testing.assert_array_equal(np.asarray(cb.result(rid)), want)
+
+
+class TestGroupedExpertServing:
+    """Llama4 experts stack into the grouped MoE kernel payload; the
+    input-scaled router rides both the dense-grouped and capacity
+    (scale_input=True) dispatch paths."""
+
+    @pytest.fixture(scope="class")
+    def engine(self):
+        from autoround_tpu.serve import QuantizedLlama
+        # kernel-sized dims (K % 1024 == 0, O % 256 == 0): the tiny
+        # preset's 64-wide layers fall below the packing constraints
+        cfg = llama4.Llama4Config(
+            vocab_size=128, hidden_size=1024, intermediate_size=1024,
+            intermediate_size_mlp=1024, num_layers=2, num_heads=4,
+            num_kv_heads=2, head_dim=64, rope_theta=1e4,
+            num_experts=4, top_k=2, moe_layers=(0,),
+            no_rope_layers=(1, 0), sliding_window=8,
+            layer_types=("sliding_attention", "full_attention"),
+            dtype=jnp.float32)
+        params = llama4.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        return cfg, res, eng
+
+    def test_experts_stacked(self, engine):
+        cfg, res, eng = engine
+        stacked = sorted(k for k in eng.packed if "experts_stack" in k)
+        # 1 MoE block x gate/up/down; the dense block stays unstacked
+        assert len(stacked) == 3
+        assert not any(".experts." in k for k in eng.packed)
+
+    def test_grouped_parity(self, engine):
+        cfg, res, eng = engine
+        ids = jax.random.randint(jax.random.PRNGKey(5), (2, 12), 0,
+                                  cfg.vocab_size)
+        logits, _ = eng.prefill(ids)
+        want = llama4.model_fwd(res.params, ids, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+    def test_capacity_dispatch(self, engine, monkeypatch):
+        from autoround_tpu import envs
+        cfg, res, eng = engine
+        monkeypatch.setattr(envs, "AR_MOE_CAPACITY_FACTOR", 4.0)
+        ids = jax.random.randint(jax.random.PRNGKey(6), (2, 12), 0,
+                                  cfg.vocab_size)
+        # fresh jit cache: capacity factor is read at trace time
+        logits, cache = jax.jit(eng._prefill_impl)(eng.params, eng.packed,
+                                                   ids)
+        want = llama4.model_fwd(res.params, ids, cfg)[:, -1]
+        # generous capacity (4x) -> no drops on tiny batches
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=5e-2, atol=5e-2)
