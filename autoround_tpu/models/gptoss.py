@@ -238,7 +238,14 @@ def _moe_mlp(weights, h, cfg: GptOssConfig, lf,
     def _bias_stack(name):
         ex = weights["experts"]
         if ex and ex[0].get(name) is not None:
-            return jnp.stack([ew[name] for ew in ex])[:, None, :]
+            b = jnp.stack([ew[name] for ew in ex])      # (E, O) replicated
+            El = getattr(lf, "local_experts", b.shape[0])
+            if El != b.shape[0]:
+                # expert parallelism: this shard's grouped payload holds
+                # El experts starting at lf.expert_offset
+                b = jax.lax.dynamic_slice_in_dim(b, lf.expert_offset,
+                                                 El, 0)
+            return b[:, None, :]
         return None
 
     def grouped_clamped_swiglu(buf):  # (E, C, H) → (E, C, H)
@@ -264,11 +271,20 @@ def _moe_mlp(weights, h, cfg: GptOssConfig, lf,
         return lf(p + "down_proj", mid, ew["down_proj"],
                   ew.get("down_bias"))
 
+    # expert parallelism (tp engine): this shard owns El experts at `off`
+    off = getattr(lf, "expert_offset", 0)
+    El = getattr(lf, "local_experts", E)
+    combine = getattr(lf, "expert_combine", None)
+
     if capacity_factor and capacity_factor > 0:
         from .mixtral import capacity_dispatch
         out = capacity_dispatch(
-            h, topi, topw, E, capacity_factor, apply_expert,
-            grouped_apply=grouped_clamped_swiglu if use_grouped else None)
+            h, topi, topw, El if use_grouped else E, capacity_factor,
+            apply_expert,
+            grouped_apply=grouped_clamped_swiglu if use_grouped else None,
+            expert_offset=off, n_global_experts=E)
+        if combine is not None and use_grouped:
+            out = combine(out)
         out = out.astype(jnp.float32)
     elif use_grouped:
         # dense-then-mask through the grouped kernel (exact; biases make
@@ -276,12 +292,17 @@ def _moe_mlp(weights, h, cfg: GptOssConfig, lf,
         # zero off the top-k — masks them in the combine)
         B, S, H = h.shape
         N, k = B * S, cfg.top_k
-        buf = jnp.broadcast_to(h.reshape(1, N, H), (E, N, H))
+        buf = jnp.broadcast_to(h.reshape(1, N, H), (El, N, H))
         ys = grouped_clamped_swiglu(buf).astype(jnp.float32)
-        w_tok = jnp.zeros((N, E), jnp.float32).at[
-            jnp.repeat(jnp.arange(N), k), topi.reshape(-1)].add(
-            topw.reshape(-1).astype(jnp.float32))
+        flat_i = topi.reshape(-1) - off
+        valid = ((flat_i >= 0) & (flat_i < El)).astype(jnp.float32)
+        w_tok = jnp.zeros((N, El), jnp.float32).at[
+            jnp.repeat(jnp.arange(N), k),
+            jnp.clip(flat_i, 0, El - 1)].add(
+            topw.reshape(-1).astype(jnp.float32) * valid)
         out = jnp.einsum("enh,ne->nh", ys, w_tok).reshape(B, S, H)
+        if combine is not None:
+            out = combine(out)
     else:
         out = jnp.zeros_like(h, dtype=jnp.float32)
         for e in range(E):

@@ -188,6 +188,12 @@ def _moe_mlp(weights, h, cfg: Llama4Config, lf,
                                                              buf)
         return lf.grouped("down_proj", mid)
 
+    # expert parallelism (tp engine): this shard owns El experts at `off`
+    E = cfg.num_experts
+    off = getattr(lf, "expert_offset", 0)
+    El = getattr(lf, "local_experts", E)
+    combine = getattr(lf, "expert_combine", None)
+
     if capacity_factor and capacity_factor > 0:
         from .mixtral import capacity_dispatch
 
@@ -199,21 +205,27 @@ def _moe_mlp(weights, h, cfg: Llama4Config, lf,
                       ew["down_proj"])
 
         out = capacity_dispatch(
-            h, topi, jax.nn.sigmoid(topv), cfg.num_experts,
+            h, topi, jax.nn.sigmoid(topv), El if use_grouped else E,
             capacity_factor, apply_expert,
             grouped_apply=grouped_swiglu if use_grouped else None,
-            scale_input=True)
+            expert_offset=off, n_global_experts=E, scale_input=True)
+        if combine is not None and use_grouped:
+            out = combine(out)
         out = out.astype(jnp.float32)
     elif use_grouped:
         # dense path through the grouped kernel: expert e's slab is
         # score_e · h (zero rows for unselected → exact zero output,
-        # SwiGLU has no bias), so the combine is a plain sum over E
+        # SwiGLU has no bias), so the combine is a plain sum over the
+        # local experts (+ psum across shards under EP)
         B, S, H = h.shape
-        E = cfg.num_experts
+        sc_loc = jax.lax.dynamic_slice_in_dim(
+            scores.reshape(B * S, E), off, El, 1)
         buf = (h.astype(jnp.float32).reshape(1, B * S, H)
-               * scores.reshape(B * S, E).T[:, :, None]).astype(h.dtype)
+               * sc_loc.T[:, :, None]).astype(h.dtype)
         out = jnp.sum(grouped_swiglu(buf).astype(jnp.float32),
                       axis=0).reshape(B, S, H)
+        if combine is not None:
+            out = combine(out)
     else:
         out = jnp.zeros_like(h, dtype=jnp.float32)
         for e, ew in enumerate(weights["experts"]):

@@ -36,7 +36,7 @@ from .engine import (KVCache, QuantizedLlama, _decode_core, _prefill_core)
 
 __all__ = ["TPQuantizedLlama"]
 
-_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "q_b_proj")
 _ROW = ("o_proj", "down_proj")
 _BIAS = ("q_bias", "k_bias", "v_bias")
 
@@ -50,16 +50,26 @@ def _weight_spec(name: str, leaf) -> Optional[P]:
         return P(None, "tp")
     if name in _BIAS:
         return P("tp")
-    return P()  # norms / anything else replicated
+    if name == "kv_b_proj":
+        # MLA decompression weight: (nh·(dn+dv), r) stays a dense leaf
+        # (absorbed decode contracts it per head) and shards on heads —
+        # a contiguous row split lands exactly on head boundaries
+        return P("tp", None)
+    if name == "sinks":
+        return P("tp")  # per-head attention sinks follow the head split
+    return P()  # norms / q_a / kv_a latents / expert biases (full-O,
+    #             sliced to local experts in the grouped path) replicated
 
 
 def _params_specs(params) -> Dict[str, Any]:
     def leaf_spec(n, w):
-        if isinstance(w, (list, tuple, dict)):
-            # subtrees (MoE expert lists, shared_experts dicts): match
-            # the structure leaf-wise, replicated (packed expert payloads
-            # carry the sharding; dense expert leaves are None/ replicas)
-            return jax.tree.map(lambda _: P(), w)
+        if isinstance(w, dict):
+            # expert / shared_expert dicts: shard leaf-wise BY NAME so
+            # the dense fallback matches lf's row-parallel psum (a
+            # replicated down_proj would double-count under the psum)
+            return {kk: leaf_spec(kk, vv) for kk, vv in w.items()}
+        if isinstance(w, (list, tuple)):
+            return [leaf_spec(n, e) for e in w]
         return _weight_spec(n, w)
 
     specs: Dict[str, Any] = {}
@@ -102,6 +112,16 @@ def _cache_spec(kv_quant: Optional[str]) -> KVCache:
     sc = P(None, None, None, "tp", None) if kv_quant is not None else None
     return KVCache(k=P(None, "dp", None, "tp", None),
                    v=P(None, "dp", None, "tp", None),
+                   length=P(), k_scale=sc, v_scale=sc)
+
+
+def _mla_cache_spec(kv_quant: Optional[str]) -> KVCache:
+    """MLA latents are MQA-like (one r+dr vector per token): the cache
+    replicates over tp — every shard scores its local heads against the
+    full latent stream — and shards only the batch over dp."""
+    sc = P() if kv_quant is not None else None
+    return KVCache(k=P(None, "dp", None, None, None),
+                   v=P(None, "dp", None, None, None),
                    length=P(), k_scale=sc, v_scale=sc)
 
 
@@ -157,6 +177,19 @@ def _validate_shardable(cfg, packed, params, tp: int):
     assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
     assert cfg.num_kv_heads % tp == 0, (cfg.num_kv_heads, tp)
     assert cfg.intermediate_size % tp == 0, (cfg.intermediate_size, tp)
+    mi = getattr(cfg, "moe_intermediate_size", 0)
+    if mi:
+        # dense expert leaves shard by name (col/row); needs even splits
+        assert mi % tp == 0, (mi, tp)
+    from ..models.gptoss import GptOssConfig
+    if isinstance(cfg, GptOssConfig) and getattr(cfg, "num_experts", 0):
+        for bi in range(cfg.num_layers):
+            if not any(k.startswith(f"blocks.{bi}.experts_stack.")
+                       for k in packed):
+                raise NotImplementedError(
+                    f"TP for GPT-OSS needs stacked experts (block {bi} "
+                    "didn't stack): the biased per-expert dense path "
+                    "has no sharded fallback")
     for key, (qw, s) in packed.items():
         lname = key.split(".")[-1]
         if "experts_stack" in key:
@@ -179,6 +212,14 @@ def _reshard_row_layers(packed, params, cfg, tp: int):
     packings); otherwise the layer dequantizes to dense and serves
     through the einsum path (correct, 4x weight bytes for that layer).
     """
+    def _set_dense(key, w):
+        # walk nested paths (experts.3.down_proj, shared_experts.w2)
+        parts = key.split(".")
+        tgt = params["blocks"][int(parts[1])]
+        for p in parts[2:-1]:
+            tgt = tgt[int(p)] if p.isdigit() else tgt[p]
+        tgt[parts[-1]] = w
+
     for key in list(packed):
         lname = key.split(".")[-1]
         if lname not in _ROW or "experts_stack" in key:
@@ -189,9 +230,8 @@ def _reshard_row_layers(packed, params, cfg, tp: int):
             # the per-shard lane multiple matters for the Pallas kernel
             if (qw.shape[1] // tp) % 256 == 0:
                 continue
-            parts = key.split(".")
             w = (qw.astype(jnp.float32) * s[:, None]).astype(cfg.dtype)
-            params["blocks"][int(parts[1])][parts[2]] = w
+            _set_dense(key, w)
             del packed[key]
             logger.info("tp engine: %s K=%d not lane-shardable at tp=%d; "
                         "serving dense", key, qw.shape[1], tp)
@@ -206,8 +246,7 @@ def _reshard_row_layers(packed, params, cfg, tp: int):
         else:
             srep = jnp.repeat(s.astype(jnp.float32), g, axis=1)[:, :K]
             w = ((codes - 8).astype(jnp.float32) * srep).astype(cfg.dtype)
-            parts = key.split(".")
-            params["blocks"][int(parts[1])][parts[2]] = w
+            _set_dense(key, w)
             del packed[key]
             logger.info("tp engine: %s K=%d not tile-shardable at tp=%d; "
                         "serving dense", key, K, tp)
@@ -229,9 +268,12 @@ class TPQuantizedLlama:
     packed_kinds: Optional[Dict[str, str]] = None
 
     def __post_init__(self):
+        from ..models.deepseek import DeepseekConfig
+        is_mla = (isinstance(self.cfg, DeepseekConfig)
+                  and bool(self.cfg.kv_lora_rank))
         pspec = _params_specs(self.params)
         kspec = _packed_specs(self.packed)
-        cspec = _cache_spec(self.kv_quant)
+        cspec = (_mla_cache_spec if is_mla else _cache_spec)(self.kv_quant)
         mesh, cfg_l = self.mesh, self.cfg_local
 
         kinds = self.packed_kinds
@@ -241,14 +283,20 @@ class TPQuantizedLlama:
         combine = lambda y: jax.lax.all_gather(  # noqa: E731
             y, "tp", axis=y.ndim - 1, tiled=True)
 
+        if is_mla:
+            from .engine import _mla_decode_core, _mla_prefill_core
+            pre_core, dec_core = _mla_prefill_core, _mla_decode_core
+        else:
+            pre_core, dec_core = _prefill_core, _decode_core
+
         def prefill_impl(params, packed, input_ids):
-            return _prefill_core(
+            return pre_core(
                 params, packed, input_ids, cfg=cfg_l, max_seq=self.max_seq,
                 kv_quant=self.kv_quant, lf_maker=lf_maker,
                 kinds=kinds, final_combine=combine)
 
         def decode_impl(params, packed, token, cache):
-            return _decode_core(
+            return dec_core(
                 params, packed, token, cache, cfg=cfg_l,
                 kv_quant=self.kv_quant, lf_maker=lf_maker,
                 kinds=kinds, final_combine=combine)
@@ -269,15 +317,13 @@ class TPQuantizedLlama:
         ``dp``/``tp``) and return the mesh-parallel engine."""
         tp = mesh.shape["tp"]
         cfg = engine.cfg
-        from ..models.deepseek import DeepseekConfig
         from ..models.llama4 import Llama4Config
         from ..models.qwen3next import Qwen3NextConfig
-        if isinstance(cfg, (Llama4Config, Qwen3NextConfig)) or (
-                isinstance(cfg, DeepseekConfig) and cfg.kv_lora_rank):
+        if isinstance(cfg, (Llama4Config, Qwen3NextConfig)):
             raise NotImplementedError(
-                f"TP engine covers the llama-family cache layout; "
-                f"{type(cfg).__name__} (MLA latents / NoPE / recurrent "
-                "state) needs its own sharded cores")
+                f"TP engine covers the llama-family and MLA cache "
+                f"layouts; {type(cfg).__name__} (NoPE variants / "
+                "recurrent state) needs its own sharded cores")
         packed = {k: v for k, v in engine.packed.items()
                   if not k.endswith(("qkv", "gate_up"))}
         _validate_shardable(cfg, packed, engine.params, tp)

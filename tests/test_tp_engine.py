@@ -197,3 +197,115 @@ class TestVocabShardedHead:
         np.testing.assert_allclose(np.asarray(d1, np.float32),
                                    np.asarray(d0, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+class TestMLATensorParallel:
+    """DeepSeek MLA over the (dp, tp) mesh: query heads and kv_b shard
+    per head, the compressed latent cache replicates over tp (MQA-like),
+    o_proj is row-parallel, and MoE experts ride expert parallelism."""
+
+    @pytest.fixture(scope="class")
+    def mla_engine(self):
+        from autoround_tpu.models import deepseek
+        cfg = deepseek.DeepseekConfig(
+            vocab_size=128, hidden_size=1024, intermediate_size=1024,
+            num_layers=2, num_heads=4, num_kv_heads=4, rope_theta=1e4,
+            q_lora_rank=0, kv_lora_rank=64, qk_nope_head_dim=64,
+            qk_rope_head_dim=32, v_head_dim=64,
+            n_routed_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=1024, n_shared_experts=1,
+            first_k_dense=1, routed_scaling_factor=1.0,
+            scoring_func="softmax", norm_topk_prob=False,
+            dtype=jnp.float32)
+        params = deepseek.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 128)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        return eng, cfg, ids
+
+    def test_mla_prefill_decode_match_single_chip(self, mla_engine):
+        eng, cfg, ids = mla_engine
+        mesh = make_mesh(4, dp=2, tp=2)
+        tpe = TPQuantizedLlama.from_engine(eng, mesh)
+        l0, c0 = eng.prefill(ids)
+        l1, c1 = tpe.prefill(ids)
+        np.testing.assert_allclose(np.asarray(l1, np.float32),
+                                   np.asarray(l0, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+        # latent cache replicates over tp, shards batch over dp
+        assert c1.k.shape == c0.k.shape
+        tok = jnp.argmax(l0, -1).astype(jnp.int32)
+        d0, _ = eng.decode_step(tok, c0)
+        d1, _ = tpe.decode_step(tok, c1)
+        np.testing.assert_allclose(np.asarray(d1, np.float32),
+                                   np.asarray(d0, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_mla_generate_matches(self, mla_engine):
+        eng, cfg, ids = mla_engine
+        mesh = make_mesh(4, dp=2, tp=2)
+        tpe = TPQuantizedLlama.from_engine(eng, mesh)
+        t0 = np.asarray(eng.generate(ids, max_new_tokens=5))
+        t1 = np.asarray(tpe.generate(ids, max_new_tokens=5))
+        assert (t0 == t1).mean() >= 0.9
+
+    def test_mla_kv_quant_int8(self, mla_engine):
+        from autoround_tpu.serve import QuantizedLlama as QL
+        eng, cfg, ids = mla_engine
+        # rebuild single-chip engine with int8 latents, then shard it
+        mesh = make_mesh(4, dp=2, tp=2)
+        eng8 = QL(cfg=cfg, params=eng.params, packed=eng.packed,
+                  max_seq=32, kv_quant="int8",
+                  fused_splits=eng.fused_splits,
+                  packed_kinds=eng.packed_kinds)
+        tpe = TPQuantizedLlama.from_engine(eng8, mesh)
+        l0, c0 = eng8.prefill(ids)
+        l1, c1 = tpe.prefill(ids)
+        np.testing.assert_allclose(np.asarray(l1, np.float32),
+                                   np.asarray(l0, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+        tok = jnp.argmax(l0, -1).astype(jnp.int32)
+        d0, _ = eng8.decode_step(tok, c0)
+        d1, _ = tpe.decode_step(tok, c1)
+        np.testing.assert_allclose(np.asarray(d1, np.float32),
+                                   np.asarray(d0, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+
+class TestGptOssTensorParallel:
+    """GPT-OSS over the mesh: sinks shard per head, biased experts ride
+    expert parallelism (bias stacks slice to the local expert range)."""
+
+    @pytest.fixture(scope="class")
+    def oss_engine(self):
+        from autoround_tpu.models import gptoss
+        cfg = gptoss.GptOssConfig(
+            vocab_size=128, hidden_size=1024, intermediate_size=1024,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+            rope_theta=1e4, attn_bias=True, sliding_window=8,
+            num_experts=4, top_k=2, dtype=jnp.float32)
+        params = gptoss.init_params(cfg, jax.random.PRNGKey(0))
+        for b in params["blocks"]:
+            b["sinks"] = jax.random.normal(jax.random.PRNGKey(7),
+                                           (cfg.num_heads,), jnp.float32)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 128)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        assert any("experts_stack" in k for k in eng.packed)
+        return eng, cfg, ids
+
+    def test_gptoss_tp_matches_single_chip(self, oss_engine):
+        eng, cfg, ids = oss_engine
+        mesh = make_mesh(4, dp=2, tp=2)
+        tpe = TPQuantizedLlama.from_engine(eng, mesh)
+        l0, c0 = eng.prefill(ids)
+        l1, c1 = tpe.prefill(ids)
+        np.testing.assert_allclose(np.asarray(l1, np.float32),
+                                   np.asarray(l0, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+        tok = jnp.argmax(l0, -1).astype(jnp.int32)
+        d0, _ = eng.decode_step(tok, c0)
+        d1, _ = tpe.decode_step(tok, c1)
+        np.testing.assert_allclose(np.asarray(d1, np.float32),
+                                   np.asarray(d0, np.float32),
+                                   rtol=2e-2, atol=2e-2)
