@@ -11,7 +11,7 @@ from types import SimpleNamespace
 from typing import Any, Dict
 
 from . import (deepseek, dit, glm4moe, gptoss, llama, llama4, llava,
-               mixtral, qwen3next)
+               minimax, mixtral, qwen3next)
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -88,11 +88,24 @@ def get_model_fns(cfg) -> SimpleNamespace:
             init_params=qwen3next.init_params,
             block_fwd=qwen3next.block_fwd,
             block_fwd_for=qwen3next.block_fwd_for,  # linear vs full attn
+            block_with_cache=qwen3next.block_with_cache,  # hybrid serving
             embed_fwd=llama.embed_fwd,
             final_fwd=llama.final_fwd,
             rope_tables=llama.rope_tables,
             model_fwd=qwen3next.model_fwd,
             block_linear_names=qwen3next.block_linear_names,
+        )
+    if isinstance(cfg, minimax.MiniMaxConfig):
+        return SimpleNamespace(
+            init_params=minimax.init_params,
+            block_fwd=minimax.block_fwd,
+            block_fwd_for=minimax.block_fwd_for,  # lightning vs full attn
+            block_with_cache=minimax.block_with_cache,  # hybrid serving
+            embed_fwd=llama.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=llama.rope_tables,
+            model_fwd=minimax.model_fwd,
+            block_linear_names=minimax.block_linear_names,
         )
     if isinstance(cfg, mixtral.MixtralConfig):
         return SimpleNamespace(
@@ -124,6 +137,7 @@ ALL_PRESETS.update(gptoss.CONFIG_PRESETS)
 ALL_PRESETS.update(glm4moe.CONFIG_PRESETS)
 ALL_PRESETS.update(llama4.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen3next.CONFIG_PRESETS)
+ALL_PRESETS.update(minimax.CONFIG_PRESETS)
 ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(dit.CONFIG_PRESETS)

@@ -72,12 +72,13 @@ class ContinuousBatchingEngine:
         self.eos = eos_token
         cfg = self.cfg
         from ..models.deepseek import DeepseekConfig
+        from ..models.minimax import MiniMaxConfig
         from ..models.qwen3next import Qwen3NextConfig
-        if isinstance(cfg, Qwen3NextConfig):
+        if isinstance(cfg, (Qwen3NextConfig, MiniMaxConfig)):
             raise NotImplementedError(
-                "continuous batching for Qwen3-Next needs per-slot "
-                "conv/recurrent state buffers — use the single-batch "
-                "engine (QuantizedLlama.generate/generate_scan)")
+                f"continuous batching for {type(cfg).__name__} needs "
+                "per-slot conv/recurrent state buffers — use the "
+                "single-batch engine (QuantizedLlama.generate)")
         self._mla = (isinstance(cfg, DeepseekConfig)
                      and bool(cfg.kv_lora_rank))
         if self._mla:

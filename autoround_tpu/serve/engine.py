@@ -563,8 +563,9 @@ class QuantizedLlama:
     def _prefill_impl(self, params, packed, input_ids):
         kinds = self.packed_kinds
         from ..models.deepseek import DeepseekConfig
+        from ..models.minimax import MiniMaxConfig
         from ..models.qwen3next import Qwen3NextConfig
-        if isinstance(self.cfg, Qwen3NextConfig):
+        if isinstance(self.cfg, (Qwen3NextConfig, MiniMaxConfig)):
             return _q3n_prefill_core(
                 params, packed, input_ids, cfg=self.cfg,
                 max_seq=self.max_seq,
@@ -589,8 +590,9 @@ class QuantizedLlama:
     def _decode_impl(self, params, packed, token, cache):
         kinds = self.packed_kinds
         from ..models.deepseek import DeepseekConfig
+        from ..models.minimax import MiniMaxConfig
         from ..models.qwen3next import Qwen3NextConfig
-        if isinstance(self.cfg, Qwen3NextConfig):
+        if isinstance(self.cfg, (Qwen3NextConfig, MiniMaxConfig)):
             return _q3n_decode_core(
                 params, packed, token, cache, cfg=self.cfg,
                 lf_maker=lambda p, i: self._make_linear_fn(p, i, kinds),
@@ -748,8 +750,11 @@ def _mla_decode_core(params, packed, token, cache, *, cfg, kv_quant,
 def _q3n_prefill_core(params, packed, input_ids, *, cfg, max_seq,
                       lf_maker, kinds=None):
     """Qwen3-Next hybrid prompt pass: KV for full-attention layers,
-    conv tails + recurrent states for the GatedDeltaNet layers."""
-    from ..models import qwen3next
+    conv tails + recurrent states for the GatedDeltaNet layers.
+    MiniMax rides the same protocol (zero-width conv tails, lightning
+    states) via the family's ``block_with_cache``."""
+    from ..models.registry import get_model_fns
+    bwc = get_model_fns(cfg).block_with_cache
     B, S = input_ids.shape
     lt = cfg.layer_types
     full_ids = [i for i in range(cfg.num_layers)
@@ -760,7 +765,7 @@ def _q3n_prefill_core(params, packed, input_ids, *, cfg, max_seq,
     cos, sin = llama.rope_tables(cfg, S)
     ks, vs, tails, states = {}, {}, {}, {}
     for i in range(cfg.num_layers):
-        x, pieces = qwen3next.block_with_cache(
+        x, pieces = bwc(
             params["blocks"][i], x, cos, sin, cfg, None, None,
             lf_maker(packed, i))
         if pieces[0] == "lin":
@@ -791,7 +796,8 @@ def _q3n_decode_core(params, packed, token, cache, *, cfg, lf_maker,
                      kinds=None):
     """One hybrid decode step: O(1) recurrent updates on linear layers,
     cached attention on full layers."""
-    from ..models import qwen3next
+    from ..models.registry import get_model_fns
+    bwc = get_model_fns(cfg).block_with_cache
     lt = cfg.layer_types
     full_pos = {}
     lin_pos = {}
@@ -815,7 +821,7 @@ def _q3n_decode_core(params, packed, token, cache, *, cfg, lf_maker,
         else:
             j = full_pos[i]
             cin = ("full", new_k[j], new_v[j])
-        x, pieces = qwen3next.block_with_cache(
+        x, pieces = bwc(
             params["blocks"][i], x, cos, sin, cfg, cin, pos,
             lf_maker(packed, i))
         if pieces[0] == "lin":

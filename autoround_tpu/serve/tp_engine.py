@@ -318,8 +318,9 @@ class TPQuantizedLlama:
         tp = mesh.shape["tp"]
         cfg = engine.cfg
         from ..models.llama4 import Llama4Config
+        from ..models.minimax import MiniMaxConfig
         from ..models.qwen3next import Qwen3NextConfig
-        if isinstance(cfg, (Llama4Config, Qwen3NextConfig)):
+        if isinstance(cfg, (Llama4Config, Qwen3NextConfig, MiniMaxConfig)):
             raise NotImplementedError(
                 f"TP engine covers the llama-family and MLA cache "
                 f"layouts; {type(cfg).__name__} (NoPE variants / "

@@ -175,6 +175,35 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
             mlp_only_layers=tuple(sorted(mlp_only)),
             dtype=dtype,
         )
+    if mt == "minimax":
+        from ..models.minimax import MiniMaxConfig
+        return MiniMaxConfig(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg.get("num_key_value_heads",
+                                 cfg["num_attention_heads"]),
+            head_dim=cfg.get("head_dim"),
+            rope_theta=cfg.get("rope_theta", 1e7),
+            rms_eps=cfg.get("rms_norm_eps", 1e-5),
+            tie_embeddings=cfg.get("tie_word_embeddings", False),
+            num_experts=cfg.get("num_local_experts", 8),
+            top_k=cfg.get("num_experts_per_tok", 2),
+            norm_topk_prob=True,   # MiniMaxSparseMoeBlock normalizes
+            layer_types=tuple(cfg.get("layer_types") or ()),
+            block_size=cfg.get("block_size", 256),
+            full_attn_alpha_factor=cfg.get("full_attn_alpha_factor", 1.0),
+            full_attn_beta_factor=cfg.get("full_attn_beta_factor", 1.0),
+            linear_attn_alpha_factor=cfg.get("linear_attn_alpha_factor",
+                                             1.0),
+            linear_attn_beta_factor=cfg.get("linear_attn_beta_factor",
+                                            1.0),
+            mlp_alpha_factor=cfg.get("mlp_alpha_factor", 1.0),
+            mlp_beta_factor=cfg.get("mlp_beta_factor", 1.0),
+            dtype=dtype,
+        )
     if mt == "gpt_oss":
         from ..models.gptoss import GptOssConfig
         rs = cfg.get("rope_scaling") or {}
@@ -473,11 +502,13 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
     from ..models.deepseek import DeepseekConfig
     from ..models.gptoss import GptOssConfig
     from ..models.llama4 import Llama4Config
+    from ..models.minimax import MiniMaxConfig
     from ..models.qwen3next import Qwen3NextConfig
     is_deepseek = isinstance(cfg, DeepseekConfig)
     is_gptoss = isinstance(cfg, GptOssConfig)
     is_llama4 = isinstance(cfg, Llama4Config)
     is_q3next = isinstance(cfg, Qwen3NextConfig)
+    is_minimax = isinstance(cfg, MiniMaxConfig)
     n_experts = getattr(cfg, "num_experts", 0)
     blocks = [
         ({"experts": [dict() for _ in range(n_experts)]} if n_experts
@@ -549,6 +580,23 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
                     blocks[int(li)]["experts"][e][wname] = arr
                     n += 1
                     continue
+            # MiniMax lightning attention: qkv stays FUSED (3*nh*hd,
+            # split per head inside the block); decay buffers are
+            # recomputed from the formula, not loaded
+            if is_minimax:
+                mm = {"self_attn.qkv_proj.weight": "qkv_proj",
+                      "self_attn.out_proj.weight": "out_proj",
+                      "self_attn.output_gate.weight": "output_gate",
+                      "self_attn.norm.weight": "attn_norm"}.get(sub)
+                if mm:
+                    blocks[int(li)][mm] = arr
+                    n += 1
+                    continue
+                if sub.startswith("self_attn.") and sub.endswith(
+                        ("slope_rate", "query_decay", "key_decay",
+                         "diagonal_decay")):
+                    n += 1
+                    continue
             # Phi-3 fused projections: split on load so every projection
             # quantizes/tunes independently (role of the reference's
             # fused-layer handling, utils/model.py)
@@ -606,9 +654,15 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
             if isinstance(b.get("experts"), list) and \
                     all(not d for d in b["experts"]):
                 b.pop("experts", None)
+    if is_minimax:
+        from ..models.minimax import layer_is_linear, slope_rate
+        for li, b in enumerate(blocks):
+            if layer_is_linear(cfg, li):
+                b["slope_rate"] = jnp.asarray(slope_rate(cfg, li))
     q_key = ("q_a_proj" if is_deepseek and cfg.q_lora_rank else "q_proj")
     missing = [i for i, b in enumerate(blocks)
-               if q_key not in b and "in_proj_qkvz" not in b]
+               if q_key not in b and "in_proj_qkvz" not in b
+               and "qkv_proj" not in b]
     if missing:
         raise ValueError(f"blocks missing attention weights: {missing}")
     logger.info("loaded %d tensors from %s", n, path)
