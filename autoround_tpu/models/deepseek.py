@@ -26,6 +26,7 @@ parity in ``tests/test_deepseek.py``.
 from __future__ import annotations
 
 import dataclasses
+import math
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -50,6 +51,13 @@ class DeepseekConfig(LlamaConfig):
     v_head_dim: int = 128
     rope_interleave: bool = True     # HF DeepseekV3 default
     mscale: float = 1.0              # yarn mscale (squared into the scale)
+    # --- yarn rope_scaling (HF DeepseekV2YarnRotaryEmbedding) ---
+    yarn_factor: float = 0.0         # 0 → plain rope (no interpolation)
+    yarn_beta_fast: float = 32.0
+    yarn_beta_slow: float = 1.0
+    yarn_original_max_pos: int = 4096
+    yarn_mscale: float = 1.0         # rope_scaling["mscale"]
+    yarn_mscale_all_dim: float = 0.0  # rope_scaling["mscale_all_dim"]
     # --- MoE ---
     n_routed_experts: int = 0        # 0 → dense MLP every layer
     num_experts_per_tok: int = 6
@@ -198,18 +206,58 @@ def init_params(cfg: DeepseekConfig, key: jax.Array) -> Dict[str, Any]:
     return params
 
 
+def _yarn_get_mscale(scale: float, mscale: float) -> float:
+    """HF ``yarn_get_mscale``: 0.1·mscale·ln(scale) + 1 for scale > 1."""
+    if scale <= 1.0 or not mscale:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
 def rope_tables(cfg: DeepseekConfig, seqlen: int,
                 positions: Optional[jax.Array] = None
                 ) -> Tuple[jax.Array, jax.Array]:
-    """cos/sin over the rope sub-head (``qk_rope_head_dim`` wide)."""
+    """cos/sin over the rope sub-head (``qk_rope_head_dim`` wide).
+
+    When ``yarn_factor`` > 1 (real DeepSeek-V2/V3 checkpoints ship yarn
+    ``rope_scaling`` with factor 40) this applies the NTK-by-parts
+    frequency interpolation of HF ``DeepseekV2YarnRotaryEmbedding``:
+    interpolated frequencies ``inv/factor`` below the ``beta_fast``
+    correction dim, extrapolated (unscaled) above ``beta_slow``, linear
+    ramp between; cos/sin are scaled by
+    ``yarn_get_mscale(factor, mscale) / yarn_get_mscale(factor,
+    mscale_all_dim)`` (== 1.0 for published V2/V3 configs where
+    mscale == mscale_all_dim).  The ``mscale_all_dim`` softmax-scale
+    correction (mscale²) rides separately in ``cfg.mscale`` — both
+    halves of yarn are now applied, matching HF numerics at every
+    position (previously only the score scale was)."""
     dr = cfg.qk_rope_head_dim
-    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, dr, 2) / dr))
+    inv_extra = 1.0 / (cfg.rope_theta ** (np.arange(0, dr, 2) / dr))
+    att = 1.0
+    if cfg.yarn_factor and cfg.yarn_factor > 1.0:
+        inv_inter = inv_extra / cfg.yarn_factor
+
+        def corr_dim(n_rot):
+            return (dr * math.log(cfg.yarn_original_max_pos
+                                  / (n_rot * 2 * math.pi))
+                    ) / (2 * math.log(cfg.rope_theta))
+
+        low = max(math.floor(corr_dim(cfg.yarn_beta_fast)), 0)
+        high = min(math.ceil(corr_dim(cfg.yarn_beta_slow)), dr - 1)
+        if low == high:
+            high += 0.001
+        ramp = np.clip((np.arange(dr // 2) - low) / (high - low), 0, 1)
+        extra_f = 1.0 - ramp                     # 1 → keep original freq
+        inv_freq = inv_inter * (1 - extra_f) + inv_extra * extra_f
+        att = (_yarn_get_mscale(cfg.yarn_factor, cfg.yarn_mscale)
+               / _yarn_get_mscale(cfg.yarn_factor, cfg.yarn_mscale_all_dim))
+    else:
+        inv_freq = inv_extra
     if positions is None:
         positions = jnp.arange(seqlen)
     ang = positions[..., None].astype(jnp.float32) * jnp.asarray(
         inv_freq, jnp.float32)
     ang = jnp.concatenate([ang, ang], axis=-1)
-    return jnp.cos(ang), jnp.sin(ang)
+    return jnp.cos(ang) * att, jnp.sin(ang) * att
 
 
 def _rope_rotate(x: jax.Array, cos, sin, interleave: bool) -> jax.Array:
@@ -299,7 +347,8 @@ def _moe_mlp(weights, h, cfg: DeepseekConfig, lf,
             h, topi, topw, El if use_grouped else E, capacity_factor,
             apply_expert,
             grouped_apply=grouped_mlp if use_grouped else None,
-            expert_offset=off, n_global_experts=E).astype(jnp.float32)
+            expert_offset=off if use_grouped else 0,
+            n_global_experts=E).astype(jnp.float32)
         if combine is not None and use_grouped:
             out = combine(out)
     elif use_grouped:

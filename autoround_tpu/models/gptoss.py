@@ -282,7 +282,7 @@ def _moe_mlp(weights, h, cfg: GptOssConfig, lf,
             h, topi, topw, El if use_grouped else E, capacity_factor,
             apply_expert,
             grouped_apply=grouped_clamped_swiglu if use_grouped else None,
-            expert_offset=off, n_global_experts=E)
+            expert_offset=off if use_grouped else 0, n_global_experts=E)
         if combine is not None and use_grouped:
             out = combine(out)
         out = out.astype(jnp.float32)

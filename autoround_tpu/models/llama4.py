@@ -208,7 +208,8 @@ def _moe_mlp(weights, h, cfg: Llama4Config, lf,
             h, topi, jax.nn.sigmoid(topv), El if use_grouped else E,
             capacity_factor, apply_expert,
             grouped_apply=grouped_swiglu if use_grouped else None,
-            expert_offset=off, n_global_experts=E, scale_input=True)
+            expert_offset=off if use_grouped else 0, n_global_experts=E,
+            scale_input=True)
         if combine is not None and use_grouped:
             out = combine(out)
         out = out.astype(jnp.float32)

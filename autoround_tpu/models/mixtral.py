@@ -229,11 +229,13 @@ def _moe_mlp(weights, h, cfg: MixtralConfig, lf,
             up = lf(f"experts.{e}.w3", xb, ew["w3"])
             return lf(f"experts.{e}.w2", gate * up, ew["w2"])
 
+        # EP offsets only apply to the stacked grouped payload; the
+        # per-expert fallback indexes the GLOBAL weights["experts"] list
         out = capacity_dispatch(
             h, topi, topv, El if use_grouped else E, capacity_factor,
             apply_expert,
             grouped_apply=grouped_swiglu if use_grouped else None,
-            expert_offset=off, n_global_experts=E)
+            expert_offset=off if use_grouped else 0, n_global_experts=E)
         if combine is not None and use_grouped:
             out = combine(out)
     elif use_grouped:

@@ -59,6 +59,9 @@ class HybridCache(NamedTuple):
 
 
 _KV_QMAX = {"int8": 127.0, "fp8": 448.0}
+# headroom multiplier for MLA latent-cache scales calibrated on the prompt
+# (decode-time latents beyond the prompt max would otherwise clip at ±qmax)
+_MLA_SCALE_HEADROOM = 1.2
 _KV_DTYPE = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}
 
 
@@ -146,11 +149,21 @@ def _stack_experts(packed, kinds, cfg):
     the ARK MoE-grouped-GEMM role) instead of E kernel launches, which
     is what makes E = 64..256 routed experts servable.  Per-expert
     entries are removed (no duplicate HBM); only blocks where EVERY
-    expert packed as w4a16 with identical shapes stack."""
+    expert packed as w4a16 with identical shapes stack.
+
+    Stacking is ATOMIC per block: either every projection of the expert
+    MLP (w1/w2/w3 or gate/up/down) stacks, or none does.  A partial
+    stack would strand the block — the MoE fns require the full triple
+    in ``grouped_names`` to take the grouped path, and the per-expert
+    fallback can't run either because stacked projections had their
+    per-expert packed entries deleted (and their dense leaves are None)."""
     E = getattr(cfg, "num_experts", 0) or getattr(cfg, "n_routed_experts",
                                                   0)
     if not E:
         return packed, kinds
+    # the projection triples the MoE fns gate `use_grouped` on
+    _TRIPLES = (frozenset(("w1", "w2", "w3")),
+                frozenset(("gate_proj", "up_proj", "down_proj")))
     out = dict(packed)
     n_stacked = 0
     for bi in range(cfg.num_layers):
@@ -161,16 +174,31 @@ def _stack_experts(packed, kinds, cfg):
                     and int(parts[1]) == bi and parts[2] == "experts"):
                 by_w.setdefault(parts[4], []).append(
                     (int(parts[3]), key))
-        for wname, entries in by_w.items():
-            if len(entries) != E:
-                continue
-            entries.sort()
-            keys = [k for _, k in entries]
+
+        def _stackable(wname):
+            entries = by_w.get(wname)
+            if not entries or len(entries) != E:
+                return None
+            keys = [k for _, k in sorted(entries)]
             if any(kinds.get(k, "w4a16") != "w4a16" for k in keys):
-                continue
+                return None
             shapes = {tuple(packed[k][0].shape) for k in keys}
             if len(shapes) != 1 or any(len(packed[k]) != 2 for k in keys):
-                continue
+                return None
+            return keys
+
+        triple = next((t for t in _TRIPLES if set(by_w) & t), None)
+        if triple is None:
+            continue
+        plan = {w: _stackable(w) for w in triple}
+        if any(v is None for v in plan.values()):
+            if any(v is not None for v in plan.values()):
+                logger.warning(
+                    "serving engine: block %d expert MLP only partially "
+                    "stackable (%s) — serving all its experts per-expert",
+                    bi, {w: ("ok" if v else "no") for w, v in plan.items()})
+            continue
+        for wname, keys in plan.items():
             skey = f"blocks.{bi}.experts_stack.{wname}"
             out[skey] = (jnp.stack([packed[k][0] for k in keys]),
                          jnp.stack([packed[k][1] for k in keys]))
@@ -281,6 +309,7 @@ class QuantizedLlama:
         is_mla = isinstance(cfg, DeepseekConfig) and bool(cfg.kv_lora_rank)
         packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
         kinds: Dict[str, str] = {}
+        dense_reasons: Dict[str, int] = {}
         params = jax.tree.map(lambda x: x, result.params)
         for name, ql in result.layers.items():
             if is_mla and name.endswith(".kv_b_proj"):
@@ -357,7 +386,13 @@ class QuantizedLlama:
                     scale = np.pad(scale, ((0, 0), (0, scp - scale.shape[1])))
                 packed[name] = (qw, jnp.asarray(scale))
             else:
-                continue  # stays as qdq bf16 weights (fake-quant serving)
+                # stays as qdq bf16 weights (fake-quant serving)
+                why = (f"no packed kernel for scheme "
+                       f"{s.data_type}{s.bits}g{s.group_size}"
+                       if kind is None else
+                       f"{kind}: shape ({O},{K}) not kernel-tileable")
+                dense_reasons[why] = dense_reasons.get(why, 0) + 1
+                continue
             kinds[name] = kind
             # drop the dense copy from the block params (dotted paths
             # cover MoE expert leaves, e.g. blocks.3.experts.1.w2)
@@ -375,6 +410,17 @@ class QuantizedLlama:
                    for k in set(kinds.values())}
         logger.info("serving engine: %d layers packed (%s), rest dense",
                     len(packed), by_kind or "none")
+        if dense_reasons:
+            # loud: a user asking for a "W3 quantized serving engine" must
+            # not silently get bf16 HBM residency for those layers
+            n_dense = sum(dense_reasons.values())
+            logger.warning(
+                "serving engine: %d quantized layer(s) will serve as DENSE "
+                "bf16 fake-quant (full-precision HBM residency, no packed "
+                "kernel speedup): %s",
+                n_dense,
+                "; ".join(f"{n}x {why}"
+                          for why, n in sorted(dense_reasons.items())))
         from ..models.gptoss import GptOssConfig
         from ..models.llama4 import Llama4Config
         from ..models.mixtral import MixtralConfig
@@ -697,8 +743,13 @@ def _mla_prefill_core(params, packed, input_ids, *, cfg, max_seq,
         amax = lambda t: jnp.maximum(
             jnp.max(jnp.abs(t.astype(jnp.float32)), axis=(1, 2, 3, 4),
                     keepdims=True), 1e-6)
-        k_scale = amax(k_stack) / qmax     # (L, 1, 1, 1, 1)
-        v_scale = amax(v_stack) / qmax
+        # 1.2× headroom: these scales calibrate on the PROMPT's latents
+        # but also quantize every DECODE token's latents; rms-normed
+        # latents drift little, but long generations can exceed the
+        # prompt max and would clip silently at ±qmax.  Headroom costs
+        # <0.3 bit of effective range and removes the drift cliff.
+        k_scale = amax(k_stack) * (_MLA_SCALE_HEADROOM / qmax)
+        v_scale = amax(v_stack) * (_MLA_SCALE_HEADROOM / qmax)
         k_stack = _kv_quantize(k_stack, k_scale, kv_quant)
         v_stack = _kv_quantize(v_stack, v_scale, kv_quant)
     cache = KVCache(

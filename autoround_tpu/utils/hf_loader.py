@@ -321,6 +321,7 @@ def _deepseek_config_from_hf(cfg: Dict[str, Any], mt: str, dtype):
 
     v3 = mt == "deepseek_v3"
     rs = cfg.get("rope_scaling") or {}
+    is_yarn = rs.get("rope_type", rs.get("type")) == "yarn"
     mscale = 1.0
     if rs.get("mscale_all_dim") and rs.get("factor", 1.0) > 1.0:
         mscale = 0.1 * rs["mscale_all_dim"] * float(
@@ -347,6 +348,15 @@ def _deepseek_config_from_hf(cfg: Dict[str, Any], mt: str, dtype):
         # permutation (both q and k share it)
         rope_interleave=cfg.get("rope_interleave", True),
         mscale=mscale,
+        # yarn NTK-by-parts frequency interpolation (the matching half of
+        # the mscale score correction above — deepseek.rope_tables)
+        yarn_factor=rs.get("factor", 0.0) if is_yarn else 0.0,
+        yarn_beta_fast=rs.get("beta_fast", 32.0),
+        yarn_beta_slow=rs.get("beta_slow", 1.0),
+        yarn_original_max_pos=rs.get(
+            "original_max_position_embeddings", 4096),
+        yarn_mscale=rs.get("mscale", 1.0),
+        yarn_mscale_all_dim=rs.get("mscale_all_dim", 0.0),
         n_routed_experts=cfg.get("n_routed_experts") or 0,
         num_experts_per_tok=cfg.get("num_experts_per_tok", 6),
         moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
