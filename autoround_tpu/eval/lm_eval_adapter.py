@@ -170,9 +170,22 @@ def make_harness_lm(params, cfg, tokenizer: Callable[[str], List[int]],
                     else getattr(self, "_eng", None)
                 if eng is None:
                     self._eng = eng = _engine_for(params, cfg, max_len)
+                # honest sampled decoding when the task asks for it
+                # (lm-eval passes do_sample/temperature in gen_kwargs)
+                sp = None
+                if gen_kwargs.get("do_sample") or float(
+                        gen_kwargs.get("temperature", 0) or 0) > 0:
+                    from ..serve.sampling import SamplingParams
+                    sp = SamplingParams(
+                        temperature=float(
+                            gen_kwargs.get("temperature", 1.0) or 1.0),
+                        top_k=int(gen_kwargs.get("top_k", 0) or 0),
+                        top_p=float(gen_kwargs.get("top_p", 1.0) or 1.0),
+                        seed=int(gen_kwargs.get("seed", 0) or 0))
                 toks = eng.generate(
                     ids, max_new_tokens=int(gen_kwargs.get("max_gen_toks",
-                                                           32)))
+                                                           32)),
+                    sampling=sp)
                 outs.append(detokenizer(np.asarray(toks)[0].tolist()))
             return outs
 

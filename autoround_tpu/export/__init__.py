@@ -162,7 +162,8 @@ def save_quantized(result, model_cfg, output_dir: str,
         save_gguf_checkpoint(result.params, model_cfg,
                              os.path.join(output_dir, "model.gguf"),
                              base_type=base, mixed=mixed,
-                             layers=result.layers)
+                             layers=result.layers,
+                             imatrix=getattr(result, "imatrices", None))
     else:
         raise ValueError(f"unknown export format {format!r}")
 

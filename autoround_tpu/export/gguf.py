@@ -1020,11 +1020,42 @@ def load_gguf_checkpoint(path: str, dtype=None):
     return params, cfg
 
 
+def _imatrix_payload(arr: np.ndarray, t: int,
+                     im: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
+    """Derive explicit packer scales for an UNTUNED layer via the
+    imatrix-weighted k-quant search (``dtypes.gguf.rtn_int_dq_*`` — the
+    role of the reference's imatrix packer args,
+    ``export_to_gguf/packing.py:658,788`` where untuned/upgraded layers
+    re-quantize with ``quant_tensor_gguf_*_dq(..., imatrix=...)``)."""
+    grid = _TYPE_GRID.get(t)
+    if grid is None:
+        return None
+    bits, g, sgs, sb, sym = grid
+    O, I = arr.shape
+    if I % (g * sgs):
+        return None
+    import jax.numpy as jnp
+
+    from ..dtypes.gguf import rtn_int_dq_asym, rtn_int_dq_sym
+    fn = rtn_int_dq_sym if sym else rtn_int_dq_asym
+    r = fn(jnp.asarray(arr, jnp.float32), bits, g, super_bits=sb,
+           super_group_size=sgs, imatrix=jnp.asarray(im, jnp.float32))
+    ex = r.extras
+    out = {"scale": np.asarray(ex["d_hat"], np.float32),
+           "d_scale": np.asarray(ex["d_super"], np.float32)}
+    if not sym:
+        out["wmin"] = np.asarray(ex["m_hat"], np.float32)
+        out["d_wmin"] = np.asarray(ex["m_super"], np.float32)
+    return out
+
+
 def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
                          path: str, base_type: int = GGMLType.Q4_K,
                          mixed: bool = True,
                          tokenizer: Optional[Dict[str, Any]] = None,
-                         layers: Optional[Dict[str, Any]] = None) -> str:
+                         layers: Optional[Dict[str, Any]] = None,
+                         imatrix: Optional[Dict[str, np.ndarray]] = None
+                         ) -> str:
     """Write a llama-family params pytree as a .gguf file.
 
     ``layers`` maps flat layer names (``blocks.0.q_proj``, ``lm_head``) to
@@ -1032,14 +1063,22 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
     the selected GGUF type are packed with their TUNED scales (reference
     explicit-scale packers, ``export_to_gguf/packing.py:788``) instead of
     being re-quantized by RTN.
+
+    ``imatrix`` maps flat layer names to per-input-channel importance
+    vectors (``QuantizeResult.imatrices``); layers WITHOUT a usable tuned
+    payload — untuned layers, or layers the mixed-bits rule upgraded to a
+    different k-quant type — are packed with an imatrix-WEIGHTED scale
+    search instead of plain min/max RTN.
     """
     n_blocks = model_cfg.num_layers
     tensors: List[Tuple[str, Tuple[int, ...], int, np.ndarray]] = []
     layers = layers or {}
+    imatrix = imatrix or {}
     n_tuned = 0
+    n_imx = 0
 
     def add(name, arr, kind, block_idx=0, flat_name=None):
-        nonlocal n_tuned
+        nonlocal n_tuned, n_imx
         arr = np.asarray(arr, np.float32)
         if arr.ndim == 1:
             tensors.append((name, (arr.shape[0],), GGMLType.F32, arr))
@@ -1065,6 +1104,11 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
                 if tuned is not None:
                     kwargs = tuned
                     n_tuned += 1
+            if not kwargs and flat_name in imatrix:
+                wls = _imatrix_payload(arr, t, imatrix[flat_name])
+                if wls is not None:
+                    kwargs = wls
+                    n_imx += 1
             raw = QUANTIZERS[t](arr, **kwargs)
             tensors.append((name, (I, O), t, raw))
 
@@ -1091,6 +1135,9 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
     if layers:
         logger.info("gguf export: %d/%d quantized tensors carry tuned "
                     "scales", n_tuned, len(layers))
+    if n_imx:
+        logger.info("gguf export: %d untuned/upgraded tensors packed with "
+                    "imatrix-weighted scale search", n_imx)
 
     metadata = [
         ("general.architecture", _T_STR, arch),

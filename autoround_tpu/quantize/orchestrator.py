@@ -139,6 +139,10 @@ class QuantizeResult:
     loss_traces: Dict[int, np.ndarray] = field(default_factory=dict)
     # per-block FP8 attention scales {block: {"q_proj"/"k_proj"/"v_proj": s}}
     attention_scales: Dict[int, Dict[str, Any]] = field(default_factory=dict)
+    # per-layer input second moments collected under use_imatrix — the
+    # GGUF export reuses them to weighted-search UNTUNED/upgraded layers
+    # (reference imatrix packer args, export_to_gguf/packing.py:658,788)
+    imatrices: Dict[str, np.ndarray] = field(default_factory=dict)
 
 
 _APPLY_CACHE: Dict[Any, Callable] = {}
@@ -598,6 +602,7 @@ def quantize_model(
     layers: Dict[str, QuantizedLayer] = {}
     traces: Dict[int, np.ndarray] = {}
     attention_scales: Dict[int, Dict[str, Any]] = {}
+    imatrices: Dict[str, np.ndarray] = {}
 
     # GGUF-path embedding quantization + q-chain re-cache (reference
     # compress_embedding_layer, compressors/orchestrator.py:583-594 →
@@ -815,6 +820,8 @@ def quantize_model(
                     im_tune = collect_imatrix(
                         _stats_fn_for(bi), block, x_fp[: cfg.cache_batch],
                         dq_names)
+                    for ln, v in im_tune.items():
+                        imatrices[f"blocks.{bi}.{ln}"] = np.asarray(v)
                 ex = {}
                 for lname in dq_names:
                     s = schemes[lname]
@@ -868,6 +875,8 @@ def quantize_model(
                 im = collect_imatrix(
                     _stats_fn_for(bi), block, x_fp[: cfg.cache_batch],
                     set(schemes))
+                for ln, v in im.items():
+                    imatrices[f"blocks.{bi}.{ln}"] = np.asarray(v)
             qdq_block = block
             for lname, scheme in schemes.items():
                 w_orig = get_by_path(block, lname)
@@ -974,4 +983,5 @@ def quantize_model(
 
     return QuantizeResult(params=new_params, layers=layers,
                           loss_traces=traces,
-                          attention_scales=attention_scales)
+                          attention_scales=attention_scales,
+                          imatrices=imatrices)

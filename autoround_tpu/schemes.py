@@ -152,6 +152,8 @@ PRESET_SCHEMES = {
     # --- microscaling (OCP MX): group of 32, shared pow-2 (E8M0) scale ---
     "MXFP4": _s(bits=4, group_size=32, sym=True, data_type="mx_fp",
                 act_bits=4, act_group_size=32, act_sym=True, act_data_type="mx_fp"),
+    "MXFP6": _s(bits=6, group_size=32, sym=True, data_type="mx_fp",
+                act_bits=6, act_group_size=32, act_sym=True, act_data_type="mx_fp"),
     "MXFP8": _s(bits=8, group_size=32, sym=True, data_type="mx_fp",
                 act_bits=8, act_group_size=32, act_sym=True, act_data_type="mx_fp"),
     "MXINT4": _s(bits=4, group_size=32, sym=True, data_type="mx_int",

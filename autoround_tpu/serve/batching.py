@@ -63,13 +63,18 @@ class ContinuousBatchingEngine:
     def __init__(self, model: QuantizedLlama, max_batch: int = 8,
                  max_seq: int = 512,
                  prompt_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256),
-                 eos_token: Optional[int] = None):
+                 eos_token: Optional[int] = None,
+                 sampling: Optional["SamplingParams"] = None):
         self.m = model
         self.cfg = model.cfg
         self.B = max_batch
         self.T = max_seq
         self.buckets = tuple(sorted(prompt_buckets))
         self.eos = eos_token
+        # one SamplingParams for the whole batcher (greedy when None);
+        # the key advances per jitted call so restarts are deterministic
+        self.sampling = sampling
+        self._rng = jax.random.PRNGKey(sampling.seed if sampling else 0)
         cfg = self.cfg
         from ..models.deepseek import DeepseekConfig
         from ..models.minimax import MiniMaxConfig
@@ -105,7 +110,7 @@ class ContinuousBatchingEngine:
 
     # ---------------------------------------------------------------- jitted
     def _prefill_impl(self, params, packed, cache, tokens, true_len, slot,
-                      *, bucket):
+                      rng, *, bucket):
         """Run one prompt (1, bucket) and insert its KV at ``slot``."""
         cfg = self.cfg
         from ..models.registry import get_model_fns
@@ -143,11 +148,12 @@ class ContinuousBatchingEngine:
         logits = _final_fwd_packed(params, packed, h_last, cfg,
                                    self.m.packed_kinds)[:, 0]
         lengths = cache.lengths.at[slot].set(true_len)
-        tok = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+        from .sampling import sample_token
+        tok = sample_token(logits, rng, self.sampling)[0]
         return tok, _BatchCache(new_k, new_v, lengths,
                                 cache.last_token.at[slot].set(tok))
 
-    def _decode_impl(self, params, packed, cache, active):
+    def _decode_impl(self, params, packed, cache, active, rng):
         """One decode step for every slot; inactive slots are frozen.
 
         Built on ``engine._block_with_cache`` (single source of truth for
@@ -195,7 +201,8 @@ class ContinuousBatchingEngine:
                 v_new[:, 0].astype(new_v.dtype))
         logits = _final_fwd_packed(params, packed, x, cfg,
                                    self.m.packed_kinds)[:, 0]  # (B, V)
-        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        from .sampling import sample_token
+        toks = sample_token(logits, rng, self.sampling)
         act = active.astype(jnp.int32)
         new_lengths = cache.lengths + act
         new_last = jnp.where(active, toks, cache.last_token)
@@ -216,10 +223,11 @@ class ContinuousBatchingEngine:
         bucket = next(b for b in self.buckets if b >= len(req.prompt))
         tokens = np.zeros((1, bucket), np.int32)
         tokens[0, : len(req.prompt)] = req.prompt
+        self._rng, k = jax.random.split(self._rng)
         tok, self.cache = self._prefill_c(
             self.m.params, self.m.packed, self.cache,
             jnp.asarray(tokens), jnp.asarray(len(req.prompt), jnp.int32),
-            jnp.asarray(slot, jnp.int32), bucket=bucket)
+            jnp.asarray(slot, jnp.int32), k, bucket=bucket)
         req.generated.append(int(tok))
         self._maybe_finish(req)
         return rid
@@ -245,8 +253,10 @@ class ContinuousBatchingEngine:
         active = np.zeros((self.B,), bool)
         for slot in self._slot_req:
             active[slot] = True
+        self._rng, k = jax.random.split(self._rng)
         toks, self.cache = self._decode_c(
-            self.m.params, self.m.packed, self.cache, jnp.asarray(active))
+            self.m.params, self.m.packed, self.cache, jnp.asarray(active),
+            k)
         toks = np.asarray(toks)
         out = []
         for slot, req in list(self._slot_req.items()):

@@ -658,44 +658,65 @@ class QuantizedLlama:
                             kinds=kinds)
 
     def generate(self, input_ids: jax.Array, max_new_tokens: int = 32,
-                 ) -> jax.Array:
-        """Greedy generation.  Returns (B, max_new_tokens) token ids."""
+                 sampling: Optional["SamplingParams"] = None) -> jax.Array:
+        """Generation: greedy by default, temperature/top-k/top-p with a
+        seeded key when ``sampling`` is given (``serve.SamplingParams``).
+        Returns (B, max_new_tokens) token ids."""
+        from .sampling import sample_token
+        key = (jax.random.PRNGKey(sampling.seed)
+               if sampling is not None and not sampling.is_greedy else None)
+
+        def nxt(logits):
+            nonlocal key
+            k = None
+            if key is not None:
+                key, k = jax.random.split(key)
+            return sample_token(logits, k, sampling)
+
         logits, cache = self.prefill(jnp.asarray(input_ids))
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = nxt(logits)
         out = [tok]
         for _ in range(max_new_tokens - 1):
             logits, cache = self.decode_step(tok, cache)
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tok = nxt(logits)
             out.append(tok)
         return jnp.stack(out, axis=1)
 
     def generate_scan(self, input_ids: jax.Array,
-                      max_new_tokens: int = 32) -> jax.Array:
-        """Greedy generation with the decode loop as one on-device
-        ``lax.scan`` — no per-token host dispatch (the TPU-idiomatic
-        serving loop; matters most over high-latency links)."""
-        key = ("gen_scan", int(max_new_tokens))
+                      max_new_tokens: int = 32,
+                      sampling: Optional["SamplingParams"] = None
+                      ) -> jax.Array:
+        """Generation with the decode loop as one on-device ``lax.scan``
+        — no per-token host dispatch (the TPU-idiomatic serving loop;
+        matters most over high-latency links).  The PRNG key rides in
+        the scan carry, split once per step."""
+        from .sampling import sample_token
+        key = ("gen_scan", int(max_new_tokens), sampling)
         fn = getattr(self, "_gen_scan_cache", {}).get(key)
         if fn is None:
-            def impl(params, packed, ids):
+            def impl(params, packed, ids, rng):
                 logits, cache = self._prefill_impl(params, packed, ids)
-                tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                rng, k0 = jax.random.split(rng)
+                tok0 = sample_token(logits, k0, sampling)
 
                 def step(carry, _):
-                    tok, cache = carry
+                    tok, cache, rng = carry
                     lg, cache = self._decode_impl(params, packed, tok, cache)
-                    nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-                    return (nxt, cache), nxt
+                    rng, k = jax.random.split(rng)
+                    nxt = sample_token(lg, k, sampling)
+                    return (nxt, cache, rng), nxt
 
-                (_, _), toks = jax.lax.scan(
-                    step, (tok0, cache), None, length=max_new_tokens - 1)
+                (_, _, _), toks = jax.lax.scan(
+                    step, (tok0, cache, rng), None,
+                    length=max_new_tokens - 1)
                 return jnp.concatenate([tok0[:, None], toks.T], axis=1)
 
             fn = jax.jit(impl)
             if not hasattr(self, "_gen_scan_cache"):
                 self._gen_scan_cache = {}
             self._gen_scan_cache[key] = fn
-        return fn(self.params, self.packed, jnp.asarray(input_ids))
+        rng = jax.random.PRNGKey(sampling.seed if sampling else 0)
+        return fn(self.params, self.packed, jnp.asarray(input_ids), rng)
 
 
 def _final_fwd_packed(params, packed, x, cfg, kinds=None, combine=None):

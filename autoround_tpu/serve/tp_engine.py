@@ -369,12 +369,27 @@ class TPQuantizedLlama:
         return out
 
     def generate(self, input_ids: jax.Array, max_new_tokens: int = 32,
-                 ) -> jax.Array:
+                 sampling=None) -> jax.Array:
+        """Greedy by default; ``sampling`` (serve.SamplingParams) enables
+        seeded temperature/top-k/top-p.  Sampling runs on the COMBINED
+        (replicated) logits outside the shard_map, so every shard agrees
+        on the next token by construction."""
+        from .sampling import sample_token
+        key = (jax.random.PRNGKey(sampling.seed)
+               if sampling is not None and not sampling.is_greedy else None)
+
+        def nxt(logits):
+            nonlocal key
+            k = None
+            if key is not None:
+                key, k = jax.random.split(key)
+            return sample_token(logits, k, sampling)
+
         logits, cache = self.prefill(input_ids)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = nxt(logits)
         out = [tok]
         for _ in range(max_new_tokens - 1):
             logits, cache = self.decode_step(tok, cache)
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tok = nxt(logits)
             out.append(tok)
         return jnp.stack(out, axis=1)

@@ -1,0 +1,197 @@
+"""END-TO-END accuracy evidence on a REAL language model.
+
+Replaces the random-weight proxy (`scripts/accuracy_evidence.py`,
+round-2 VERDICT weak #1): the model here is trained in-container by
+`scripts/train_tiny_lm.py` on real local text (code + docstrings), so
+its held-out perplexity sits far BELOW the uniform floor and RTN-vs-
+tuned deltas are genuine accuracy signal.
+
+What it measures (mirroring the reference's release gates,
+`test/e2e/test_cpu/test_llm_quantize_accuracy.py:60-75` and the tables
+in `docs/step_by_step.md:322-341`):
+
+  * held-out perplexity: FP vs RTN vs AutoRound-tuned, per scheme
+    (default W4A16 g128 and W2A16 g64 — the reference's two headline
+    bit-widths);
+  * an offline lm-eval-style multiple-choice task built from HELD-OUT
+    files (next-chunk prediction, 4 choices): FP vs RTN vs tuned acc,
+    scored through `eval.evaluate_offline`;
+  * the W4 task additionally scored through the PACKED serving engine
+    (real Pallas kernels), not the dense qdq weights;
+  * gap recovery: (log ppl_rtn − log ppl_tuned) / (log ppl_rtn − log
+    ppl_fp) — the fraction of the RTN→FP quality gap that tuning
+    closes.
+
+Writes docs/accuracy_evidence_real.json (committed) — the checkpoint
+itself stays in .cache (reproducible via the two scripts + seeds).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_mc_task(val_docs, path, n_samples=200, ctx_chars=600,
+                  cont_chars=120, n_choices=4, seed=3):
+    """Multiple-choice next-chunk prediction over held-out files: the
+    gold continuation is the text that actually follows the context;
+    distractors are continuations lifted from OTHER held-out docs at
+    the same offset shape.  Chance = 1/n_choices."""
+    rng = np.random.default_rng(seed)
+    docs = [d for d in val_docs if len(d) >= ctx_chars + cont_chars + 10]
+    samples = []
+    for _ in range(n_samples * 3):
+        if len(samples) >= n_samples:
+            break
+        di = int(rng.integers(0, len(docs)))
+        doc = docs[di]
+        off = int(rng.integers(0, len(doc) - ctx_chars - cont_chars))
+        ctx = doc[off:off + ctx_chars]
+        gold = doc[off + ctx_chars:off + ctx_chars + cont_chars]
+        if not gold.strip():
+            continue
+        choices = [gold]
+        while len(choices) < n_choices:
+            dj = int(rng.integers(0, len(docs)))
+            if dj == di:
+                continue
+            d2 = docs[dj]
+            o2 = int(rng.integers(0, len(d2) - cont_chars))
+            alt = d2[o2:o2 + cont_chars]
+            if alt.strip() and alt != gold:
+                choices.append(alt)
+        order = rng.permutation(n_choices)
+        samples.append({"query": ctx,
+                        "choices": [choices[i] for i in order],
+                        "gold": int(np.argwhere(order == 0)[0][0])})
+    with open(path, "w") as f:
+        for s in samples:
+            f.write(json.dumps(s) + "\n")
+    return len(samples)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/root/repo/.cache/tinylm")
+    ap.add_argument("--ckpt", default="/root/repo/.cache/tinylm/ckpt")
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--nsamples", type=int, default=128)
+    ap.add_argument("--seqlen", type=int, default=512)
+    ap.add_argument("--task-samples", type=int, default=200)
+    ap.add_argument("--schemes", default="W4A16,W2A16G64")
+    ap.add_argument("--out",
+                    default="/root/repo/docs/accuracy_evidence_real.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from tokenizers import Tokenizer
+
+    from autoround_tpu import AutoRound
+    from autoround_tpu.eval import perplexity
+    from autoround_tpu.eval.lm_eval_adapter import evaluate_offline
+    from train_tiny_lm import load_checkpoint
+
+    params, cfg = load_checkpoint(args.ckpt)
+    params = jax.device_put(params)
+    with open(os.path.join(args.ckpt, "train_meta.json")) as f:
+        meta = json.load(f)
+    tok = Tokenizer.from_file(os.path.join(args.workdir, "tokenizer.json"))
+    tokenizer = lambda s: tok.encode(s).ids
+    print(f"model: {meta}", flush=True)
+
+    # held-out ppl windows (sequential, deterministic) + calib from TRAIN
+    val = np.memmap(os.path.join(args.workdir, "val.bin"), np.uint16, "r")
+    train = np.memmap(os.path.join(args.workdir, "train.bin"),
+                      np.uint16, "r")
+    n_eval = 64
+    heldout = np.stack([
+        val[i * args.seqlen:(i + 1) * args.seqlen]
+        for i in range(n_eval)]).astype(np.int32)
+    crng = np.random.default_rng(11)
+    coff = crng.integers(0, train.size - args.seqlen, args.nsamples)
+    calib = np.stack([train[o:o + args.seqlen] for o in coff]).astype(
+        np.int32)
+
+    # offline harness task from held-out docs
+    with open(os.path.join(args.workdir, "val_docs.json")) as f:
+        val_docs = json.load(f)
+    task_path = os.path.join(args.workdir, "mc_task.jsonl")
+    n_task = build_mc_task(val_docs, task_path, args.task_samples)
+    print(f"task: {n_task} held-out multiple-choice samples", flush=True)
+
+    report = {"model": "tiny-lm-83M (trained in-container, "
+                       "scripts/train_tiny_lm.py)",
+              "train_meta": meta, "n_eval_windows": n_eval,
+              "seqlen": args.seqlen, "iters": args.iters,
+              "nsamples": args.nsamples,
+              "uniform_ppl_floor": cfg.vocab_size,
+              "task_chance_acc": 0.25, "schemes": {}}
+
+    t0 = time.time()
+    ppl_fp = float(perplexity(params, cfg, heldout))
+    report["ppl_fp"] = round(ppl_fp, 3)
+    fp_task = evaluate_offline(params, cfg, tokenizer, task_path,
+                               max_len=1024)
+    report["task_fp"] = fp_task
+    print(f"[fp] ppl {ppl_fp:.2f} task {fp_task} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    for scheme in args.schemes.split(","):
+        entry = {}
+        t0 = time.time()
+        rtn = AutoRound((params, cfg), scheme=scheme, iters=0,
+                        donate_params=False).quantize(calib)
+        entry["rtn_wall_s"] = round(time.time() - t0, 1)
+        ppl_rtn = float(perplexity(rtn.params, cfg, heldout))
+        entry["ppl_rtn"] = round(ppl_rtn, 3)
+        entry["task_rtn"] = evaluate_offline(rtn.params, cfg, tokenizer,
+                                             task_path, max_len=1024)
+        print(f"[{scheme} rtn] ppl {ppl_rtn:.2f} task {entry['task_rtn']}",
+              flush=True)
+        del rtn
+
+        t0 = time.time()
+        tuned = AutoRound((params, cfg), scheme=scheme, iters=args.iters,
+                          batch_size=8, donate_params=False).quantize(calib)
+        entry["tuned_wall_s"] = round(time.time() - t0, 1)
+        ppl_tuned = float(perplexity(tuned.params, cfg, heldout))
+        entry["ppl_tuned"] = round(ppl_tuned, 3)
+        entry["task_tuned"] = evaluate_offline(
+            tuned.params, cfg, tokenizer, task_path, max_len=1024)
+        gap = np.log(ppl_rtn) - np.log(ppl_fp)
+        entry["gap_recovery"] = round(
+            float((np.log(ppl_rtn) - np.log(ppl_tuned)) / gap), 4) \
+            if gap > 1e-6 else None
+        print(f"[{scheme} tuned] ppl {ppl_tuned:.2f} "
+              f"task {entry['task_tuned']} recovery "
+              f"{entry['gap_recovery']}", flush=True)
+
+        if scheme.upper().startswith("W4"):
+            # score the task through the PACKED serving engine too
+            from autoround_tpu.serve import QuantizedLlama
+            eng = QuantizedLlama.from_quantize_result(
+                tuned, cfg, max_seq=1024)
+            entry["task_tuned_packed_engine"] = evaluate_offline(
+                None, None, tokenizer, task_path, max_len=1024, engine=eng)
+            print(f"[{scheme} packed engine] "
+                  f"{entry['task_tuned_packed_engine']}", flush=True)
+            del eng
+        report["schemes"][scheme] = entry
+        del tuned
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

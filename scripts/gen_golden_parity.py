@@ -59,6 +59,13 @@ def main(out_path: str) -> None:
         for dt, bits in (("mx_fp4", 4), ("mx_fp8", 8)):
             qdq, _, _ = fn(t.clone(), bits=bits, group_size=32, data_type=dt)
             goldens[f"{name}_{dt}"] = qdq.numpy()
+        # 6-bit element formats (reference "mx_fp6"=e2m3, "mx_fp6e3m2");
+        # goldens keyed by OUR dtype names
+        for ref_dt, our_dt in (("mx_fp6", "mx_fp6_e2m3"),
+                               ("mx_fp6e3m2", "mx_fp6_e3m2")):
+            qdq, _, _ = fn(t.clone(), bits=6, group_size=32,
+                           data_type=ref_dt)
+            goldens[f"{name}_{our_dt}"] = qdq.numpy()
 
     qdq, _, _ = nv_fp4(t.clone(), bits=4, group_size=16)
     goldens["nvfp4"] = qdq.numpy()

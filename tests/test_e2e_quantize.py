@@ -48,6 +48,20 @@ class TestE2E:
             llama.model_fwd(params, ids[:4], CFG).astype(jnp.float32) ** 2))
         assert err < base  # quantized logits still correlated
 
+    def test_mxfp6_preset(self, setup):
+        # MXFP6 (reference schemes.py:631): e2m3 elements, group 32,
+        # pow-2 shared scale; must quantize e2e and beat MXFP4 on error
+        params, ids = setup
+        r6 = AutoRound((params, CFG), scheme="MXFP6", iters=0,
+                       donate_params=False).quantize(ids)
+        r4 = AutoRound((params, CFG), scheme="MXFP4", iters=0,
+                       donate_params=False).quantize(ids)
+        s = next(iter(r6.layers.values())).scheme
+        assert s.bits == 6 and s.data_type == "mx_fp" and s.group_size == 32
+        e6 = logits_mse(params, r6.params, ids[:4])
+        e4 = logits_mse(params, r4.params, ids[:4])
+        assert e6 < e4
+
     def test_tuned_beats_rtn_w2(self, setup):
         params, ids = setup
         rtn = AutoRound((params, CFG), scheme="W2A16G64", iters=0).quantize(ids)

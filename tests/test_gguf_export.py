@@ -509,3 +509,49 @@ class TestGgufArchs:
         l2 = np.asarray(llama.model_fwd(p2, ids, cfg2), np.float32)
         rms = np.sqrt(np.mean((l1 - l2) ** 2))
         assert rms < 0.05 * np.sqrt(np.mean(l1 ** 2)) + 1e-3
+
+
+class TestImatrixPacking:
+    """Imatrix-weighted export for untuned/upgraded layers (reference
+    packer imatrix args, export_to_gguf/packing.py:658,788)."""
+
+    def _weighted_err(self, w, dq, im):
+        return float((im[None, :] * (w - dq) ** 2).sum())
+
+    @pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q3_K,
+                                   GGMLType.Q2_K, GGMLType.Q6_K,
+                                   GGMLType.Q5_K])
+    def test_imatrix_lowers_weighted_error(self, t):
+        from autoround_tpu.export.gguf import (DEQUANTIZERS, QUANTIZERS,
+                                               _imatrix_payload)
+        rng = np.random.default_rng(5)
+        w = rng.standard_normal((16, 512)).astype(np.float32) * 0.05
+        # a few heavy outlier columns the plain min/max packer wastes
+        # range on; the imatrix says they matter LITTLE
+        w[:, ::37] *= 12.0
+        im = np.ones((512,), np.float32)
+        im[::37] = 1e-3
+        plain = QUANTIZERS[t](w)
+        kw = _imatrix_payload(w, t, im)
+        assert kw is not None
+        weighted = QUANTIZERS[t](w, **kw)
+        n = w.size
+        dq_p = DEQUANTIZERS[t](plain, n).reshape(w.shape)
+        dq_w = DEQUANTIZERS[t](weighted, n).reshape(w.shape)
+        assert self._weighted_err(w, dq_w, im) < \
+            self._weighted_err(w, dq_p, im)
+
+    def test_result_imatrices_flow_into_export(self, tmp_path):
+        from autoround_tpu import AutoRound
+        from autoround_tpu.export import save_quantized
+
+        cfg = llama.CONFIG_PRESETS["tiny"]
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="GGUF:Q4_K_M", iters=0,
+                        use_imatrix=True).quantize(ids)
+        assert res.imatrices, "use_imatrix must persist imatrices"
+        out = str(tmp_path / "gguf_im")
+        save_quantized(res, cfg, out, format="gguf:q4_k_m")
+        assert os.path.exists(os.path.join(out, "model.gguf"))
