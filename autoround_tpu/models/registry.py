@@ -11,7 +11,7 @@ from types import SimpleNamespace
 from typing import Any, Dict
 
 from . import (deepseek, dit, glm4moe, gptoss, llama, llama4, llava,
-               minimax, mixtral, qwen3next)
+               minimax, mixtral, qwen2vl, qwen3next)
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -31,6 +31,17 @@ def get_model_fns(cfg) -> SimpleNamespace:
             rope_tables=llama.rope_tables,  # unused by DiT blocks
             model_fwd=dit.model_fwd,
             block_linear_names=dit.block_linear_names,
+        )
+    if isinstance(cfg, qwen2vl.Qwen2VLConfig):
+        return SimpleNamespace(
+            init_params=qwen2vl.init_params,
+            block_fwd=llama.block_fwd,
+            embed_fwd=qwen2vl.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=qwen2vl.rope_tables,
+            rope_tables_for_inputs=qwen2vl.rope_tables_for_inputs,
+            model_fwd=qwen2vl.model_fwd,
+            block_linear_names=qwen2vl.block_linear_names,
         )
     if isinstance(cfg, llava.LlavaConfig):
         return SimpleNamespace(
@@ -140,4 +151,5 @@ ALL_PRESETS.update(qwen3next.CONFIG_PRESETS)
 ALL_PRESETS.update(minimax.CONFIG_PRESETS)
 ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
+ALL_PRESETS.update(qwen2vl.CONFIG_PRESETS)
 ALL_PRESETS.update(dit.CONFIG_PRESETS)

@@ -461,7 +461,14 @@ def quantize_model(
     else:
         ids = input_ids
         nsamples, seqlen = ids.shape
-    cos, sin = mfns.rope_tables(model_cfg, seqlen)
+    if hasattr(mfns, "rope_tables_for_inputs"):
+        # batch-dependent rope (Qwen2-VL m-rope: vision-token positions
+        # carry t/h/w components); shared=True because the tuning loop
+        # closure-captures ONE (S, hd) table for all sample slices
+        cos, sin = mfns.rope_tables_for_inputs(model_cfg, input_ids,
+                                               shared=True)
+    else:
+        cos, sin = mfns.rope_tables(model_cfg, seqlen)
     # Gemma3 dual rope: sliding layers use local-base-frequency tables
     if getattr(model_cfg, "rope_local_theta", 0.0):
         cosl, sinl = llama.rope_tables(model_cfg, seqlen, local=True)

@@ -325,3 +325,139 @@ def expand_image_prompt(tokenizer, text: str, cfg: LlavaConfig,
     ids = ids[:seqlen]
     ids += [0] * (seqlen - len(ids))
     return np.asarray(ids, np.int32)
+
+
+# ------------------------------------------------------------- Qwen2-VL
+def _qwen2vl_config(hf: Dict[str, Any], dtype) -> "Qwen2VLConfig":
+    """HF Qwen2VLConfig dict → models.qwen2vl.Qwen2VLConfig."""
+    from ..models.qwen2vl import Qwen2VLConfig
+    vc = hf.get("vision_config", {}) or {}
+    rs = hf.get("rope_scaling") or {}
+    sec = tuple(rs.get("mrope_section", (16, 24, 24)))
+    return Qwen2VLConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        num_kv_heads=hf.get("num_key_value_heads",
+                            hf["num_attention_heads"]),
+        rope_theta=hf.get("rope_theta", 1000000.0),
+        rms_eps=hf.get("rms_norm_eps", 1e-6),
+        tie_embeddings=hf.get("tie_word_embeddings", False),
+        attn_bias=True,
+        mrope_section=sec,
+        image_token_id=hf.get("image_token_id", 151655),
+        v_embed_dim=vc.get("embed_dim", 1280),
+        v_layers=vc.get("depth", 32),
+        v_heads=vc.get("num_heads", 16),
+        patch_size=vc.get("patch_size", 14),
+        temporal_patch_size=vc.get("temporal_patch_size", 2),
+        spatial_merge_size=vc.get("spatial_merge_size", 2),
+        v_mlp_ratio=float(vc.get("mlp_ratio", 4)),
+        dtype=dtype)
+
+
+_Q2VL_VBLOCK = {
+    "norm1.weight": "ln1_g", "norm1.bias": "ln1_b",
+    "norm2.weight": "ln2_g", "norm2.bias": "ln2_b",
+    "attn.qkv.weight": "qkv", "attn.qkv.bias": "qkv_b",
+    "attn.proj.weight": "proj", "attn.proj.bias": "proj_b",
+    "mlp.fc1.weight": "fc1", "mlp.fc1.bias": "fc1_b",
+    "mlp.fc2.weight": "fc2", "mlp.fc2.bias": "fc2_b",
+}
+_Q2VL_MERGER = {
+    "ln_q.weight": "ln_q_g", "ln_q.bias": "ln_q_b",
+    "mlp.0.weight": "fc1", "mlp.0.bias": "fc1_b",
+    "mlp.2.weight": "fc2", "mlp.2.bias": "fc2_b",
+}
+
+
+def qwen2vl_params_from_state(state, cfg, dtype=None) -> Dict[str, Any]:
+    """Map a flat {hf_key: array} dict (both the classic
+    ``model.layers.*``/``visual.*`` and the newer
+    ``model.language_model.*``/``model.visual.*`` prefixes) into the
+    functional pytree of ``models.qwen2vl``."""
+    dtype = dtype or cfg.dtype
+    blocks = [dict() for _ in range(cfg.num_layers)]
+    vblocks = [dict() for _ in range(cfg.v_layers)]
+    visual: Dict[str, Any] = {"blocks": vblocks, "merger": {}}
+    params: Dict[str, Any] = {"blocks": blocks, "visual": visual}
+    for key, tensor in state.items():
+        arr = jnp.asarray(np.asarray(tensor)).astype(dtype)
+        lm_key = _strip_lm(key)
+        if lm_key is None and key.startswith("model.layers."):
+            lm_key = key
+        if lm_key is not None:
+            if lm_key == "model.embed_tokens.weight":
+                params["embed_tokens"] = arr
+            elif lm_key == "model.norm.weight":
+                params["norm"] = arr
+            elif lm_key == "lm_head.weight":
+                params["lm_head"] = arr
+            elif lm_key.startswith("model.layers."):
+                rest = lm_key[len("model.layers."):]
+                li, sub = rest.split(".", 1)
+                if sub in _BLOCK_MAP:
+                    blocks[int(li)][_BLOCK_MAP[sub]] = arr
+            continue
+        vkey = key
+        for pre in ("model.visual.", "visual."):
+            if vkey.startswith(pre):
+                vkey = vkey[len(pre):]
+                break
+        else:
+            continue
+        if vkey == "patch_embed.proj.weight":
+            # conv3d (D, C, tps, ps, ps) → (D, C·tps·ps²): matches the
+            # HF processor's flattened-patch feature order
+            w = np.asarray(tensor)
+            visual["patch_embed"] = jnp.asarray(
+                w.reshape(w.shape[0], -1)).astype(dtype)
+        elif vkey.startswith("blocks."):
+            li, sub = vkey[len("blocks."):].split(".", 1)
+            if sub in _Q2VL_VBLOCK:
+                vblocks[int(li)][_Q2VL_VBLOCK[sub]] = arr
+        elif vkey.startswith("merger."):
+            sub = vkey[len("merger."):]
+            if sub in _Q2VL_MERGER:
+                visual["merger"][_Q2VL_MERGER[sub]] = arr
+    if cfg.tie_embeddings:
+        params.pop("lm_head", None)
+    return params
+
+
+def load_qwen2vl_checkpoint(path: str, dtype=None):
+    """Load a HF Qwen2-VL checkpoint directory → (params, cfg)."""
+    dtype = dtype or jnp.bfloat16
+    with open(os.path.join(path, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = _qwen2vl_config(hf_cfg, dtype)
+    from .hf_loader import _iter_shards
+    state = {k: t for k, t in _iter_shards(path)}
+    params = qwen2vl_params_from_state(state, cfg, dtype)
+    logger.info("loaded Qwen2-VL %s: %d blocks, %d vision blocks", path,
+                cfg.num_layers, cfg.v_layers)
+    return params, cfg
+
+
+def preprocess_qwen2vl_images(images: List[Any], cfg) -> Tuple[np.ndarray,
+                                                               List[Tuple[int, int, int]]]:
+    """(B images as (H, W, 3) float [0,1] arrays) → flattened patches
+    (N, C·tps·ps²) + grid_thw, mirroring HF Qwen2VLImageProcessor's
+    merge-block-major layout (``image_processing_qwen2_vl.py:281-295``).
+    Images must be pre-sized to multiples of patch·merge."""
+    ps, tps, m = cfg.patch_size, cfg.temporal_patch_size, cfg.spatial_merge_size
+    flat, grids = [], []
+    for img in images:
+        a = np.asarray(img, np.float32)
+        a = (a - CLIP_MEAN) / CLIP_STD
+        a = a.transpose(2, 0, 1)[None]                    # (1, C, H, W)
+        a = np.repeat(a, tps, axis=0)                     # duplicate frame
+        C, H, W = a.shape[1:]
+        gh, gw = H // ps, W // ps
+        p = a.reshape(1, tps, C, gh // m, m, ps, gw // m, m, ps)
+        p = p.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+        flat.append(p.reshape(gh * gw, C * tps * ps * ps))
+        grids.append((1, gh, gw))
+    return np.concatenate(flat, axis=0), grids
