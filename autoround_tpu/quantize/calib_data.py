@@ -299,9 +299,26 @@ def get_mllm_calib_batch(model_cfg, nsamples: int = 16, seqlen: int = 64,
     ``num_patches`` positions are image tokens, plus pixel values.
 
     Synthetic in this zero-egress container; real image datasets slot in
-    by producing the same {"input_ids", "pixel_values"} dict + mask.
+    via ``utils.vlm_templates.build_calib_inputs`` (the template
+    registry), producing the same input dict + mask.
     """
     rng = np.random.default_rng(seed)
+    from ..models.qwen2vl import Qwen2VLConfig
+    if isinstance(model_cfg, Qwen2VLConfig):
+        # one image per row, uniform grid (shared m-rope layout)
+        m = model_cfg.spatial_merge_size
+        gh = gw = 2 * m
+        n_patch = gh * gw
+        n_img = n_patch // (m * m)
+        assert seqlen > n_img + 2
+        ids = rng.integers(9, model_cfg.vocab_size,
+                           (nsamples, seqlen)).astype(np.int32)
+        ids[:, 1:1 + n_img] = model_cfg.image_token_id
+        pixels = rng.standard_normal(
+            (nsamples * n_patch, model_cfg.patch_dim)).astype(np.float32)
+        mask = np.ones((nsamples, seqlen), np.float32)
+        return {"input_ids": ids, "pixel_values": pixels,
+                "grid_thw": [(1, gh, gw)] * nsamples}, mask
     P = model_cfg.num_patches
     assert seqlen > P, f"seqlen {seqlen} must exceed num_patches {P}"
     ids = rng.integers(2, model_cfg.vocab_size,

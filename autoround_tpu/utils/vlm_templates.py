@@ -1,0 +1,181 @@
+"""VLM chat-template + processor registry.
+
+Role of the reference's mllm template registry
+(``compressors/mllm/template.py:44,81-169`` ``Template`` +
+``_register_template`` per model type, and ``mllm/processor.py``
+``BasicProcessor``): each VLM family registers how a (text, images)
+conversation becomes model inputs — the chat format strings, the image
+placeholder convention, how placeholders expand into per-patch token
+runs, and how raw images become the tensors the tower consumes.
+
+VLM calibration stops being LLaVA-shaped: ``get_vlm_template(cfg)``
+dispatches on the config family, and ``build_calib_inputs`` produces the
+{"input_ids", "pixel_values", ...} dict any registered family's
+``embed_fwd`` consumes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["VLMTemplate", "TEMPLATES", "get_vlm_template",
+           "build_calib_inputs"]
+
+
+@dataclass(frozen=True)
+class VLMTemplate:
+    """One VLM family's prompting + preprocessing contract."""
+
+    model_type: str
+    # chat format strings; {content} substitutes the turn text
+    format_user: str = "{content}"
+    format_assistant: str = "{content}"
+    format_system: str = "{content}"
+    format_separator: str = "\n"
+    default_system: str = ""
+    # the PLACEHOLDER users write in text, replaced by the family's
+    # actual image-token convention before tokenization
+    image_placeholder: str = "<image>"
+    # (placeholder expansion, preprocessing) — family callables
+    expand_images: Optional[Callable] = None   # (text, cfg, grids) -> text
+    preprocess: Optional[Callable] = None      # (images, cfg) -> tensors
+
+    def render(self, messages: Sequence[Dict[str, str]]) -> str:
+        """messages: [{"role": "user"/"assistant"/"system", "content"}]
+        → one prompt string (reference Template._encode)."""
+        out = []
+        sys_done = False
+        for m in messages:
+            role, content = m["role"], m["content"]
+            if role == "system":
+                out.append(self.format_system.format(content=content))
+                sys_done = True
+            elif role == "user":
+                if not sys_done and self.default_system:
+                    out.append(self.format_system.format(
+                        content=self.default_system))
+                    sys_done = True
+                out.append(self.format_user.format(content=content))
+            elif role == "assistant":
+                out.append(self.format_assistant.format(content=content))
+        return self.format_separator.join(out)
+
+
+# ---------------------------------------------------------------- llava
+def _llava_expand(text: str, cfg, grids=None) -> str:
+    # one run of num_patches image-patch markers per placeholder
+    return text.replace("<image>", "<im_patch>" * cfg.num_patches)
+
+
+def _llava_preprocess(images: List[Any], cfg):
+    from .vlm_loader import preprocess_images
+    return {"pixel_values": preprocess_images(images, cfg.image_size)}
+
+
+# -------------------------------------------------------------- qwen2-vl
+def _qwen2vl_expand(text: str, cfg, grids: Sequence[Tuple[int, int, int]]
+                    ) -> str:
+    """Each placeholder becomes <|vision_start|> + one pad token per
+    MERGED patch + <|vision_end|> (HF Qwen2VLProcessor semantics)."""
+    m2 = cfg.spatial_merge_size ** 2
+    out = []
+    rest = text
+    for t, h, w in grids:
+        if "<image>" not in rest:
+            break
+        pre, rest = rest.split("<image>", 1)
+        out.append(pre)
+        out.append("<|vision_start|>" + "<|image_pad|>" * (t * h * w // m2)
+                   + "<|vision_end|>")
+    out.append(rest)
+    return "".join(out)
+
+
+def _qwen2vl_preprocess(images: List[Any], cfg):
+    from .vlm_loader import preprocess_qwen2vl_images
+    pixels, grids = preprocess_qwen2vl_images(images, cfg)
+    return {"pixel_values": pixels, "grid_thw": grids}
+
+
+TEMPLATES: Dict[str, VLMTemplate] = {
+    "llava": VLMTemplate(
+        model_type="llava",
+        format_user="USER: {content}",
+        format_assistant="ASSISTANT: {content}",
+        format_system="{content}",
+        default_system=(
+            "A chat between a curious human and an artificial intelligence "
+            "assistant. The assistant gives helpful, detailed, and polite "
+            "answers to the human's questions."),
+        image_placeholder="<image>",
+        expand_images=_llava_expand,
+        preprocess=_llava_preprocess),
+    "qwen2_vl": VLMTemplate(
+        model_type="qwen2_vl",
+        format_user="<|im_start|>user\n{content}<|im_end|>",
+        format_assistant="<|im_start|>assistant\n{content}<|im_end|>",
+        format_system="<|im_start|>system\n{content}<|im_end|>",
+        format_separator="\n",
+        default_system="You are a helpful assistant.",
+        image_placeholder="<image>",
+        expand_images=_qwen2vl_expand,
+        preprocess=_qwen2vl_preprocess),
+    "default": VLMTemplate(model_type="default"),
+}
+
+
+def get_vlm_template(cfg_or_type) -> VLMTemplate:
+    """Dispatch on a model config (family class) or a model-type str."""
+    if isinstance(cfg_or_type, str):
+        return TEMPLATES.get(cfg_or_type, TEMPLATES["default"])
+    from ..models.llava import LlavaConfig
+    from ..models.qwen2vl import Qwen2VLConfig
+    if isinstance(cfg_or_type, Qwen2VLConfig):
+        return TEMPLATES["qwen2_vl"]
+    if isinstance(cfg_or_type, LlavaConfig):
+        return TEMPLATES["llava"]
+    return TEMPLATES["default"]
+
+
+def build_calib_inputs(cfg, tokenizer: Callable[[str], List[int]],
+                       messages: Sequence[Dict[str, str]],
+                       images: List[Any], seqlen: int,
+                       image_token_text_map: Optional[Dict[str, int]] = None
+                       ) -> Dict[str, Any]:
+    """Render one conversation into model inputs via the family template:
+    render chat → expand image placeholders → tokenize (placeholder
+    token strings map through ``image_token_text_map``, e.g.
+    {"<|image_pad|>": cfg.image_token_id}) → attach preprocessed pixel
+    tensors.  Real datasets iterate this per sample; synthetic smoke
+    paths (get_mllm_calib_batch) bypass it."""
+    tpl = get_vlm_template(cfg)
+    pre = tpl.preprocess(images, cfg) if tpl.preprocess else {}
+    grids = pre.get("grid_thw")
+    text = tpl.render(messages)
+    if tpl.expand_images:
+        text = tpl.expand_images(text, cfg, grids)
+    # map image-token text markers onto ids around tokenized text chunks
+    tok_map = image_token_text_map or {}
+    ids: List[int] = []
+    chunks = [text]
+    for marker in tok_map:
+        nxt = []
+        for ch in chunks:
+            parts = ch.split(marker)
+            for i, p in enumerate(parts):
+                if i:
+                    nxt.append(marker)
+                nxt.append(p)
+        chunks = nxt
+    for ch in chunks:
+        if ch in tok_map:
+            ids.append(tok_map[ch])
+        elif ch:
+            ids.extend(tokenizer(ch))
+    ids = ids[:seqlen]
+    out = {"input_ids": np.asarray([ids], np.int32)}
+    out.update(pre)
+    return out
