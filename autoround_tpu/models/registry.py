@@ -11,7 +11,7 @@ from types import SimpleNamespace
 from typing import Any, Dict
 
 from . import (deepseek, dit, glm4moe, gptoss, llama, llama4, llava,
-               minimax, mixtral, qwen2vl, qwen3next)
+               minimax, mixtral, mmdit, qwen2vl, qwen3next)
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -22,6 +22,16 @@ def get_model_fns(cfg) -> SimpleNamespace:
     Every family exposes: init_params, block_fwd, embed_fwd, final_fwd,
     rope_tables, model_fwd, block_linear_names.
     """
+    if isinstance(cfg, mmdit.MMDiTConfig):
+        return SimpleNamespace(
+            init_params=mmdit.init_params,
+            block_fwd=mmdit.block_fwd,
+            embed_fwd=mmdit.embed_fwd,
+            final_fwd=mmdit.final_fwd,
+            rope_tables=llama.rope_tables,  # unused by MMDiT blocks
+            model_fwd=mmdit.model_fwd,
+            block_linear_names=mmdit.block_linear_names,
+        )
     if isinstance(cfg, dit.DiTConfig):
         return SimpleNamespace(
             init_params=dit.init_params,
@@ -153,3 +163,4 @@ ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen2vl.CONFIG_PRESETS)
 ALL_PRESETS.update(dit.CONFIG_PRESETS)
+ALL_PRESETS.update(mmdit.CONFIG_PRESETS)

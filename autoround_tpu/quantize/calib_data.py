@@ -334,12 +334,25 @@ def get_mllm_calib_batch(model_cfg, nsamples: int = 16, seqlen: int = 64,
 def get_diffusion_calib_batch(model_cfg, nsamples: int = 16, seed: int = 42):
     """Diffusion calibration batch (role of reference
     ``diffusion/dataset.py``): latents + uniformly sampled denoise
-    timesteps + class labels — the inputs one denoise step sees."""
+    timesteps + conditioning — the inputs one denoise step sees.
+    MMDiT configs get text-encoder states + pooled conditioning; DiT
+    gets class labels.  Real denoise-LOOP capture (every step of a real
+    sampler) rides ``models.mmdit.euler_sample(capture=...)`` — see
+    ``scripts/e2e_mmdit.py``."""
     rng = np.random.default_rng(seed)
     latents = rng.standard_normal(
         (nsamples, model_cfg.image_size, model_cfg.image_size,
          model_cfg.in_channels)).astype(np.float32)
     timesteps = rng.integers(0, 1000, (nsamples,)).astype(np.int32)
+    from ..models.mmdit import MMDiTConfig
+    if isinstance(model_cfg, MMDiTConfig):
+        enc = rng.standard_normal(
+            (nsamples, model_cfg.text_len, model_cfg.text_dim)
+        ).astype(np.float32)
+        pooled = rng.standard_normal(
+            (nsamples, model_cfg.pooled_dim)).astype(np.float32)
+        return {"pixel_values": latents, "timesteps": timesteps,
+                "encoder_states": enc, "pooled": pooled}
     labels = rng.integers(0, model_cfg.num_classes,
                           (nsamples,)).astype(np.int32)
     return {"pixel_values": latents, "timesteps": timesteps,

@@ -19,6 +19,29 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tier the suite (reference tiers unit/integration/e2e,
+    ``test/integration/README.md:16-22``; the full 525+ suite needs
+    ~35 min on this 8-device CPU mesh):
+
+      * ``-m smoke``  — the FIRST test of every class/module (one
+        representative per subsystem feature, parametrizations deduped),
+        minus anything explicitly ``slow``; finishes in < 5 min.
+      * ``-m "not slow"`` — everything but the explicitly slow tests.
+      * (no marker)   — the whole suite.
+    """
+    seen = set()
+    for item in items:
+        if item.get_closest_marker("slow"):
+            continue
+        cls = item.cls.__name__ if item.cls is not None else None
+        key = (item.module.__name__, cls)
+        if key not in seen:
+            seen.add(key)
+            item.add_marker(pytest.mark.smoke)
