@@ -77,9 +77,13 @@ def _kernel(x_ref, w_ref, st_ref, o_ref, acc_ref, *, group_size: int):
     """st_ref: transposed scales block (PLANES, TO) — plane j's scale row.
 
     The group scale is constant along the contraction, so it factors out
-    of the dot: acc += (x_g @ (codes-8)^T) * s_row.  This keeps the MXU
-    inputs exact small ints in bf16 (no pre-scaled rounding) and turns the
-    scale into one (B, TO) row broadcast instead of a (TO, g) multiply.
+    of the dot: acc += (x_g @ codes^T - 8*sum(x_g)) * s_row.  This keeps
+    the MXU inputs exact small ints in bf16 (no pre-scaled rounding) and
+    turns the scale into one (B, TO) row broadcast instead of a (TO, g)
+    multiply.  The -8 zero point rides a row-sum correction instead of a
+    per-element subtract — dropping one VPU op per weight measured ~10%
+    end-to-end on the VPU-bound dequant chain (the kernel is extraction-
+    bound, not DMA- or MXU-bound, at decode batch sizes).
 
     Grid is (batch tiles, O tiles, K tiles) — batch tiling keeps prefill
     calls (B = prompts x seq rows) within VMEM.
@@ -95,13 +99,15 @@ def _kernel(x_ref, w_ref, st_ref, o_ref, acc_ref, *, group_size: int):
     acc = acc_ref[:]
     for j in range(PLANES):
         chunk = jax.lax.shift_right_logical(words, 4 * j) & 0xF
-        wq = (chunk - 8).astype(jnp.bfloat16)                       # exact
-        xg = x_ref[:, pl.ds(j * group_size, group_size)]            # (B, g)
+        wq = chunk.astype(jnp.bfloat16)               # codes 0..15 exact
+        xg = x_ref[:, pl.ds(j * group_size, group_size)].astype(
+            jnp.bfloat16)                                           # (B, g)
         partial = jax.lax.dot_general(
-            xg.astype(jnp.bfloat16), wq,
-            (((1,), (1,)), ((), ())),
+            xg, wq, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                     # (B, TO)
-        acc = acc + partial * st_ref[j, :][None, :].astype(jnp.float32)
+        xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)  # (B, 1)
+        acc = acc + (partial - 8.0 * xs) * st_ref[j, :][None, :].astype(
+            jnp.float32)
     acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
@@ -115,7 +121,7 @@ def w4a16_matmul(
     qweight: jax.Array,
     scales: jax.Array,
     group_size: int = 128,
-    block_o: int = 1024,
+    block_o: int = 2048,
 ) -> jax.Array:
     """y = x @ dequant(qweight).T.
 
@@ -202,13 +208,15 @@ def _grouped_kernel(x_ref, w_ref, st_ref, o_ref, acc_ref, *,
     acc = acc_ref[:]
     for j in range(PLANES):
         chunk = jax.lax.shift_right_logical(words, 4 * j) & 0xF
-        wq = (chunk - 8).astype(jnp.bfloat16)
-        xg = x_ref[0, :, pl.ds(j * group_size, group_size)]
+        wq = chunk.astype(jnp.bfloat16)               # codes 0..15 exact
+        xg = x_ref[0, :, pl.ds(j * group_size, group_size)].astype(
+            jnp.bfloat16)
         partial = jax.lax.dot_general(
-            xg.astype(jnp.bfloat16), wq,
-            (((1,), (1,)), ((), ())),
+            xg, wq, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        acc = acc + partial * st_ref[0, j, :][None, :].astype(jnp.float32)
+        xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + (partial - 8.0 * xs) * st_ref[0, j, :][None, :].astype(
+            jnp.float32)
     acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
@@ -222,7 +230,7 @@ def w4a16_matmul_grouped(
     qweight: jax.Array,
     scales: jax.Array,
     group_size: int = 128,
-    block_o: int = 1024,
+    block_o: int = 2048,
 ) -> jax.Array:
     """Grouped (MoE) fused dequant-matmul: y[e] = x[e] @ dq(qweight[e]).T.
 
