@@ -139,7 +139,15 @@ def _make_tp_linear_fn(packed, block_idx: int, kinds=None):
     def lf(name, x, w, b=None):
         key = f"blocks.{block_idx}.{name}"
         if key in packed:
-            kind = (kinds or {}).get(key, "w4a16")
+            kind = (kinds or {}).get(key) or "w4a16"
+            if kind == "w4a16":
+                # row shards may be tile-padded (see _reshard_row_layers):
+                # zero-pad the matching x columns (codes there dequant to
+                # 0, so the padded lanes contribute nothing)
+                k_exp = packed[key][0].shape[1] * 8
+                if x.shape[-1] < k_exp:
+                    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1)
+                                + [(0, k_exp - x.shape[-1])])
             y = QuantizedLlama._packed_matmul(x, packed[key], kind)
         else:
             y = jnp.einsum("...i,oi->...o", x, w)
@@ -201,15 +209,20 @@ def _validate_shardable(cfg, packed, params, tp: int):
             assert qw.shape[0] % tp == 0 and s.shape[0] % tp == 0, key
 
 
-def _reshard_row_layers(packed, params, cfg, tp: int):
+def _reshard_row_layers(packed, params, cfg, tp: int, kinds=None):
     """Make row-parallel packed layers shardable along K.
 
     The nibble-plane layout interleaves the 8 groups of a K-tile inside
     each int32 word, so a contiguous dim-1 split of qweight is only a
-    contiguous K split at whole-tile granularity.  Where the local K is a
-    tile multiple we repack each shard's K chunk as its own valid
-    nibble-plane block (the concatenation shards into per-device
-    packings); otherwise the layer dequantizes to dense and serves
+    contiguous K split at whole-tile granularity.  Each shard's K chunk
+    is repacked as its own valid nibble-plane block (the concatenation
+    shards into per-device packings); a chunk whose K is not a whole
+    tile multiple (e.g. the 8B down_proj: 14336/4 = 3584 = 3.5 tiles) is
+    PADDED to the next tile with zero-dequant codes (code 8 → exactly 0
+    under the sym grid) — the serving lf zero-pads the matching x
+    columns, so the padded lanes contribute nothing to the dot or its
+    zero-point row-sum correction.  Only group-misaligned splits (or
+    packed kinds other than w4/w8a8) dequantize to dense and serve
     through the einsum path (correct, 4x weight bytes for that layer).
     """
     def _set_dense(key, w):
@@ -236,20 +249,44 @@ def _reshard_row_layers(packed, params, cfg, tp: int):
             logger.info("tp engine: %s K=%d not lane-shardable at tp=%d; "
                         "serving dense", key, qw.shape[1], tp)
             continue
+        kind = (kinds or {}).get(key) or "w4a16"
         K, groups = qw.shape[1] * 8, s.shape[1]
         g = K // groups
-        codes = unpack_w4_planes(qw, g)  # (O, K)
-        if (K // tp) % (8 * g) == 0 and groups % tp == 0:
+        if kind == "w4a16" and groups % tp == 0:
+            codes = unpack_w4_planes(qw, g)  # (O, K)
+            TKt = 8 * g
+            Kl = K // tp
+            Kp = -(-Kl // TKt) * TKt
             chunks = jnp.split(codes, tp, axis=1)
+            schunks = jnp.split(s, tp, axis=1)
+            if Kp != Kl:
+                # pad each shard to a whole tile with zero-dequant codes
+                chunks = [jnp.pad(c, ((0, 0), (0, Kp - Kl)),
+                                  constant_values=8) for c in chunks]
+                schunks = [jnp.pad(sc.astype(jnp.float32),
+                                   ((0, 0), (0, (Kp - Kl) // g)),
+                                   constant_values=1.0) for sc in schunks]
+                logger.info("tp engine: %s per-shard K %d padded to %d "
+                            "for tile repack at tp=%d", key, Kl, Kp, tp)
             packed[key] = (jnp.concatenate(
-                [pack_w4_planes(c, g) for c in chunks], axis=1), s)
+                [pack_w4_planes(c, g) for c in chunks], axis=1),
+                jnp.concatenate(schunks, axis=1))
         else:
-            srep = jnp.repeat(s.astype(jnp.float32), g, axis=1)[:, :K]
-            w = ((codes - 8).astype(jnp.float32) * srep).astype(cfg.dtype)
+            if kind == "w4a16":
+                codes = unpack_w4_planes(qw, g)
+                srep = jnp.repeat(s.astype(jnp.float32), g, axis=1)[:, :K]
+                w = ((codes - 8).astype(jnp.float32) * srep).astype(
+                    cfg.dtype)
+            else:
+                # non-w4 packed kinds have no K-resharding path yet
+                from .engine import QuantizedLlama as _QL
+                eye = jnp.eye(K, dtype=jnp.bfloat16)
+                w = _QL._packed_matmul(eye, packed[key], kind).astype(
+                    cfg.dtype).T
             _set_dense(key, w)
             del packed[key]
-            logger.info("tp engine: %s K=%d not tile-shardable at tp=%d; "
-                        "serving dense", key, K, tp)
+            logger.info("tp engine: %s K=%d (%s) not shardable at tp=%d; "
+                        "serving dense", key, K, kind, tp)
     return packed, params
 
 
@@ -329,7 +366,8 @@ class TPQuantizedLlama:
                   if not k.endswith(("qkv", "gate_up"))}
         _validate_shardable(cfg, packed, engine.params, tp)
         eparams = jax.tree.map(lambda x: x, engine.params)  # container copy
-        packed, eparams = _reshard_row_layers(packed, eparams, cfg, tp)
+        packed, eparams = _reshard_row_layers(packed, eparams, cfg, tp,
+                                              engine.packed_kinds)
         # pin head_dim: cfg.hd derives from hidden/num_heads, which would
         # change when heads are divided by tp
         cfg_local = dataclasses.replace(

@@ -143,6 +143,23 @@ def time_decode(engine, ids, steps=24):
     return ((t1 - t0) - (t1b - t0b)) / steps
 
 
+def decode_bytes(cfg, bs, max_seq, g=128, scale_bytes=4, kv_bytes=1):
+    """Analytic bytes-read of one decode step: packed weights + scales +
+    padded int8-KV read (writes/activations <1%)."""
+    H, hd = cfg.hidden_size, cfg.hd
+    qd, kvd, inter = cfg.num_heads * hd, cfg.num_kv_heads * hd, \
+        cfg.intermediate_size
+    per_block = qd * H + 2 * kvd * H + H * qd + 2 * inter * H + H * inter
+    w_elts = per_block * cfg.num_layers + cfg.vocab_size * H
+    kv_read = 2 * cfg.num_layers * bs * max_seq * kvd * kv_bytes
+    return w_elts // 2 + (w_elts // g) * scale_bytes + kv_read
+
+
+# Measured 2-D HBM read roof on this chip (slope-based on-device loops;
+# see scripts/roofline.py and docs/roofline.json)
+HBM_READ_ROOF_GBS = 739.8
+
+
 def main():
     from autoround_tpu.models import llama
 
@@ -156,6 +173,7 @@ def main():
     t_w4 = time_decode(eng, prompt)
     toks_w4 = BS / t_w4
     del eng
+    step_gb = decode_bytes(cfg, BS, MAX_SEQ) / 1e9
 
     ts = {}
     for L in (16, 4):
@@ -177,9 +195,16 @@ def main():
             "bf16_step_ms_extrapolated": round(t_bf16 * 1e3, 2),
             "bf16_16L_ms": round(ts[16] * 1e3, 2),
             "bf16_4L_ms": round(ts[4] * 1e3, 2),
+            "hbm_gb_per_step": round(step_gb, 3),
+            "hbm_effective_gbs": round(step_gb / t_w4, 1),
+            "hbm_util_pct": round(
+                100 * step_gb / t_w4 / HBM_READ_ROOF_GBS, 1),
+            "hbm_read_roof_gbs": HBM_READ_ROOF_GBS,
             "note": "BF16 8B does not fit the 16 GB chip (extrapolated "
                     "affine in L from 16/4-layer engines); W4A16 serves "
-                    "the full model on-chip",
+                    "the full model on-chip; hbm_* = analytic bytes-read "
+                    "per step vs the measured 2-D read roof "
+                    "(scripts/roofline.py)",
         },
     }))
 

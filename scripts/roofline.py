@@ -1,0 +1,214 @@
+"""HBM roofline for the decode step (VERDICT r2 item 3).
+
+Measures the chip's achievable HBM bandwidth, the W4 serving kernel's
+weight-stream rate, and the decode step's analytic bytes-read, then
+reports utilization.
+
+Methodology (validated this round — naive timing is hopeless here):
+the axon tunnel adds a 12-28 ms, high-variance dispatch+fetch overhead
+per call, so every measurement keeps ALL looping on-device (an outer
+``fori_loop`` whose carry feeds back into the input so XLA cannot hoist
+the body, over an inner ``scan`` across R distinct HBM payloads so
+nothing caches in VMEM) and derives time per payload from the SLOPE
+between two loop lengths — the fixed overhead cancels exactly.  Naive
+per-call timing under-reports bandwidth ~7x (91 GB/s "measured" for a
+1-D reduction vs 745 GB/s real 2-D read) — that artifact is what the
+stale "~110 GB/s effective" claim in older design notes was.
+
+Reference context: the reference ships CPU/CUDA kernels benchmarked ad
+hoc (auto_round_extension/ark/test/); this gives the TPU equivalent a
+measured roof to be judged against.
+
+Usage:
+  python scripts/roofline.py [--json docs/roofline.json] [--skip-decode]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+R = 8  # distinct HBM payloads per inner scan (defeats VMEM caching)
+
+
+def _run(f, *args, iters=3):
+    _ = float(f(*args))  # compile + warm
+    best = 1e9
+    for _i in range(iters):
+        t0 = time.perf_counter()
+        s = f(*args)
+        _ = float(s)  # scalar fetch forces completion
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _slope(make, *args, T=16):
+    """Seconds per payload-visit from the slope between T and 2T outer
+    iterations (fixed dispatch overhead cancels)."""
+    t1 = _run(make(T), *args)
+    t2 = _run(make(2 * T), *args)
+    return (t2 - t1) / (T * R)
+
+
+def bw_read_2d(rows=14336, cols=4096):
+    """Pure-read bandwidth on a weight-matrix-shaped 2-D bf16 array."""
+    xs = jnp.ones((R, rows, cols), jnp.bfloat16)
+
+    def make(T):
+        @jax.jit
+        def f(xs):
+            def outer(i, c):
+                def body(c, x):
+                    return c + jnp.sum((x + c * jnp.bfloat16(0)).astype(
+                        jnp.float32)) * jnp.float32(1e-12), None
+                c, _ = lax.scan(body, c, xs)
+                return c
+            return lax.fori_loop(0, T, outer, jnp.float32(0))
+        return f
+    per = _slope(make, xs, T=24)
+    return rows * cols * 2 / per / 1e9
+
+
+def bw_dense_matmul(O=14336, K=4096, B=32):
+    """bf16 dense decode-shaped matmul: weight-stream GB/s (the rate a
+    BF16 deployment would read weights at)."""
+    ws = jax.random.normal(jax.random.PRNGKey(0), (R, O, K),
+                           jnp.bfloat16) * 0.02
+    x = jax.random.normal(jax.random.PRNGKey(9), (B, K), jnp.bfloat16)
+
+    def make(T):
+        @jax.jit
+        def f(x, ws):
+            def outer(i, c):
+                def body(c, w):
+                    xx = (x + c * jnp.float32(1e-24)).astype(jnp.bfloat16)
+                    y = lax.dot_general(xx, w, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                    return c + jnp.sum(y) * jnp.float32(1e-12), None
+                c, _ = lax.scan(body, c, ws)
+                return c
+            return lax.fori_loop(0, T, outer, jnp.float32(0))
+        return f
+    per = _slope(make, x, ws, T=16)
+    return O * K * 2 / per / 1e9
+
+
+def bw_w4_kernel(O=14336, K=4096, B=32, g=128):
+    """The actual W4 serving kernel: packed-bytes+scales stream GB/s."""
+    from autoround_tpu.ops.qmatmul import pack_w4_planes, w4a16_matmul
+    key = jax.random.PRNGKey(0)
+    qws = jnp.stack([
+        pack_w4_planes(jax.random.randint(jax.random.fold_in(key, i),
+                                          (O, K), 0, 16, jnp.int32), g)
+        for i in range(R)])
+    scs = jnp.full((R, O, K // g), 0.01, jnp.float32)
+    x = jax.random.normal(key, (B, K), jnp.bfloat16)
+
+    def make(T):
+        @jax.jit
+        def f(x, qws, scs):
+            def outer(i, c):
+                def body(c, qs):
+                    qw, sc = qs
+                    xx = (x + c * jnp.float32(1e-24)).astype(jnp.bfloat16)
+                    y = w4a16_matmul(xx, qw, sc, g)
+                    return c + jnp.sum(y) * jnp.float32(1e-12), None
+                c, _ = lax.scan(body, c, (qws, scs))
+                return c
+            return lax.fori_loop(0, T, outer, jnp.float32(0))
+        return f
+    per = _slope(make, x, qws, scs, T=32)
+    nbytes = O * K // 2 + O * (K // g) * 4
+    return nbytes / per / 1e9
+
+
+def dispatch_latency():
+    """Per-call dispatch+fetch latency over the tunnel (scalar op)."""
+    f = jax.jit(lambda a: a + 1.0)
+    x = jnp.float32(0)
+    _ = float(f(x))
+    t0 = time.perf_counter()
+    for _i in range(10):
+        x = f(x)
+    _ = float(x)
+    return (time.perf_counter() - t0) / 10
+
+
+def decode_bytes_8b(bs=32, max_seq=512, scale_bytes=4, kv_bytes=1, g=128):
+    """Analytic bytes-read of one 8B W4A16 decode step (weights + scales
+    + padded KV read; KV write + activations are <1% and ignored)."""
+    H, hd, nh, nkv, inter, L, V = 4096, 128, 32, 8, 14336, 32, 128256
+    proj = {
+        "q": (nh * hd, H), "k": (nkv * hd, H), "v": (nkv * hd, H),
+        "o": (H, nh * hd), "gate": (inter, H), "up": (inter, H),
+        "down": (H, inter),
+    }
+    per_block = sum(o * k for o, k in proj.values())
+    w_elts = per_block * L + V * H          # + packed lm_head
+    w_bytes = w_elts // 2                   # int4
+    s_bytes = (w_elts // g) * scale_bytes
+    kv_read = 2 * L * bs * max_seq * nkv * hd * kv_bytes
+    embed = bs * H * 2
+    return {"weights_gb": w_bytes / 1e9, "scales_gb": s_bytes / 1e9,
+            "kv_read_gb": kv_read / 1e9, "embed_gb": embed / 1e9,
+            "total_gb": (w_bytes + s_bytes + kv_read + embed) / 1e9}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default="docs/roofline.json")
+    ap.add_argument("--skip-decode", action="store_true")
+    args = ap.parse_args()
+
+    out = {"device": str(jax.devices()[0]),
+           "method": "on-device fori_loop x scan over 8 payloads, "
+                     "slope between 2 loop lengths (dispatch overhead "
+                     "cancels)"}
+    out["dispatch_ms"] = round(dispatch_latency() * 1e3, 2)
+    print(f"dispatch+fetch latency: {out['dispatch_ms']} ms", flush=True)
+    out["bw_read_2d_gbs"] = round(bw_read_2d(), 1)
+    print(f"2-D bf16 read roof: {out['bw_read_2d_gbs']} GB/s", flush=True)
+    out["bw_dense_matmul_gbs"] = round(bw_dense_matmul(), 1)
+    print(f"bf16 dense matmul weight-stream: {out['bw_dense_matmul_gbs']} "
+          "GB/s", flush=True)
+    out["bw_w4_kernel_gbs"] = round(bw_w4_kernel(), 1)
+    print(f"W4 kernel packed-stream: {out['bw_w4_kernel_gbs']} GB/s",
+          flush=True)
+    out["decode_bytes"] = {k: round(v, 3)
+                           for k, v in decode_bytes_8b().items()}
+
+    if not args.skip_decode:
+        from bench import make_packed_engine, time_decode
+        from autoround_tpu.models import llama
+        cfg = llama.CONFIG_PRESETS["llama3-8b"]
+        BS, MAX_SEQ = 32, 512
+        prompt = jax.device_put(np.random.default_rng(2).integers(
+            0, cfg.vocab_size, (BS, 128)).astype(np.int32))
+        eng = make_packed_engine(cfg, MAX_SEQ, jax.random.PRNGKey(0))
+        t = time_decode(eng, prompt)
+        out["decode_step_ms"] = round(t * 1e3, 2)
+        total = out["decode_bytes"]["total_gb"]
+        out["decode_effective_gbs"] = round(total / t, 1)
+        out["hbm_util_vs_read_pct"] = round(
+            100 * (total / t) / out["bw_read_2d_gbs"], 1)
+        print(f"decode: {out['decode_step_ms']} ms/step, "
+              f"{out['decode_effective_gbs']} GB/s effective "
+              f"({out['hbm_util_vs_read_pct']}% of measured 2-D read roof)",
+              flush=True)
+
+    with open(args.json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

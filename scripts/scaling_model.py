@@ -1,0 +1,187 @@
+"""Scaling-efficiency model for multi-chip W4 decode (VERDICT r2 item 5).
+
+Counts the ACTUAL per-step collective volumes of the TP serving engine —
+by lowering the shard_map'd decode step for one 8B-shaped block on a
+virtual (dp, tp) mesh and parsing every all-reduce / all-gather /
+reduce-scatter / collective-permute out of the StableHLO, with shapes —
+then combines them with v5e ICI ring costs into a decode scaling table
+for tp = 1/2/4/8 and dp x tp layouts at 8 and 16 chips.
+
+Collective cost model (same one as docs/design.md's DP-calib section):
+ring all-reduce of S bytes over n chips moves 2(n-1)/n * S per link at
+~45 GB/s/link (v5e ICI), plus ~1 us launch latency per hop.  Compute
+time uses the MEASURED single-chip decode step (bench.py) divided by tp
+(the weight stream splits exactly; the W4 kernel is VPU-extraction-bound
+so splitting O/K keeps the per-byte rate).
+
+Run on CPU with a virtual mesh:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  JAX_PLATFORMS=cpu python scripts/scaling_model.py
+"""
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+ICI_GBS = 45.0          # v5e per-link ring bandwidth (one direction)
+HOP_LATENCY_US = 1.0    # per-hop collective launch latency
+SINGLE_CHIP_STEP_MS = 14.61   # measured bench.py 8B W4 decode, bs32
+LAYERS = 32
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "i32": 4, "ui32": 4,
+                "i8": 1, "ui8": 1, "f64": 8, "i64": 8}
+
+
+def collective_bytes(hlo_text):
+    """Parse per-shard payload bytes of every collective in a compiled
+    HLO dump.  Matches lines like
+      %psum.14 = f32[1,1,4096]{2,1,0} all-reduce(...)
+    Returns {op_kind: [(shape_str, bytes), ...]}."""
+    out = {}
+    pat = re.compile(
+        r"=\s+(f32|bf16|f16|i32|ui32|i8|ui8|f64|i64)"
+        r"\[([0-9,]*)\][^=\n]*?\s"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+        r"all-to-all)(-start)?\(")
+    for m in pat.finditer(hlo_text):
+        kind = m.group(3).replace("-", "_")
+        dims = [int(d) for d in m.group(2).split(",") if d]
+        n = 1
+        for d in dims:
+            n *= d
+        nbytes = n * _DTYPE_BYTES[m.group(1)]
+        out.setdefault(kind, []).append(
+            ("x".join(map(str, dims)) + m.group(1), nbytes))
+    return out
+
+
+def build_block_engine():
+    """One 8B-shaped block + packed lm_head on the (dp=2, tp=4) mesh."""
+    from autoround_tpu.models import llama
+    from autoround_tpu.ops.qmatmul import pack_w4_planes
+    from autoround_tpu.parallel import make_mesh
+    from autoround_tpu.serve import QuantizedLlama, TPQuantizedLlama
+
+    mesh = make_mesh(8)
+    g = 128
+    cfg = llama.LlamaConfig(
+        vocab_size=1024, hidden_size=4096, intermediate_size=14336,
+        num_layers=1, num_heads=32, num_kv_heads=8, rope_theta=5e5,
+        dtype=jnp.float32)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    shapes = {"q_proj": (4096, 4096), "k_proj": (1024, 4096),
+              "v_proj": (1024, 4096), "o_proj": (4096, 4096),
+              "gate_proj": (14336, 4096), "up_proj": (14336, 4096),
+              "down_proj": (4096, 14336)}
+    packed = {}
+    for i, (name, (O, K)) in enumerate(shapes.items()):
+        codes = jax.random.randint(jax.random.PRNGKey(i), (O, K), 0, 16,
+                                   jnp.int32)
+        packed[f"blocks.0.{name}"] = (
+            pack_w4_planes(codes, g), jnp.full((O, K // g), 0.01))
+        params["blocks"][0][name] = None
+    # vocab-sharded packed lm_head
+    codes = jax.random.randint(jax.random.PRNGKey(99), (1024, 4096), 0,
+                               16, jnp.int32)
+    packed["lm_head"] = (pack_w4_planes(codes, g),
+                         jnp.full((1024, 4096 // g), 0.01))
+    eng = QuantizedLlama(cfg=cfg, params=params, packed=packed,
+                         max_seq=64, kv_quant="int8")
+    return TPQuantizedLlama.from_engine(eng, mesh), mesh
+
+
+def measured_volumes():
+    tpe, mesh = build_block_engine()
+    dp = mesh.shape["dp"]
+    ids = jnp.zeros((dp, 8), jnp.int32)
+    logits, cache = tpe.prefill(ids)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    lowered = tpe._decode_c.lower(tpe.params, tpe.packed, tok, cache)
+    txt = lowered.compile().as_text()
+    return collective_bytes(txt)
+
+
+def ring_allreduce_ms(nbytes, n):
+    if n == 1:
+        return 0.0
+    wire = 2 * (n - 1) / n * nbytes / (ICI_GBS * 1e9)
+    lat = 2 * (n - 1) * HOP_LATENCY_US * 1e-6
+    return (wire + lat) * 1e3
+
+
+def ring_allgather_ms(nbytes_shard, n):
+    if n == 1:
+        return 0.0
+    wire = (n - 1) * nbytes_shard / (ICI_GBS * 1e9)
+    lat = (n - 1) * HOP_LATENCY_US * 1e-6
+    return (wire + lat) * 1e3
+
+
+def scaling_table(bs=32, vocab=128256):
+    """Analytic per-step volumes at full 8B shapes (validated against the
+    HLO-measured block): per block 2 psums of (bs, H) activations (o_proj
+    and down_proj row-parallel combines), plus one logits all-gather of
+    (bs, vocab/tp) at the head."""
+    H = 4096
+    act_bytes = bs * H * 4          # engine runs f32 activations in psum
+    rows = []
+    for dp, tp in [(1, 1), (1, 2), (1, 4), (1, 8),
+                   (2, 4), (4, 2), (8, 1), (2, 8), (4, 4), (8, 2),
+                   (16, 1)]:
+        n = dp * tp
+        t_comp = SINGLE_CHIP_STEP_MS / tp
+        comm = (2 * LAYERS * ring_allreduce_ms(act_bytes, tp)
+                + ring_allgather_ms(bs * (vocab // tp) * 4, tp))
+        t = t_comp + comm
+        toks = bs * dp / (t * 1e-3)
+        eff = (bs * dp / (t * 1e-3)) / (n * bs / (SINGLE_CHIP_STEP_MS
+                                                  * 1e-3))
+        rows.append({"chips": n, "dp": dp, "tp": tp,
+                     "step_ms": round(t, 2), "comm_ms": round(comm, 3),
+                     "tok_s": round(toks, 0), "efficiency": round(eff, 3)})
+    return rows
+
+
+def main():
+    vols = measured_volumes()
+    print("HLO-measured collectives in one decode step "
+          "(1 block + head, dp=2 tp=4, per-shard payloads):")
+    total = 0
+    for kind, items in sorted(vols.items()):
+        for shape, b in items:
+            print(f"  {kind:20s} {shape:18s} {b/1024:8.1f} KiB")
+            total += b
+    print(f"  total per-shard collective payload: {total/1024:.1f} KiB "
+          "(x32 blocks at full depth)")
+
+    rows = scaling_table()
+    print("\nDecode scaling model, Llama-3-8B W4A16, bs=32/dp-shard, "
+          f"ICI ring {ICI_GBS:.0f} GB/s/link:")
+    print(f"{'chips':>5} {'dp':>3} {'tp':>3} {'step_ms':>8} "
+          f"{'comm_ms':>8} {'tok/s':>9} {'eff':>6}")
+    for r in rows:
+        print(f"{r['chips']:5d} {r['dp']:3d} {r['tp']:3d} "
+              f"{r['step_ms']:8.2f} {r['comm_ms']:8.3f} "
+              f"{r['tok_s']:9.0f} {r['efficiency']:6.3f}")
+    out = {"measured_hlo_collectives": {
+        k: v for k, v in vols.items()}, "table": rows,
+        "ici_gbs_per_link": ICI_GBS,
+        "single_chip_step_ms": SINGLE_CHIP_STEP_MS}
+    with open("docs/scaling_model.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("\nwrote docs/scaling_model.json")
+
+
+if __name__ == "__main__":
+    main()

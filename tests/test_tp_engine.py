@@ -97,6 +97,52 @@ class TestTPEngine:
                 np.asarray(unpack_w4_planes(chunk, g)),
                 np.asarray(codes[:, d * K // tp:(d + 1) * K // tp]))
 
+    def test_row_repack_pads_nondivisible_chunks(self):
+        """Per-shard K that is not a whole tile (e.g. 8B down_proj
+        14336/4 = 3.5 tiles) pads to the next tile with zero-dequant
+        codes instead of falling back to dense."""
+        from autoround_tpu.ops.qmatmul import (pack_w4_planes,
+                                               unpack_w4_planes)
+        from autoround_tpu.serve.tp_engine import _reshard_row_layers
+
+        g, O, K, tp = 128, 8, 3072, 4   # local K = 768 = 1.5 tiles
+        codes = jax.random.randint(jax.random.PRNGKey(0), (O, K), 0, 16)
+        scales = jnp.ones((O, K // g))
+        packed = {"blocks.0.down_proj": (pack_w4_planes(codes, g), scales)}
+        packed, _ = _reshard_row_layers(packed, {"blocks": [{}]}, None, tp)
+        qw2, s2 = packed["blocks.0.down_proj"]
+        Kp = 1024                        # padded per-shard K
+        assert qw2.shape == (O, tp * Kp // 8)
+        assert s2.shape == (O, tp * Kp // g)
+        for d in range(tp):
+            chunk = qw2[:, d * Kp // 8:(d + 1) * Kp // 8]
+            un = np.asarray(unpack_w4_planes(chunk, g))
+            np.testing.assert_array_equal(
+                un[:, :K // tp],
+                np.asarray(codes[:, d * K // tp:(d + 1) * K // tp]))
+            assert (un[:, K // tp:] == 8).all()  # zero-dequant padding
+
+    def test_padded_row_path_parity(self):
+        """tp=4 over hidden=1024: per-shard row K = 256 (2 groups) pads
+        to one tile; logits must still match the single-chip engine."""
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=1024,
+                                intermediate_size=1024, num_layers=1,
+                                num_heads=4, num_kv_heads=4,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 64)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        mesh = make_mesh(4, dp=1, tp=4)
+        tpe = TPQuantizedLlama.from_engine(eng, mesh)
+        assert "blocks.0.o_proj" in tpe.packed
+        assert "blocks.0.down_proj" in tpe.packed
+        l0, _ = eng.prefill(ids)
+        l1, _ = tpe.prefill(ids)
+        np.testing.assert_allclose(np.asarray(l1, np.float32),
+                                   np.asarray(l0, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
     def test_packed_row_path_end_to_end(self):
         """hidden=2048 keeps o/down packed under tp=2 (local K = 8g)."""
         cfg = llama.LlamaConfig(vocab_size=64, hidden_size=2048,
