@@ -101,6 +101,11 @@ class QuantizeConfig:
     # host<->device placement instead of module hooks).  Requires fast
     # host<->device DMA — do not enable over a tunneled dev chip.
     offload_params: bool = False
+    # rematerialize the tuning forward in the backward pass (the TPU
+    # answer to the reference's low_gpu_mem_usage: recompute saved
+    # activations instead of holding them — required to tune 8B-shape
+    # blocks at seqlen 2048 inside 16 GB alongside the caches)
+    use_remat: bool = False
 
     def tune_config(self) -> TuneConfig:
         return TuneConfig(
@@ -114,6 +119,7 @@ class QuantizeConfig:
             enable_alg_ext=self.enable_alg_ext,
             optimizer=self.optimizer,
             enable_norm_bias_tuning=self.enable_norm_bias_tuning,
+            use_remat=self.use_remat,
         )
 
 
@@ -692,6 +698,24 @@ def quantize_model(
     _trace = _contextlib.ExitStack()
     _trace.enter_context(maybe_trace())
     _ann = None                    # current per-block StepTraceAnnotation
+
+    # offload double-buffering: device_put is async, so issuing the NEXT
+    # block's host->HBM upload right after this block's tuning scan is
+    # dispatched hides the transfer entirely under the compute
+    _prefetched: Dict[int, Any] = {}
+
+    def _block_on_device(bi: int, raw):
+        if not cfg.offload_params:
+            return raw
+        dev = _prefetched.pop(bi, None)
+        return dev if dev is not None else jax.device_put(raw)
+
+    def _prefetch_next(bi: int):
+        nb = bi + 1
+        if (cfg.offload_params and nb < len(params["blocks"])
+                and nb >= start_block and nb not in _prefetched):
+            _prefetched[nb] = jax.device_put(params["blocks"][nb])
+
     for bi, block in enumerate(params["blocks"]):
         if envs.AR_TRACE_DIR:
             if _ann is not None:
@@ -723,9 +747,11 @@ def quantize_model(
         am = _attn_mask_for(bi)
         cb, sb = (cosl, sinl) if _use_sliding_fn(bi) else (cos, sin)
         bf_i = _block_fwd_for(bi)
+        block = _block_on_device(bi, block)
         ref_out = _batched_block_apply(block, x_fp, cb, sb, model_cfg,
                                        cfg.cache_batch, attn_mask=am,
                                        block_fwd=bf_i)
+        _prefetch_next(bi)
         if not schemes:
             new_blocks.append(block)
             x_fp = ref_out
@@ -911,12 +937,69 @@ def quantize_model(
                                        cfg.cache_batch, linear_fn=act_lf,
                                        attn_mask=am, block_fwd=bf_i)
         if cfg.offload_params:
-            # qdq result returns to host; only the caches stay in HBM
-            qdq_block = jax.tree.map(lambda t: np.asarray(t), qdq_block)
+            # qdq result returns to host; only the caches stay in HBM.
+            # Host-link bytes are the offload regime's bottleneck, so:
+            #   * W4-sym-g layers transfer PACKED int4 codes + scales
+            #     (devicewards pack_w4_planes, 4.5x fewer bytes than the
+            #     bf16 qdq) and the host reconstructs the identical qdq
+            #     as scale*(code-8) — exact, both sides compute the same
+            #     fp32 product before the bf16 cast
+            #   * everything else transfers the model-dtype qdq ONCE and
+            #     the export payload SHARES the buffer for int bits<=4
+            #     (code recovery rint(qdq/scale) is exact under bf16
+            #     rounding there: |code| <= 15, rel err 2^-9)
+            from ..ops.qmatmul import pack_w4_planes
+            packed_pull = {}
+            for lname in schemes:
+                s = schemes[lname]
+                ql = layers[f"blocks.{bi}.{lname}"]
+                leaf = get_by_path(qdq_block, lname)
+                g = s.group_size if isinstance(s.group_size, int) else 0
+                if (s.data_type == "int" and s.bits == 4 and s.sym
+                        and ql.extras is None and g > 0
+                        and getattr(leaf, "ndim", 0) == 2
+                        and leaf.shape == ql.qdq.shape
+                        and leaf.shape[1] % (8 * g) == 0):
+                    scale = ql.scale.astype(jnp.float32)
+                    srep = jnp.repeat(scale, g, axis=1)
+                    safe = jnp.where(srep == 0.0, 1.0, srep)
+                    codes = jnp.clip(
+                        jnp.round(ql.qdq.astype(jnp.float32) / safe) + 8,
+                        0, 15).astype(jnp.int32)
+                    packed_pull[lname] = (pack_w4_planes(codes, g), scale)
+            for lname, (words, scale) in packed_pull.items():
+                words_np = np.asarray(words)
+                scale_np = np.asarray(scale)
+                # numpy unpack (inverse of pack_w4_planes nibble planes)
+                O, Kw = words_np.shape
+                g = schemes[lname].group_size
+                w = words_np.astype(np.uint32).reshape(O, Kw // g, 1, g)
+                shifts = (np.arange(8, dtype=np.uint32) * 4
+                          )[None, None, :, None]
+                codes_np = ((w >> shifts) & 0xF).reshape(O, Kw * 8)
+                srep = np.repeat(scale_np, g, axis=1)
+                leaf = get_by_path(qdq_block, lname)
+                qdq_np = ((codes_np.astype(np.float32) - 8.0) * srep
+                          ).astype(leaf.dtype)
+                ql = layers[f"blocks.{bi}.{lname}"]
+                ql.qdq = qdq_np
+                ql.scale = scale_np
+                qdq_block = set_by_path(qdq_block, lname, qdq_np)
+            qdq_block = jax.tree.map(
+                lambda t: t if isinstance(t, np.ndarray) else np.asarray(t),
+                qdq_block)
             new_blocks[-1] = qdq_block
             for lname in schemes:
+                if lname in packed_pull:
+                    continue
                 ql = layers[f"blocks.{bi}.{lname}"]
-                ql.qdq = np.asarray(ql.qdq)
+                shared = (ql.scheme.data_type == "int"
+                          and ql.scheme.bits <= 4
+                          and ql.extras is None)
+                if shared:
+                    leaf = get_by_path(qdq_block, lname)
+                    shared = (getattr(leaf, "shape", None) == ql.qdq.shape)
+                ql.qdq = leaf if shared else np.asarray(ql.qdq)
                 ql.scale = np.asarray(ql.scale)
                 if ql.zp is not None:
                     ql.zp = np.asarray(ql.zp)

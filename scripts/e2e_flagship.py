@@ -91,10 +91,16 @@ def main():
     ap.add_argument("--nsamples", type=int, default=128)
     ap.add_argument("--seqlen", type=int, default=2048)
     ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--grad-accum", type=int, default=1)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the tuning forward (the "
+                         "low_gpu_mem_usage equivalent; needed to fit "
+                         "8B-shape blocks at seqlen 2048 in 16 GB)")
     ap.add_argument("--decode-bs", type=int, default=32)
     ap.add_argument("--max-seq", type=int, default=1024)
     ap.add_argument("--out", default="/tmp/e2e_flagship.json")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--skip-quant", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -103,39 +109,57 @@ def main():
     from autoround_tpu.models import llama
     from autoround_tpu.serve import QuantizedLlama
 
+    from autoround_tpu.utils.memory import MemoryMonitor
+
     summary = {"preset": args.preset, "iters": args.iters,
-               "nsamples": args.nsamples, "seqlen": args.seqlen}
+               "nsamples": args.nsamples, "seqlen": args.seqlen,
+               "tune_bs": args.bs, "grad_accum": args.grad_accum,
+               "remat": bool(args.remat)}
     cfg = llama.CONFIG_PRESETS[args.preset]
-    nparams = sum(int(np.prod(s)) for s in [
-        (cfg.vocab_size, cfg.hidden_size)]) * (
-        1 if cfg.tie_embeddings else 2)
+    monitor = MemoryMonitor()
     print(f"== init {args.preset} on host ==", flush=True)
     t0 = time.perf_counter()
     params = host_init_params(cfg)
     print(f"host init: {time.perf_counter()-t0:.1f}s", flush=True)
 
-    ids = np.random.default_rng(1).integers(
-        0, cfg.vocab_size, (args.nsamples, args.seqlen)).astype(np.int32)
+    if not args.skip_quant:
+        ids = np.random.default_rng(1).integers(
+            0, cfg.vocab_size,
+            (args.nsamples, args.seqlen)).astype(np.int32)
 
-    print("== quantize (offload, default recipe) ==", flush=True)
-    t0 = time.perf_counter()
-    ar = AutoRound((params, cfg), scheme="W4A16", iters=args.iters,
-                   batch_size=args.bs, offload_params=True)
-    res = ar.quantize(ids)
-    tq = time.perf_counter() - t0
-    summary["quant_wall_s"] = round(tq, 1)
-    print(f"quantize wall-clock: {tq/60:.1f} min", flush=True)
+        print("== quantize (offload, default recipe) ==", flush=True)
+        t0 = time.perf_counter()
+        ar = AutoRound((params, cfg), scheme="W4A16", iters=args.iters,
+                       batch_size=args.bs,
+                       gradient_accumulate_steps=args.grad_accum,
+                       use_remat=args.remat, offload_params=True)
+        res = ar.quantize(ids)
+        tq = time.perf_counter() - t0
+        monitor.update()
+        summary["quant_wall_s"] = round(tq, 1)
+        summary["quant_peak_rss_gb"] = round(monitor.peak_rss_gb, 2)
+        summary["quant_peak_hbm_gb"] = round(monitor.peak_device_gb, 2)
+        print(f"quantize wall-clock: {tq/60:.1f} min "
+              f"(peak RSS {monitor.peak_rss_gb:.1f} GB, "
+              f"peak HBM {monitor.peak_device_gb:.1f} GB)", flush=True)
 
-    # free calibration leftovers before serving
-    gc.collect()
+        # free calibration leftovers before serving
+        gc.collect()
 
-    print("== build packed engine ==", flush=True)
-    t0 = time.perf_counter()
-    eng = QuantizedLlama.from_quantize_result(
-        res, cfg, max_seq=args.max_seq, kv_quant="int8")
-    del res
-    gc.collect()
-    summary["pack_wall_s"] = round(time.perf_counter() - t0, 1)
+        print("== build packed engine ==", flush=True)
+        t0 = time.perf_counter()
+        eng = QuantizedLlama.from_quantize_result(
+            res, cfg, max_seq=args.max_seq, kv_quant="int8")
+        del res
+        gc.collect()
+        summary["pack_wall_s"] = round(time.perf_counter() - t0, 1)
+    else:
+        print("== synthesize packed engine (--skip-quant) ==", flush=True)
+        import jax as _jax
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from bench import make_packed_engine
+        eng = make_packed_engine(cfg, args.max_seq, _jax.random.PRNGKey(0))
 
     prompt = np.random.default_rng(2).integers(
         0, cfg.vocab_size, (args.decode_bs, 128)).astype(np.int32)

@@ -59,3 +59,37 @@ class TestOffloadParams:
         after = jax.tree.map(lambda x: np.asarray(x), params)
         for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
             np.testing.assert_array_equal(a, b)
+
+
+class TestOffloadPackedPull:
+    """W4-sym offload transfers packed codes + scales (4.5x fewer
+    host-link bytes) and reconstructs qdq host-side — must be EXACT
+    against the on-device run in the model dtype."""
+
+    def test_bf16_model_exact(self):
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=256,
+                                intermediate_size=512, num_layers=2,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.bfloat16)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 64)
+        host = jax.tree.map(np.asarray, params)
+        r0 = AutoRound((params, cfg), scheme="W4A16G32", iters=3,
+                       seed=7).quantize(ids)
+        r1 = AutoRound((host, cfg), scheme="W4A16G32", iters=3,
+                       seed=7, offload_params=True).quantize(ids)
+        n_pack = 0
+        for name in r0.layers:
+            s0 = np.asarray(r0.layers[name].scale, np.float32)
+            s1 = np.asarray(r1.layers[name].scale, np.float32)
+            np.testing.assert_array_equal(s0, s1, err_msg=name)
+            q1 = r1.layers[name].qdq
+            # contract: offload qdq == model-dtype cast of the dev qdq
+            q0 = np.asarray(r0.layers[name].qdq).astype(q1.dtype)
+            np.testing.assert_array_equal(
+                q0.astype(np.float32), np.asarray(q1, np.float32),
+                err_msg=name)
+            g = r0.layers[name].scheme.group_size
+            if np.asarray(q0).shape[1] % (8 * g) == 0:
+                n_pack += 1
+        assert n_pack > 0  # the packed-pull path must actually trigger
