@@ -693,6 +693,11 @@ _ARCH_BLOCK_EXTRA = {
                "pre_feedforward_layernorm": "ffn_norm",
                "post_feedforward_layernorm": "post_ffw_norm"},
     "qwen3": {"q_norm": "attn_q_norm", "k_norm": "attn_k_norm"},
+    # gemma3 = gemma2 sandwich norms + qwen3-style per-head qk norms
+    "gemma3": {"post_attention_layernorm": "post_attention_norm",
+               "pre_feedforward_layernorm": "ffn_norm",
+               "post_feedforward_layernorm": "post_ffw_norm",
+               "q_norm": "attn_q_norm", "k_norm": "attn_k_norm"},
 }
 _BIAS_NAME = {"q_bias": "attn_q", "k_bias": "attn_k", "v_bias": "attn_v"}
 
@@ -952,8 +957,9 @@ def load_gguf_checkpoint(path: str, dtype=None):
     dtype = dtype or jnp.bfloat16
     meta, tensors = read_gguf(path)
     arch = meta.get("general.architecture", "llama")
-    if arch not in ("llama", "qwen2", "qwen3", "gemma2"):
+    if arch not in ("llama", "qwen2", "qwen3", "gemma2", "gemma3"):
         raise NotImplementedError(f"gguf arch {arch!r} not supported")
+    gemma = arch in ("gemma2", "gemma3")
     num_layers = int(meta[f"{arch}.block_count"])
     n_heads = int(meta[f"{arch}.attention.head_count"])
     hidden = int(meta[f"{arch}.embedding_length"])
@@ -973,24 +979,41 @@ def load_gguf_checkpoint(path: str, dtype=None):
             f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
         tie_embeddings="output.weight" not in tensors,
         attn_bias=arch == "qwen2",
-        qk_norm=arch == "qwen3",
-        norm_offset=1.0 if arch == "gemma2" else 0.0,
-        hidden_act="gelu_tanh" if arch == "gemma2" else "silu",
-        embed_scale=arch == "gemma2",
-        sandwich_norms=arch == "gemma2",
+        qk_norm=arch in ("qwen3", "gemma3"),
+        norm_offset=1.0 if gemma else 0.0,
+        hidden_act="gelu_tanh" if gemma else "silu",
+        embed_scale=gemma,
+        sandwich_norms=gemma,
         attn_logit_softcap=float(meta.get(
             f"{arch}.attn_logit_softcapping", 0.0)),
         final_logit_softcap=float(meta.get(
             f"{arch}.final_logit_softcapping", 0.0)),
         attn_scale=(float(qpas) ** 0.5 if qpas else None),
-        sliding_window=(int(meta["gemma2.attention.sliding_window"])
-                        if meta.get("gemma2.attention.sliding_window")
+        sliding_window=(int(meta[f"{arch}.attention.sliding_window"])
+                        if meta.get(f"{arch}.attention.sliding_window")
                         else None),
+        # gemma3 dual rope: local layers at theta 10k (llama.cpp
+        # hardcodes the local base; only the global base is stored),
+        # interleave from the stored sliding_window_pattern
+        rope_local_theta=10000.0 if arch == "gemma3" else 0.0,
+        rope_scaling_factor=float(meta.get(
+            f"{arch}.rope.scaling.factor", 1.0)),
+        layer_types=(tuple(
+            "full_attention"
+            if (i + 1) % int(meta.get(
+                f"{arch}.attention.sliding_window_pattern", 6)) == 0
+            else "sliding_attention" for i in range(num_layers))
+            if arch == "gemma3" else None),
         dtype=dtype)
 
-    def get(nm):
+    shift = cfg.norm_offset
+
+    def get(nm, norm=False):
         ne, tt, raw = tensors[nm]
-        return jnp.asarray(dequant_tensor(ne, tt, raw), dtype)
+        arr = dequant_tensor(ne, tt, raw)
+        if norm and shift:
+            arr = arr - shift  # inverse of the gemma +1 store convention
+        return jnp.asarray(arr, dtype)
 
     block_inv = dict(_GGUF_BLOCK_INV)
     block_inv.update({v: k for k, v in
@@ -999,7 +1022,7 @@ def load_gguf_checkpoint(path: str, dtype=None):
 
     params: Dict[str, Any] = {
         "embed_tokens": get("token_embd.weight"),
-        "norm": get("output_norm.weight"),
+        "norm": get("output_norm.weight", norm=True),
         "blocks": [],
     }
     if "output.weight" in tensors:
@@ -1009,7 +1032,7 @@ def load_gguf_checkpoint(path: str, dtype=None):
         for kind, ours in block_inv.items():
             nm = f"blk.{bi}.{kind}.weight"
             if nm in tensors:
-                block[ours] = get(nm)
+                block[ours] = get(nm, norm="norm" in ours)
         for kind, ours in bias_inv.items():
             nm = f"blk.{bi}.{kind}.bias"
             if nm in tensors:
@@ -1081,6 +1104,13 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
         nonlocal n_tuned, n_imx
         arr = np.asarray(arr, np.float32)
         if arr.ndim == 1:
+            if kind != "bias" and arch in ("gemma2", "gemma3"):
+                # llama.cpp gemma convention: norm gains are stored
+                # SHIFTED by +1 (Gemma*RMSNorm computes (1 + w) * x; the
+                # reference converter adds 1 at write,
+                # conversion/gemma.py modify_tensors) — llama.cpp then
+                # uses the stored value directly
+                arr = arr + float(getattr(model_cfg, "norm_offset", 1.0))
             tensors.append((name, (arr.shape[0],), GGMLType.F32, arr))
             return
         O, I = arr.shape
@@ -1166,6 +1196,28 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
             (f"{arch}.attention.sliding_window", _T_U32,
              int(model_cfg.sliding_window or 0)),
         ]
+        if model_cfg.attn_scale is not None:
+            metadata.append((f"{arch}.attention.query_pre_attn_scalar",
+                             _T_F32, float(model_cfg.attn_scale) ** 2))
+    if arch == "gemma3":
+        lt = getattr(model_cfg, "layer_types", None) or ()
+        pattern = 6  # llama.cpp gemma3 default: every 6th layer global
+        full = [i for i, t in enumerate(lt) if t == "full_attention"]
+        if full:
+            pattern = full[0] + 1
+        metadata += [
+            (f"{arch}.attention.sliding_window", _T_U32,
+             int(model_cfg.sliding_window or 0)),
+            (f"{arch}.attention.sliding_window_pattern", _T_U32, pattern),
+            (f"{arch}.final_logit_softcapping", _T_F32,
+             float(model_cfg.final_logit_softcap or 0.0)),
+        ]
+        if getattr(model_cfg, "rope_scaling_factor", 1.0) != 1.0:
+            metadata += [
+                (f"{arch}.rope.scaling.type", _T_STR, "linear"),
+                (f"{arch}.rope.scaling.factor", _T_F32,
+                 float(model_cfg.rope_scaling_factor)),
+            ]
         if model_cfg.attn_scale is not None:
             metadata.append((f"{arch}.attention.query_pre_attn_scalar",
                              _T_F32, float(model_cfg.attn_scale) ** 2))

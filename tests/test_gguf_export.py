@@ -472,7 +472,7 @@ class TestGgufArchs:
 
     @pytest.mark.parametrize("preset,arch", [
         ("tiny-qwen", "qwen2"), ("tiny-qwen3", "qwen3"),
-        ("tiny-gemma2", "gemma2")])
+        ("tiny-gemma2", "gemma2"), ("tiny-gemma3", "gemma3")])
     def test_roundtrip(self, tmp_path, preset, arch):
         import jax.numpy as jnp
         from autoround_tpu.export.gguf import (GGMLType, gguf_arch,
@@ -499,10 +499,26 @@ class TestGgufArchs:
             assert "blk.0.post_ffw_norm.weight" in tensors
             assert meta["gemma2.attn_logit_softcapping"] == pytest.approx(
                 cfg.attn_logit_softcap)
+        if arch == "gemma3":
+            assert "blk.0.post_ffw_norm.weight" in tensors
+            assert "blk.0.attn_q_norm.weight" in tensors
+            assert meta["gemma3.attention.sliding_window"] == \
+                cfg.sliding_window
+            assert meta["gemma3.rope.scaling.factor"] == pytest.approx(
+                cfg.rope_scaling_factor)
+        if arch in ("gemma2", "gemma3"):
+            # llama.cpp gemma convention: stored norm gain = w + 1
+            ne, tt, raw = tensors["output_norm.weight"]
+            stored = np.frombuffer(raw, np.float32)
+            want = np.asarray(params["norm"], np.float32) + 1.0
+            np.testing.assert_allclose(stored, want, rtol=1e-6)
         p2, cfg2 = load_gguf_checkpoint(fp, dtype=jnp.float32)
         assert cfg2.attn_bias == (arch == "qwen2")
-        assert cfg2.qk_norm == (arch == "qwen3")
-        assert cfg2.sandwich_norms == (arch == "gemma2")
+        assert cfg2.qk_norm == (arch in ("qwen3", "gemma3"))
+        assert cfg2.sandwich_norms == (arch in ("gemma2", "gemma3"))
+        if arch == "gemma3":
+            assert cfg2.rope_local_theta == 10000.0
+            assert cfg2.layer_types == cfg.layer_types
         ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0,
                                  cfg.vocab_size)
         l1 = np.asarray(llama.model_fwd(params, ids, cfg), np.float32)
