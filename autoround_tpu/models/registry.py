@@ -10,8 +10,8 @@ from __future__ import annotations
 from types import SimpleNamespace
 from typing import Any, Dict
 
-from . import (deepseek, dit, glm4moe, gptoss, llama, llama4, llava,
-               minimax, mixtral, mmdit, qwen2vl, qwen3next)
+from . import (deepseek, dit, gemma3vl, glm4moe, gptoss, llama, llama4,
+               llava, minimax, mixtral, mmdit, qwen2vl, qwen3next)
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -52,6 +52,16 @@ def get_model_fns(cfg) -> SimpleNamespace:
             rope_tables_for_inputs=qwen2vl.rope_tables_for_inputs,
             model_fwd=qwen2vl.model_fwd,
             block_linear_names=qwen2vl.block_linear_names,
+        )
+    if isinstance(cfg, gemma3vl.Gemma3VLConfig):
+        return SimpleNamespace(
+            init_params=gemma3vl.init_params,
+            block_fwd=llama.block_fwd,
+            embed_fwd=gemma3vl.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=llama.rope_tables,
+            model_fwd=gemma3vl.model_fwd,
+            block_linear_names=gemma3vl.block_linear_names,
         )
     if isinstance(cfg, llava.LlavaConfig):
         return SimpleNamespace(
@@ -162,5 +172,6 @@ ALL_PRESETS.update(minimax.CONFIG_PRESETS)
 ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen2vl.CONFIG_PRESETS)
+ALL_PRESETS.update(gemma3vl.CONFIG_PRESETS)
 ALL_PRESETS.update(dit.CONFIG_PRESETS)
 ALL_PRESETS.update(mmdit.CONFIG_PRESETS)

@@ -319,8 +319,13 @@ def get_mllm_calib_batch(model_cfg, nsamples: int = 16, seqlen: int = 64,
         mask = np.ones((nsamples, seqlen), np.float32)
         return {"input_ids": ids, "pixel_values": pixels,
                 "grid_thw": [(1, gh, gw)] * nsamples}, mask
-    P = model_cfg.num_patches
-    assert seqlen > P, f"seqlen {seqlen} must exceed num_patches {P}"
+    from ..models.gemma3vl import Gemma3VLConfig
+    # gemma3 pools the patch grid down to mm_tokens_per_image soft
+    # tokens; every other family uses one token per (vision) patch
+    P = (model_cfg.mm_tokens_per_image
+         if isinstance(model_cfg, Gemma3VLConfig)
+         else model_cfg.num_patches)
+    assert seqlen > P, f"seqlen {seqlen} must exceed image tokens {P}"
     ids = rng.integers(2, model_cfg.vocab_size,
                        (nsamples, seqlen)).astype(np.int32)
     ids[:, :P] = model_cfg.image_token_id

@@ -461,3 +461,132 @@ def preprocess_qwen2vl_images(images: List[Any], cfg) -> Tuple[np.ndarray,
         flat.append(p.reshape(gh * gw, C * tps * ps * ps))
         grids.append((1, gh, gw))
     return np.concatenate(flat, axis=0), grids
+
+
+# ------------------------------------------------------------- gemma3-vl
+def _gemma3vl_config(hf: Dict[str, Any], dtype) -> "Gemma3VLConfig":
+    from ..models.gemma3vl import Gemma3VLConfig
+    tc = dict(hf.get("text_config", {}))
+    tc.setdefault("model_type", "gemma3_text")
+    base = config_from_hf(tc, dtype)
+    vc = hf.get("vision_config", {})
+    fields = {f.name: getattr(base, f.name)
+              for f in dataclasses.fields(type(base))}
+    return Gemma3VLConfig(
+        **fields,
+        v_hidden=vc.get("hidden_size", 1152),
+        v_layers=vc.get("num_hidden_layers", 27),
+        v_heads=vc.get("num_attention_heads", 16),
+        v_intermediate=vc.get("intermediate_size", 4304),
+        image_size=vc.get("image_size", 896),
+        patch_size=vc.get("patch_size", 14),
+        v_eps=vc.get("layer_norm_eps", 1e-6),
+        mm_tokens_per_image=hf.get("mm_tokens_per_image", 256),
+        image_token_id=hf.get("image_token_index", 262144),
+    )
+
+
+def gemma3vl_params_from_state(state, cfg, dtype=None) -> Dict[str, Any]:
+    """Map a flat {hf_key: array} dict of HF
+    ``Gemma3ForConditionalGeneration`` into the functional pytree of
+    ``models.gemma3vl`` (SigLIP tower + soft-token projector + gemma3
+    decoder)."""
+    dtype = dtype or cfg.dtype
+    blocks = [dict() for _ in range(cfg.num_layers)]
+    vt: Dict[str, Any] = {"blocks": [dict() for _ in range(cfg.v_layers)]}
+    mm: Dict[str, Any] = {}
+    params: Dict[str, Any] = {"blocks": blocks, "vision_tower": vt,
+                              "mm_projector": mm}
+    vln = {"layer_norm1.weight": "ln1_g", "layer_norm1.bias": "ln1_b",
+           "layer_norm2.weight": "ln2_g", "layer_norm2.bias": "ln2_b",
+           "mlp.fc1.weight": "fc1", "mlp.fc1.bias": "fc1_b",
+           "mlp.fc2.weight": "fc2", "mlp.fc2.bias": "fc2_b",
+           "self_attn.out_proj.weight": "proj",
+           "self_attn.out_proj.bias": "proj_b"}
+    qkv_parts: Dict[int, Dict[str, np.ndarray]] = {}
+    for key, tensor in state.items():
+        arr = jnp.asarray(np.asarray(tensor)).astype(dtype)
+        lm_key = _strip_lm(key)
+        if lm_key is None and key.startswith(("model.layers.",
+                                              "model.embed_tokens.",
+                                              "model.norm.")):
+            lm_key = key
+        if lm_key is not None:
+            if lm_key == "model.embed_tokens.weight":
+                params["embed_tokens"] = arr
+            elif lm_key == "model.norm.weight":
+                params["norm"] = arr
+            elif lm_key == "lm_head.weight":
+                params["lm_head"] = arr
+            elif lm_key.startswith("model.layers."):
+                rest = lm_key[len("model.layers."):]
+                li, sub = rest.split(".", 1)
+                if sub in _BLOCK_MAP:
+                    blocks[int(li)][_BLOCK_MAP[sub]] = arr
+            continue
+        if "multi_modal_projector." in key:
+            sub = key.split("multi_modal_projector.", 1)[1]
+            if sub == "mm_input_projection_weight":
+                mm["proj"] = arr                       # (Dv, Dt), x @ W
+            elif sub == "mm_soft_emb_norm.weight":
+                mm["soft_emb_norm"] = arr
+            continue
+        vkey = key
+        for pre in ("model.vision_tower.vision_model.",
+                    "vision_tower.vision_model."):
+            if vkey.startswith(pre):
+                vkey = vkey[len(pre):]
+                break
+        else:
+            continue
+        if vkey == "embeddings.patch_embedding.weight":
+            # conv (D, 3, P, P) -> (D, P*P*3): the (P, P, 3) row-major
+            # patch flattening of _siglip_fwd
+            w = np.asarray(tensor)
+            vt["patch_embed"] = jnp.asarray(
+                w.transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
+            ).astype(dtype)
+        elif vkey == "embeddings.patch_embedding.bias":
+            vt["patch_embed_b"] = arr
+        elif vkey == "embeddings.position_embedding.weight":
+            vt["pos_embed"] = arr
+        elif vkey == "post_layernorm.weight":
+            vt["post_ln_g"] = arr
+        elif vkey == "post_layernorm.bias":
+            vt["post_ln_b"] = arr
+        elif vkey.startswith("encoder.layers."):
+            rest = vkey[len("encoder.layers."):]
+            li, sub = rest.split(".", 1)
+            li = int(li)
+            if sub in vln:
+                vt["blocks"][li][vln[sub]] = arr
+            else:
+                for pn in ("q_proj", "k_proj", "v_proj"):
+                    for suffix, tag in ((".weight", "w"), (".bias", "b")):
+                        if sub == f"self_attn.{pn}{suffix}":
+                            qkv_parts.setdefault(li, {})[f"{pn}.{tag}"] = \
+                                np.asarray(tensor)
+    for li, parts in qkv_parts.items():
+        vt["blocks"][li]["qkv"] = jnp.asarray(np.concatenate(
+            [parts["q_proj.w"], parts["k_proj.w"], parts["v_proj.w"]],
+            axis=0)).astype(dtype)
+        vt["blocks"][li]["qkv_b"] = jnp.asarray(np.concatenate(
+            [parts["q_proj.b"], parts["k_proj.b"], parts["v_proj.b"]]
+        )).astype(dtype)
+    if cfg.tie_embeddings:
+        params.pop("lm_head", None)
+    return params
+
+
+def load_gemma3vl_checkpoint(path: str, dtype=None):
+    """Load a HF Gemma3 multimodal checkpoint directory → (params, cfg)."""
+    dtype = dtype or jnp.bfloat16
+    with open(os.path.join(path, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = _gemma3vl_config(hf_cfg, dtype)
+    from .hf_loader import _iter_shards
+    state = {k: t for k, t in _iter_shards(path)}
+    params = gemma3vl_params_from_state(state, cfg, dtype)
+    logger.info("loaded Gemma3-VL %s: %d blocks, %d vision blocks", path,
+                cfg.num_layers, cfg.v_layers)
+    return params, cfg

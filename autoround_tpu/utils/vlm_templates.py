@@ -100,6 +100,23 @@ def _qwen2vl_preprocess(images: List[Any], cfg):
     return {"pixel_values": pixels, "grid_thw": grids}
 
 
+# --------------------------------------------------------------- gemma3
+def _gemma3_expand(text: str, cfg, grids=None) -> str:
+    """Each placeholder becomes <start_of_image> + one soft token per
+    pooled patch + <end_of_image> (HF Gemma3Processor full_image_sequence
+    semantics; the soft tokens land on cfg.image_token_id)."""
+    run = ("<start_of_image>"
+           + "<image_soft_token>" * cfg.mm_tokens_per_image
+           + "<end_of_image>")
+    return text.replace("<image>", "\n\n" + run + "\n\n")
+
+
+def _gemma3_preprocess(images: List[Any], cfg):
+    from .vlm_loader import preprocess_images
+    # SigLIP normalization: mean/std 0.5 (preprocess_images' default)
+    return {"pixel_values": preprocess_images(images, cfg.image_size)}
+
+
 TEMPLATES: Dict[str, VLMTemplate] = {
     "llava": VLMTemplate(
         model_type="llava",
@@ -123,6 +140,15 @@ TEMPLATES: Dict[str, VLMTemplate] = {
         image_placeholder="<image>",
         expand_images=_qwen2vl_expand,
         preprocess=_qwen2vl_preprocess),
+    "gemma3": VLMTemplate(
+        model_type="gemma3",
+        format_user="<start_of_turn>user\n{content}<end_of_turn>",
+        format_assistant="<start_of_turn>model\n{content}<end_of_turn>",
+        format_system="{content}",
+        format_separator="\n",
+        image_placeholder="<image>",
+        expand_images=_gemma3_expand,
+        preprocess=_gemma3_preprocess),
     "default": VLMTemplate(model_type="default"),
 }
 
@@ -131,10 +157,13 @@ def get_vlm_template(cfg_or_type) -> VLMTemplate:
     """Dispatch on a model config (family class) or a model-type str."""
     if isinstance(cfg_or_type, str):
         return TEMPLATES.get(cfg_or_type, TEMPLATES["default"])
+    from ..models.gemma3vl import Gemma3VLConfig
     from ..models.llava import LlavaConfig
     from ..models.qwen2vl import Qwen2VLConfig
     if isinstance(cfg_or_type, Qwen2VLConfig):
         return TEMPLATES["qwen2_vl"]
+    if isinstance(cfg_or_type, Gemma3VLConfig):
+        return TEMPLATES["gemma3"]
     if isinstance(cfg_or_type, LlavaConfig):
         return TEMPLATES["llava"]
     return TEMPLATES["default"]
