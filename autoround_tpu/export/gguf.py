@@ -693,6 +693,7 @@ _ARCH_BLOCK_EXTRA = {
                "pre_feedforward_layernorm": "ffn_norm",
                "post_feedforward_layernorm": "post_ffw_norm"},
     "qwen3": {"q_norm": "attn_q_norm", "k_norm": "attn_k_norm"},
+    "qwen3moe": {"q_norm": "attn_q_norm", "k_norm": "attn_k_norm"},
     # gemma3 = gemma2 sandwich norms + qwen3-style per-head qk norms
     "gemma3": {"post_attention_layernorm": "post_attention_norm",
                "pre_feedforward_layernorm": "ffn_norm",
@@ -957,18 +958,39 @@ def load_gguf_checkpoint(path: str, dtype=None):
     dtype = dtype or jnp.bfloat16
     meta, tensors = read_gguf(path)
     arch = meta.get("general.architecture", "llama")
-    if arch not in ("llama", "qwen2", "qwen3", "gemma2", "gemma3"):
+    if arch not in ("llama", "qwen2", "qwen3", "gemma2", "gemma3",
+                    "qwen2moe", "qwen3moe"):
         raise NotImplementedError(f"gguf arch {arch!r} not supported")
     gemma = arch in ("gemma2", "gemma3")
+    moe = arch in ("qwen2moe", "qwen3moe")
     num_layers = int(meta[f"{arch}.block_count"])
     n_heads = int(meta[f"{arch}.attention.head_count"])
     hidden = int(meta[f"{arch}.embedding_length"])
     hd_meta = meta.get(f"{arch}.attention.key_length")
     qpas = meta.get(f"{arch}.attention.query_pre_attn_scalar")
-    cfg = llama.LlamaConfig(
+    if moe:
+        from ..models.mixtral import MixtralConfig
+        cfg_cls = MixtralConfig
+        shexp_ff = int(meta.get(
+            f"{arch}.expert_shared_feed_forward_length", 0))
+        moe_kw = dict(
+            num_experts=int(meta[f"{arch}.expert_count"]),
+            top_k=int(meta[f"{arch}.expert_used_count"]),
+            shared_expert_intermediate=shexp_ff,
+            shared_expert_gate=("blk.0.ffn_gate_inp_shexp.weight"
+                                in tensors),
+            norm_topk_prob=arch == "qwen3moe")
+        inter = int(meta.get(f"{arch}.expert_feed_forward_length")
+                    or meta[f"{arch}.feed_forward_length"])
+    else:
+        cfg_cls = llama.LlamaConfig
+        moe_kw = {}
+        inter = int(meta[f"{arch}.feed_forward_length"])
+    cfg = cfg_cls(
+        **moe_kw,
         vocab_size=int(meta[f"{arch}.vocab_size"]),
         hidden_size=hidden,
-        intermediate_size=int(meta[f"{arch}.feed_forward_length"]),
+        intermediate_size=inter,
         num_layers=num_layers,
         num_heads=n_heads,
         num_kv_heads=int(meta[f"{arch}.attention.head_count_kv"]),
@@ -978,8 +1000,8 @@ def load_gguf_checkpoint(path: str, dtype=None):
         rms_eps=float(meta.get(
             f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
         tie_embeddings="output.weight" not in tensors,
-        attn_bias=arch == "qwen2",
-        qk_norm=arch in ("qwen3", "gemma3"),
+        attn_bias=arch in ("qwen2", "qwen2moe"),
+        qk_norm=arch in ("qwen3", "gemma3", "qwen3moe"),
         norm_offset=1.0 if gemma else 0.0,
         hidden_act="gelu_tanh" if gemma else "silu",
         embed_scale=gemma,
@@ -1037,6 +1059,24 @@ def load_gguf_checkpoint(path: str, dtype=None):
             nm = f"blk.{bi}.{kind}.bias"
             if nm in tensors:
                 block[ours] = get(nm)
+        if moe:
+            # 3-D *_exps tensors slice back into the per-expert tree
+            exps = {w: get(f"blk.{bi}.ffn_{g}_exps.weight")
+                    for w, g in (("w1", "gate"), ("w3", "up"),
+                                 ("w2", "down"))}
+            E = exps["w1"].shape[0]
+            block["experts"] = [
+                {w: exps[w][e] for w in ("w1", "w2", "w3")}
+                for e in range(E)]
+            block["router"] = get(f"blk.{bi}.ffn_gate_inp.weight")
+            if f"blk.{bi}.ffn_gate_shexp.weight" in tensors:
+                block["shared_expert"] = {
+                    w: get(f"blk.{bi}.ffn_{g}_shexp.weight")
+                    for w, g in (("w1", "gate"), ("w3", "up"),
+                                 ("w2", "down"))}
+            if f"blk.{bi}.ffn_gate_inp_shexp.weight" in tensors:
+                block["shared_expert_gate"] = get(
+                    f"blk.{bi}.ffn_gate_inp_shexp.weight")
         params["blocks"].append(block)
     logger.info("loaded GGUF %s: %d tensors, %d blocks", path, len(tensors),
                 num_layers)
@@ -1100,7 +1140,11 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
     n_tuned = 0
     n_imx = 0
 
-    def add(name, arr, kind, block_idx=0, flat_name=None):
+    def add(name, arr, kind, block_idx=0, flat_name=None, n_stack=None):
+        """``n_stack``: MoE experts stacked row-wise — ``arr`` is
+        (E*O, I), written with ne (I, O, E) (the llama.cpp ``*_exps``
+        3-D convention); ggml quantization is row-wise, so the 2-D
+        packers apply unchanged."""
         nonlocal n_tuned, n_imx
         arr = np.asarray(arr, np.float32)
         if arr.ndim == 1:
@@ -1114,8 +1158,11 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
             tensors.append((name, (arr.shape[0],), GGMLType.F32, arr))
             return
         O, I = arr.shape
+        ne = (I, O) if not n_stack else (I, O // n_stack, n_stack)
         if kind == "norm":
             t = GGMLType.F32
+        elif kind in ("ffn_gate_inp", "ffn_gate_inp_shexp"):
+            t = GGMLType.F32   # routers stay f32 (llama.cpp convention)
         elif mixed:
             t = select_layer_qtype(base_type, block_idx, n_blocks, kind, I)
         else:
@@ -1123,9 +1170,9 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
             if I % BLOCK_ELEMS.get(t, 1):
                 t = GGMLType.Q8_0 if I % QK == 0 else GGMLType.F16
         if t == GGMLType.F16:
-            tensors.append((name, (I, O), t, arr.astype(np.float16)))
+            tensors.append((name, ne, t, arr.astype(np.float16)))
         elif t == GGMLType.F32:
-            tensors.append((name, (I, O), t, arr))
+            tensors.append((name, ne, t, arr))
         else:
             kwargs = {}
             ql = layers.get(flat_name)
@@ -1140,7 +1187,7 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
                     kwargs = wls
                     n_imx += 1
             raw = QUANTIZERS[t](arr, **kwargs)
-            tensors.append((name, (I, O), t, raw))
+            tensors.append((name, ne, t, raw))
 
     arch = gguf_arch(model_cfg)
     block_names = dict(_GGUF_BLOCK_NAME)
@@ -1153,7 +1200,37 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
         add("output.weight", params["lm_head"], "output",
             flat_name="lm_head")
     for bi, block in enumerate(params["blocks"]):
+        experts = block.get("experts")
+        if isinstance(experts, (list, tuple)) and experts:
+            # llama.cpp MoE convention: experts stack into one 3-D
+            # ffn_{gate,up,down}_exps tensor; the router is
+            # ffn_gate_inp; shared experts get *_shexp slots
+            E = len(experts)
+            for wname, gk, kind in (("w1", "ffn_gate_exps", "ffn_gate"),
+                                    ("w3", "ffn_up_exps", "ffn_up"),
+                                    ("w2", "ffn_down_exps", "ffn_down")):
+                stk = np.concatenate(
+                    [np.asarray(e[wname], np.float32) for e in experts],
+                    axis=0)
+                add(f"blk.{bi}.{gk}.weight", stk, kind, bi, n_stack=E)
+        if block.get("router") is not None:
+            add(f"blk.{bi}.ffn_gate_inp.weight", block["router"],
+                "ffn_gate_inp", bi)
+        shexp = block.get("shared_expert")
+        if shexp is not None:
+            for wname, gk in (("w1", "ffn_gate_shexp"),
+                              ("w3", "ffn_up_shexp"),
+                              ("w2", "ffn_down_shexp")):
+                add(f"blk.{bi}.{gk}.weight", shexp[wname],
+                    gk.rsplit("_", 1)[0], bi,
+                    flat_name=f"blocks.{bi}.shared_expert.{wname}")
+        if block.get("shared_expert_gate") is not None:
+            add(f"blk.{bi}.ffn_gate_inp_shexp.weight",
+                block["shared_expert_gate"], "ffn_gate_inp_shexp", bi)
         for ours, arr in block.items():
+            if ours in ("experts", "router", "shared_expert",
+                        "shared_expert_gate"):
+                continue
             if ours in _BIAS_NAME:
                 add(f"blk.{bi}.{_BIAS_NAME[ours]}.bias", arr, "bias", bi)
                 continue
@@ -1199,6 +1276,19 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
         if model_cfg.attn_scale is not None:
             metadata.append((f"{arch}.attention.query_pre_attn_scalar",
                              _T_F32, float(model_cfg.attn_scale) ** 2))
+    if arch in ("qwen2moe", "qwen3moe"):
+        metadata += [
+            (f"{arch}.expert_count", _T_U32,
+             int(getattr(model_cfg, "num_experts", 0))),
+            (f"{arch}.expert_used_count", _T_U32,
+             int(getattr(model_cfg, "top_k", 0))),
+            (f"{arch}.expert_feed_forward_length", _T_U32,
+             model_cfg.intermediate_size),
+        ]
+        if getattr(model_cfg, "shared_expert_intermediate", 0):
+            metadata.append(
+                (f"{arch}.expert_shared_feed_forward_length", _T_U32,
+                 int(model_cfg.shared_expert_intermediate)))
     if arch == "gemma3":
         lt = getattr(model_cfg, "layer_types", None) or ()
         pattern = 6  # llama.cpp gemma3 default: every 6th layer global

@@ -571,3 +571,60 @@ class TestImatrixPacking:
         out = str(tmp_path / "gguf_im")
         save_quantized(res, cfg, out, format="gguf:q4_k_m")
         assert os.path.exists(os.path.join(out, "model.gguf"))
+
+
+class TestGgufMoeArchs:
+    """MoE GGUF export/loadback: experts stack into 3-D ffn_*_exps
+    tensors, the router rides ffn_gate_inp (f32), shared experts get
+    *_shexp slots (llama.cpp qwen2moe/qwen3moe conventions)."""
+
+    @pytest.mark.parametrize("flavor,arch", [
+        ("qwen3moe", "qwen3moe"), ("qwen2moe", "qwen2moe")])
+    def test_roundtrip(self, tmp_path, flavor, arch):
+        import dataclasses
+        import jax.numpy as jnp
+        from autoround_tpu.export.gguf import (GGMLType, gguf_arch,
+                                               load_gguf_checkpoint,
+                                               read_gguf,
+                                               save_gguf_checkpoint)
+        from autoround_tpu.models import mixtral
+        kw = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                  num_layers=2, num_heads=4, num_kv_heads=2,
+                  num_experts=4, top_k=2, rope_theta=1e4,
+                  dtype=jnp.float32)
+        if flavor == "qwen3moe":
+            cfg = mixtral.MixtralConfig(**kw, qk_norm=True,
+                                        norm_topk_prob=True)
+        else:
+            cfg = mixtral.MixtralConfig(**kw, attn_bias=True,
+                                        shared_expert_intermediate=96,
+                                        shared_expert_gate=True,
+                                        norm_topk_prob=False)
+        assert gguf_arch(cfg) == arch
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        fp = str(tmp_path / "m.gguf")
+        save_gguf_checkpoint(params, cfg, fp, base_type=GGMLType.Q4_K,
+                             mixed=False)
+        meta, tensors = read_gguf(fp)
+        assert meta["general.architecture"] == arch
+        assert meta[f"{arch}.expert_count"] == cfg.num_experts
+        assert meta[f"{arch}.expert_used_count"] == cfg.top_k
+        ne, tt, _ = tensors["blk.0.ffn_gate_exps.weight"]
+        assert tuple(ne) == (cfg.hidden_size, cfg.intermediate_size,
+                             cfg.num_experts)
+        assert tensors["blk.0.ffn_gate_inp.weight"][1] == GGMLType.F32
+        if flavor == "qwen2moe":
+            assert "blk.0.ffn_gate_shexp.weight" in tensors
+            assert "blk.0.ffn_gate_inp_shexp.weight" in tensors
+        p2, cfg2 = load_gguf_checkpoint(fp, dtype=jnp.float32)
+        assert cfg2.num_experts == cfg.num_experts
+        assert cfg2.top_k == cfg.top_k
+        assert cfg2.norm_topk_prob == cfg.norm_topk_prob
+        assert cfg2.shared_expert_gate == cfg.shared_expert_gate
+        assert len(p2["blocks"][0]["experts"]) == cfg.num_experts
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0,
+                                 cfg.vocab_size)
+        l1 = np.asarray(mixtral.model_fwd(params, ids, cfg), np.float32)
+        l2 = np.asarray(mixtral.model_fwd(p2, ids, cfg2), np.float32)
+        rms = np.sqrt(np.mean((l1 - l2) ** 2))
+        assert rms < 0.05 * np.sqrt(np.mean(l1 ** 2)) + 1e-3
