@@ -247,8 +247,24 @@ def _serving_kind(s) -> Optional[str]:
         if s.sym:
             return "w4a8" if act_int8 else "w4a16"
         return "w4a16_asym"
+    if (s.super_bits and s.bits <= 4 and g >= 16
+            and s.data_type == "int_dq"):
+        # GGUF double-quant (q2_k/q3_k/q4_k): the super hierarchy
+        # flattens into per-group effective payloads that ride the W4
+        # kernels directly — sym dq q is signed (|q| <= 8, the +8 store
+        # offset covers it), asym dq q in [0, 2^b-1] with the FLOAT
+        # zero point m_hat/d_hat the asym kernel already fuses.  4-bit
+        # storage for sub-4-bit codes costs extra weight bytes, but the
+        # layer serves PACKED instead of dense bf16 (>= 4x fewer bytes).
+        return "w4a16" if s.sym else "w4a16_asym"
+    if s.data_type == "int" and s.bits == 3 and g >= 128:
+        # 3-bit codes embed exactly in the 4-bit kernels (sym: q in
+        # [-4,3] -> +8 store offset; asym: q in [0,7] with int zp)
+        return "w4a16" if s.sym else "w4a16_asym"
     if s.data_type == "int" and s.bits == 2 and s.sym and g >= 128:
         return "w2a16"
+    if s.data_type == "int" and s.bits == 2 and not s.sym and g >= 128:
+        return "w4a16_asym"
     if s.data_type == "int" and s.bits == 8 and s.sym:
         if g <= 0 and act_int8:
             return "w8a8"

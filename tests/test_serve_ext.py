@@ -53,6 +53,19 @@ class TestServingKind:
         s = parse_scheme("W4A16", sym=False)
         assert _serving_kind(s) == "w4a16_asym"
 
+    def test_w3_and_dq_ride_w4_kernels(self):
+        # 3-bit and GGUF double-quant codes embed exactly in the 4-bit
+        # kernels (sym: +8 store offset; asym: float zero point) — these
+        # schemes must serve packed, not dense bf16
+        assert _serving_kind(parse_scheme("W3A16")) == "w4a16"
+        assert _serving_kind(
+            parse_scheme("W3A16", sym=False)) == "w4a16_asym"
+        assert _serving_kind(parse_scheme("GGUF:Q3_K_S")) == "w4a16"
+        assert _serving_kind(parse_scheme("GGUF:Q4_K_S")) == "w4a16_asym"
+        assert _serving_kind(parse_scheme("GGUF:Q2_K_S")) == "w4a16_asym"
+        assert _serving_kind(
+            parse_scheme("W2A16", sym=False)) == "w4a16_asym"
+
     def test_no_kind_for_small_groups(self):
         assert _serving_kind(parse_scheme("W4A16G32")) is None
         assert _serving_kind(parse_scheme("FP8_BLOCK")) is None
@@ -66,13 +79,24 @@ SCHEMES = [
     ("FP8_STATIC", "fp8", 0.02),
     ("MXFP4", "mxfp4_g32", 0.06),
     ("NVFP4", "mxfp4_g16", 0.06),
+    ("W3A16", "w4a16", 0.2),           # 3-bit riding the W4 kernel
+    (parse_scheme("W3A16", sym=False), "w4a16_asym", 0.2),
+    ("GGUF:Q4_K_S", "w4a16_asym", 0.06),   # dq flattened into the
+    ("GGUF:Q3_K_S", "w4a16", 0.2),          # effective per-group
+    ("GGUF:Q2_K_S", "w4a16_asym", 0.5),     # scale / float-zp payload
 ]
 
 
+def _sid(entry):
+    s, k, _ = entry
+    return s if isinstance(s, str) else f"asym-{k}"
+
+
+IDS = [_sid(e) for e in SCHEMES]
+
+
 class TestEngineExt:
-    @pytest.mark.parametrize("scheme,kind,_", SCHEMES,
-                             ids=[k for _, k, _ in SCHEMES[:2]]
-                             + [s for s, _, _ in SCHEMES[2:]])
+    @pytest.mark.parametrize("scheme,kind,_", SCHEMES, ids=IDS)
     def test_packs_with_kind(self, cfg_params, scheme, kind, _):
         cfg, params = cfg_params
         res = _quantize(cfg, params, scheme)
@@ -85,9 +109,7 @@ class TestEngineExt:
                  if k.endswith(("qkv", "gate_up"))}
         assert fused and set(fused.values()) == {kind}
 
-    @pytest.mark.parametrize("scheme,kind,tol", SCHEMES,
-                             ids=[k for _, k, _ in SCHEMES[:2]]
-                             + [s for s, _, _ in SCHEMES[2:]])
+    @pytest.mark.parametrize("scheme,kind,tol", SCHEMES, ids=IDS)
     def test_prefill_matches_qdq_model(self, cfg_params, scheme, kind, tol):
         """Packed serving must reproduce the dense qdq model — the packed
         codes/scales decode to exactly the tuned grid."""
