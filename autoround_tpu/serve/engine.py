@@ -243,9 +243,11 @@ def _serving_kind(s) -> Optional[str]:
         scales (NVFP4's global scale pre-multiplied at pack time)"""
     act_int8 = (s.act_bits == 8 and s.act_data_type == "int" and s.act_sym)
     g = s.group_size if isinstance(s.group_size, int) else 0
-    if s.data_type == "int" and s.bits == 4 and g >= 128:
+    if s.data_type == "int" and s.bits == 4 and g >= 16:
         if s.sym:
-            return "w4a8" if act_int8 else "w4a16"
+            # the int8-MXU dynamic-act kernel tiles on g >= 128; smaller
+            # groups serve weight-only through the same W4 layout
+            return "w4a8" if act_int8 and g >= 128 else "w4a16"
         return "w4a16_asym"
     if (s.super_bits and s.bits <= 4 and g >= 16
             and s.data_type == "int_dq"):
@@ -257,13 +259,15 @@ def _serving_kind(s) -> Optional[str]:
         # storage for sub-4-bit codes costs extra weight bytes, but the
         # layer serves PACKED instead of dense bf16 (>= 4x fewer bytes).
         return "w4a16" if s.sym else "w4a16_asym"
-    if s.data_type == "int" and s.bits == 3 and g >= 128:
+    if s.data_type == "int" and s.bits == 3 and g >= 16:
         # 3-bit codes embed exactly in the 4-bit kernels (sym: q in
         # [-4,3] -> +8 store offset; asym: q in [0,7] with int zp)
         return "w4a16" if s.sym else "w4a16_asym"
     if s.data_type == "int" and s.bits == 2 and s.sym and g >= 128:
         return "w2a16"
-    if s.data_type == "int" and s.bits == 2 and not s.sym and g >= 128:
+    if s.data_type == "int" and s.bits == 2 and s.sym and g >= 16:
+        return "w4a16"  # 16-plane W2 needs g>=128; small groups ride W4
+    if s.data_type == "int" and s.bits == 2 and not s.sym and g >= 16:
         return "w4a16_asym"
     if s.data_type == "int" and s.bits == 8 and s.sym:
         if g <= 0 and act_int8:

@@ -66,8 +66,16 @@ class TestServingKind:
         assert _serving_kind(
             parse_scheme("W2A16", sym=False)) == "w4a16_asym"
 
-    def test_no_kind_for_small_groups(self):
-        assert _serving_kind(parse_scheme("W4A16G32")) is None
+    def test_small_groups_serve_weight_only(self):
+        # g in [16, 128) rides the W4 layout weight-only (the int8-MXU
+        # dynamic-act kernel still needs g >= 128)
+        assert _serving_kind(parse_scheme("W4A16G32")) == "w4a16"
+        assert _serving_kind(parse_scheme("W4A8", group_size=32)) == "w4a16"
+        assert _serving_kind(parse_scheme("W4A8")) == "w4a8"
+        assert _serving_kind(
+            parse_scheme("W2A16G64", sym=False)) == "w4a16_asym"
+
+    def test_no_kind_for_unsupported(self):
         assert _serving_kind(parse_scheme("FP8_BLOCK")) is None
 
 
@@ -84,6 +92,7 @@ SCHEMES = [
     ("GGUF:Q4_K_S", "w4a16_asym", 0.06),   # dq flattened into the
     ("GGUF:Q3_K_S", "w4a16", 0.2),          # effective per-group
     ("GGUF:Q2_K_S", "w4a16_asym", 0.5),     # scale / float-zp payload
+    ("W4A16G32", "w4a16", 0.06),            # small-group weight-only
 ]
 
 
