@@ -205,8 +205,37 @@ def main():
                     "the full model on-chip; hbm_* = analytic bytes-read "
                     "per step vs the measured 2-D read roof "
                     "(scripts/roofline.py)",
+            **_recorded_artifacts(),
         },
     }))
+
+
+def _recorded_artifacts():
+    """Fold round-3 measured artifacts (prefill/TTFT, flagship quant
+    wall-clock) into the bench detail when present, so the single bench
+    JSON line carries the full evidence set."""
+    import os
+    out = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    pf = os.path.join(here, "docs", "prefill_r03.json")
+    if os.path.exists(pf):
+        with open(pf) as f:
+            pts = json.load(f)["points"]
+        out["prefill"] = [
+            {k: p[k] for k in ("bs", "seq", "w4_prefill_tok_s",
+                               "w4_ttft_ms", "w4_vs_bf16_prefill")
+             if k in p} for p in pts]
+    qf = os.path.join(here, "docs", "flagship_quant_r03.json")
+    if os.path.exists(qf):
+        with open(qf) as f:
+            q = json.load(f)
+        out["quant_wall_clock"] = {
+            k: q[k] for k in ("quant_wall_s", "quant_peak_rss_gb",
+                              "quant_peak_hbm_gb", "iters", "nsamples",
+                              "seqlen", "w4_decode_tok_s")
+            if k in q}
+        out["quant_wall_clock"]["ref_a100_min"] = 12
+    return out
 
 
 if __name__ == "__main__":
