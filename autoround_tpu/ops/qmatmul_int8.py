@@ -28,7 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .qmatmul import PLANES
 
 __all__ = ["quantize_rows", "w8a8_matmul", "w8a8_matmul_ref",
-           "pack_w8", "w4a8_matmul", "w4a8_matmul_ref"]
+           "pack_w8", "w4a8_matmul", "w4a8_matmul_ref",
+           "pack_w4_bytes", "unpack_w4_bytes"]
 
 
 @jax.jit
@@ -155,13 +156,52 @@ def w8a8_matmul(x, wi, ws, block_b: int = 512, block_o: int = 512,
 
 
 # --------------------------------------------------------------- W4A8
+#
+# Round-4 design (scripts/kernel_a8.py, measured vs 13 A16/A8 variants):
+# int8 "byte-pair" weight layout — byte column c of K-tile t holds group
+# 2t's code in the low nibble and group 2t+1's code XOR 8 in the high
+# nibble.  The XOR trick makes the signed value of (byte & 0xF0) exactly
+# 16*(code-8), so hi-half extraction is ONE int8 AND (no shift, no
+# convert, no zero point); the lo half is one AND with the -8 riding an
+# integer rowsum correction (Mosaic int8 vector arithmetic is AND-only).
+# Weights stream as full contiguous rows (strided int8 blocks DMA at 466
+# vs 718 GB/s full-row), both grid dims are parallel, and the dots run
+# int8 x int8 on the MXU.  Measured 87-94 us for the 31.2 MB
+# 14336x4096 layer vs ~95 us for the A16 plane kernel (DMA floor 41-45).
+
+def pack_w4_bytes(codes: jax.Array) -> jax.Array:
+    """(O, K) codes<16 → (O, K//2) int8 byte pairs (see module note).
+
+    K-tile t (width 2*128): byte column c holds group 2t's code (lo
+    nibble, plain) and group 2t+1's code XOR 8 (hi nibble)."""
+    O, K = codes.shape
+    g = 128
+    assert K % (2 * g) == 0, f"K={K} must be a multiple of 2*{g}"
+    c = codes.astype(jnp.uint8).reshape(O, K // (2 * g), 2, g)
+    packed = c[:, :, 0, :] | ((c[:, :, 1, :] ^ 8) << 4)
+    return packed.reshape(O, K // 2).astype(jnp.int8)
+
+
+def unpack_w4_bytes(packed: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_w4_bytes` → (O, K) int32 codes 0..15."""
+    O, Kb = packed.shape
+    g = 128
+    b = packed.astype(jnp.int32) & 0xFF
+    lo = b & 0xF
+    hi = ((b >> 4) & 0xF) ^ 8
+    c = jnp.stack([lo.reshape(O, Kb // g, g),
+                   hi.reshape(O, Kb // g, g)], axis=2)
+    return c.reshape(O, 2 * Kb)
+
+
 def w4a8_matmul_ref(x, qweight, scales, group_size: int = 128):
-    """XLA reference: int8 act x dequantized int4 weight (f32 math)."""
-    from .qmatmul import unpack_w4_planes
+    """XLA reference: int8 act x dequantized int4 weight (f32 math).
+
+    qweight (O, K//2) int8 byte-pair layout."""
     orig = x.shape
     K = orig[-1]
     xi, xs = quantize_rows(x.reshape(-1, K))
-    codes = unpack_w4_planes(qweight, group_size)
+    codes = unpack_w4_bytes(qweight)
     s = jnp.repeat(scales.astype(jnp.float32), group_size, axis=1)[:, :K]
     w = (codes - 8).astype(jnp.float32) * s
     acc = jax.lax.dot_general(
@@ -171,63 +211,74 @@ def w4a8_matmul_ref(x, qweight, scales, group_size: int = 128):
     return y.astype(x.dtype).reshape(*orig[:-1], qweight.shape[0])
 
 
-def _w4a8_kernel(x_ref, xs_ref, w_ref, st_ref, o_ref, acc_ref, *,
-                 group_size: int):
-    """Same nibble-plane schedule as w4a16 (qmatmul._kernel) but the MXU
-    inputs are int8: codes-8 exact in int8, activations pre-quantized."""
-    k = pl.program_id(2)
-    nk = pl.num_programs(2)
+def _w4a8_kernel(x_ref, xs_ref, w_ref, st_ref, o_ref, *, group_size: int):
+    """x_ref (TB, K) int8; xs_ref (TB, 128) lane-replicated f32 per-token
+    act scales; w_ref (TO, K//2) int8 byte pairs (full rows); st_ref
+    (nkt2, 4, TO) f32 rows [s_lo, s_hi/16, pad, pad] per 2-group tile."""
+    nkt2 = st_ref.shape[0]
+    g = group_size
+    acc = jnp.zeros((x_ref.shape[0], o_ref.shape[1]), jnp.float32)
+    for t in range(nkt2):
+        byts = w_ref[:, pl.ds(t * g, g)]               # (TO, g) int8
+        for half in range(2):
+            xg = x_ref[:, pl.ds((2 * t + half) * g, g)]   # (B, g) i8
+            if half == 0:
+                wq = byts & jnp.int8(0xF)              # codes 0..15
+            else:
+                wq = byts & jnp.int8(-16)              # 16*(code-8)
+            partial = jax.lax.dot_general(
+                xg, wq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)      # (B, TO)
+            if half == 0:
+                xsum = jnp.sum(xg.astype(jnp.int32), axis=1,
+                               keepdims=True)
+                partial = partial - 8 * xsum
+            acc = acc + partial.astype(jnp.float32) \
+                * st_ref[t, half, :][None, :]
+    xs = xs_ref[:]                                     # (TB, 128) f32
+    reps = acc.shape[1] // xs.shape[1]
+    if reps > 1:
+        xs = jnp.concatenate([xs] * reps, axis=1)
+    o_ref[:] = (acc * xs).astype(o_ref.dtype)
 
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    words = w_ref[:]                                  # (TO, g) int32
-    acc = acc_ref[:]
-    for j in range(PLANES):
-        chunk = jax.lax.shift_right_logical(words, 4 * j) & 0xF
-        wq = (chunk - 8).astype(jnp.int8)
-        xg = x_ref[:, pl.ds(j * group_size, group_size)]   # (B, g) int8
-        partial = jax.lax.dot_general(
-            xg, wq, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)              # (B, TO)
-        acc = acc + partial.astype(jnp.float32) \
-            * st_ref[j, :][None, :].astype(jnp.float32)
-    acc_ref[:] = acc
-
-    @pl.when(k == nk - 1)
-    def _():
-        acc = acc_ref[:]
-        xs = xs_ref[:].astype(jnp.float32)        # (TB, 128) lane-replicated
-        reps = acc.shape[1] // xs.shape[1]
-        if reps > 1:
-            xs = jnp.concatenate([xs] * reps, axis=1)
-        o_ref[:] = (acc * xs).astype(o_ref.dtype)
+@functools.partial(jax.jit, static_argnames=("group_size",))
+def _w4a8_scale_rows(scales: jax.Array, group_size: int) -> jax.Array:
+    """(O, K//g) f32 → (nkt2, 4, O): rows [s_lo, s_hi/16, pad, pad]."""
+    st = scales.astype(jnp.float32).T                  # (K//g, O)
+    ng, O = st.shape
+    st = st.reshape(ng // 2, 2, O)
+    folded = jnp.stack([st[:, 0], st[:, 1] / 16.0], axis=1)
+    return jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "block_o"))
 def w4a8_matmul(x, qweight, scales, group_size: int = 128,
-                block_o: int = 512):
-    """y = dequant(q(x) @ dequant4(qweight).T) — W4 weights, int8 MXU.
+                block_o: int = 2048):
+    """y = dequant(q8(x) @ dequant4(qweight).T) — W4 weights, int8 MXU.
 
-    qweight (O, K//8) int32 nibble-plane layout (same as w4a16);
-    scales (O, K//g) f32.
-    """
+    qweight (O, K//2) int8 byte-pair layout (:func:`pack_w4_bytes`);
+    scales (O, K//g) f32.  Role of the reference's W4A8 kernels (ARK
+    int8 kblock GEMMs, ``bestla_gemm_kblock.h``)."""
     orig = x.shape
     K = orig[-1]
-    O = qweight.shape[0]
+    O, Kb = qweight.shape
     x2 = x.reshape(-1, K)
     B = x2.shape[0]
-    TK = PLANES * group_size
     usable = (jax.devices()[0].platform == "tpu" and group_size >= 128
-              and K % TK == 0 and O % 256 == 0)
+              and group_size % 128 == 0 and K % (2 * group_size) == 0
+              and O % 256 == 0)
     if not usable:
         return w4a8_matmul_ref(x, qweight, scales, group_size).reshape(
             *orig[:-1], O)
 
     xi, xs = quantize_rows(x2)
+    st = _w4a8_scale_rows(scales, group_size)
 
-    TO = min(block_o, O)
+    # full-row weight blocks: cap TO so the (TO, K//2) int8 block plus
+    # its pipeline double-buffer stays within ~8 MB of VMEM
+    vmem_cap = max(256, ((4 << 20) // Kb) // 256 * 256)
+    TO = min(block_o, O, vmem_cap)
     while O % TO:
         TO //= 2
     TB = min(max(32, -(-B // 32) * 32), 256)
@@ -235,33 +286,32 @@ def w4a8_matmul(x, qweight, scales, group_size: int = 128,
     if Bp != B:
         xi = jnp.pad(xi, ((0, Bp - B), (0, 0)))
         xs = jnp.pad(xs, (0, Bp - B))
-    xs2 = jnp.broadcast_to(xs[:, None], (Bp, 128))
-    scales_t = scales.astype(jnp.float32).T
+    xs2 = jnp.broadcast_to(xs[:, None], (Bp, 128)).astype(jnp.float32)
 
-    grid = (Bp // TB, O // TO, K // TK)
+    nkt2 = K // (2 * group_size)
+    grid = (Bp // TB, O // TO)
     out = pl.pallas_call(
         functools.partial(_w4a8_kernel, group_size=group_size),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TB, TK), lambda b, o, k: (b, k),
+            pl.BlockSpec((TB, K), lambda b, o: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 128), lambda b, o, k: (b, 0),
+            pl.BlockSpec((TB, 128), lambda b, o: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TO, group_size), lambda b, o, k: (o, k),
+            pl.BlockSpec((TO, Kb), lambda b, o: (o, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PLANES, TO), lambda b, o, k: (k, o),
+            pl.BlockSpec((nkt2, 4, TO), lambda b, o: (0, 0, o),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, TO), lambda b, o, k: (b, o),
+        out_specs=pl.BlockSpec((TB, TO), lambda b, o: (b, o),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, O), x.dtype),
-        scratch_shapes=[pltpu.VMEM((TB, TO), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * O * K,
             bytes_accessed=O * K // 2 + Bp * K + Bp * O * 2,
             transcendentals=0,
         ),
-    )(xi, xs2, qweight, scales_t)
+    )(xi, xs2, qweight, st)
     return out[:B].reshape(*orig[:-1], O)

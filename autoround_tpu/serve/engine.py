@@ -26,7 +26,7 @@ from ..ops.qmatmul import pack_w4_planes, w4a16_matmul
 from ..ops.qmatmul_ext import (decode_e2m1, fp8_matmul, mxfp4_matmul,
                                pack_w2_planes, w2a16_matmul,
                                w4a16_asym_matmul, w8a16_matmul)
-from ..ops.qmatmul_int8 import w4a8_matmul, w8a8_matmul
+from ..ops.qmatmul_int8 import pack_w4_bytes, w4a8_matmul, w8a8_matmul
 from ..quantize.orchestrator import QuantizeResult
 from ..utils.logger import logger
 
@@ -341,7 +341,7 @@ class QuantizedLlama:
             kind = _serving_kind(s)
             qdq = np.asarray(ql.qdq, np.float32)
             O, K = qdq.shape
-            if kind in ("w4a16", "w4a8") and K % (8 * g) == 0:
+            if kind == "w4a16" and K % (8 * g) == 0:
                 scale = np.asarray(ql.scale, np.float32)
                 # codes = round(qdq/scale) + 8 (sym full-range, signed
                 # scale)
@@ -349,6 +349,14 @@ class QuantizedLlama:
                 codes = np.clip(np.rint(qdq / srep) + 8, 0, 15
                                 ).astype(np.uint32)
                 qw = pack_w4_planes(jnp.asarray(codes.astype(np.int32)), g)
+                packed[name] = (qw, jnp.asarray(scale))
+            elif kind == "w4a8" and K % (2 * g) == 0:
+                # int8 byte-pair layout for the int8-MXU kernel (round 4)
+                scale = np.asarray(ql.scale, np.float32)
+                srep = np.repeat(scale, g, axis=1)[:, :K]
+                codes = np.clip(np.rint(qdq / srep) + 8, 0, 15
+                                ).astype(np.int32)
+                qw = pack_w4_bytes(jnp.asarray(codes))
                 packed[name] = (qw, jnp.asarray(scale))
             elif (kind == "w4a16_asym" and ql.zp is not None
                   and K % (8 * g) == 0):
@@ -560,6 +568,10 @@ class QuantizedLlama:
         if kind == "w2a16":
             group_size = (qw.shape[1] * 16) // scales.shape[1]
             return w2a16_matmul(x, qw, scales, group_size)
+        if kind == "w4a8":
+            # byte-pair layout: qw is (O, K//2) int8
+            return w4a8_matmul(x, qw, scales,
+                               (qw.shape[1] * 2) // scales.shape[1])
         group_size = (qw.shape[1] * 8) // scales.shape[1]
         if kind == "w4a16_asym":
             return w4a16_asym_matmul(x, qw, scales, entry[2], group_size)
@@ -568,8 +580,6 @@ class QuantizedLlama:
             # recovery is ambiguous (padded g=32 cols == exact g=16 cols
             # at K=2048)
             return mxfp4_matmul(x, qw, scales, int(kind.rsplit("_g", 1)[1]))
-        if kind == "w4a8":
-            return w4a8_matmul(x, qw, scales, group_size)
         return w4a16_matmul(x, qw, scales, group_size)
 
     @staticmethod

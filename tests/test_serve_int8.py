@@ -61,16 +61,40 @@ class TestKernelRefs:
         assert rms < 0.02, rms
 
     def test_w4a8_matches_its_ref(self):
-        from autoround_tpu.ops.qmatmul import pack_w4_planes
+        from autoround_tpu.ops.qmatmul_int8 import pack_w4_bytes
         codes = jax.random.randint(jax.random.PRNGKey(2), (256, 1024),
                                    0, 16, jnp.int32)
         scales = jax.random.uniform(jax.random.PRNGKey(3), (256, 8),
                                     jnp.float32, 0.01, 0.02)
-        qw = pack_w4_planes(codes, 128)
+        qw = pack_w4_bytes(codes)
         x = jax.random.normal(jax.random.PRNGKey(4), (4, 1024), jnp.float32)
         y = np.asarray(w4a8_matmul(x, qw, scales, 128))
         r = np.asarray(w4a8_matmul_ref(x, qw, scales, 128))
         np.testing.assert_allclose(y, r, rtol=1e-4, atol=1e-4)
+
+    def test_w4_bytes_pack_roundtrip(self):
+        from autoround_tpu.ops.qmatmul_int8 import (pack_w4_bytes,
+                                                    unpack_w4_bytes)
+        codes = jax.random.randint(jax.random.PRNGKey(7), (64, 512),
+                                   0, 16, jnp.int32)
+        rt = unpack_w4_bytes(pack_w4_bytes(codes))
+        np.testing.assert_array_equal(np.asarray(rt), np.asarray(codes))
+
+    def test_w4a8_ref_dequant_math(self):
+        """The byte-layout ref reproduces explicit (code-8)*scale dequant
+        + per-token int8 activation quantization."""
+        from autoround_tpu.ops.qmatmul_int8 import pack_w4_bytes
+        rng = np.random.default_rng(0)
+        codes = rng.integers(0, 16, (32, 256)).astype(np.int32)
+        scales = rng.uniform(0.01, 0.02, (32, 2)).astype(np.float32)
+        x = rng.normal(size=(3, 256)).astype(np.float32)
+        xi, xs = quantize_rows(jnp.asarray(x))
+        w = (codes - 8) * np.repeat(scales, 128, axis=1)
+        want = (np.asarray(xi, np.float32) @ w.T) * np.asarray(xs)[:, None]
+        got = np.asarray(w4a8_matmul_ref(
+            jnp.asarray(x), pack_w4_bytes(jnp.asarray(codes)),
+            jnp.asarray(scales), 128))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 class TestEngineInt8:
