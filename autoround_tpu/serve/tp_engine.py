@@ -125,11 +125,18 @@ def _mla_cache_spec(kv_quant: Optional[str]) -> KVCache:
                    length=P(), k_scale=sc, v_scale=sc)
 
 
-def _make_tp_linear_fn(packed, block_idx: int, kinds=None):
+def _make_tp_linear_fn(packed, block_idx: int, kinds=None,
+                       psum_dtype=None):
     """Per-shard linear: packed kernel or dense einsum; row-parallel
     layers complete their contraction with a psum over ``tp``.  Dequant
     is linear in the int32 accumulator, so per-shard dequantized partials
     (each with its own local per-token act scale) sum exactly.
+
+    ``psum_dtype`` (the engine dtype) halves the activation all-reduce
+    wire bytes for bf16 engines: attention/MLP internals hand the
+    row-parallel projections f32 activations, so without the cast the
+    (B, H) psums ride f32 even in a bf16 deployment.  f32 engines pass
+    f32 and keep exact parity.
 
     Expert parallelism: stacked expert payloads shard on E, so
     ``lf.grouped`` serves the LOCAL expert slab, ``lf.expert_offset``
@@ -153,7 +160,10 @@ def _make_tp_linear_fn(packed, block_idx: int, kinds=None):
             y = jnp.einsum("...i,oi->...o", x, w)
         # shared_experts.down_proj etc. are row-parallel too
         if name.split(".")[-1] in _ROW:
-            y = jax.lax.psum(y, "tp")
+            if psum_dtype is not None and y.dtype != psum_dtype:
+                y = jax.lax.psum(y.astype(psum_dtype), "tp").astype(y.dtype)
+            else:
+                y = jax.lax.psum(y, "tp")
         if b is not None:
             y = y + b
         return y
@@ -177,7 +187,12 @@ def _make_tp_linear_fn(packed, block_idx: int, kinds=None):
         any_qw = packed[prefix + next(iter(gnames))][0]
         lf.local_experts = any_qw.shape[0]
         lf.expert_offset = jax.lax.axis_index("tp") * any_qw.shape[0]
-        lf.expert_combine = lambda y: jax.lax.psum(y, "tp")
+        def _expert_combine(y):
+            if psum_dtype is not None and y.dtype != psum_dtype:
+                return jax.lax.psum(y.astype(psum_dtype),
+                                    "tp").astype(y.dtype)
+            return jax.lax.psum(y, "tp")
+        lf.expert_combine = _expert_combine
     return lf
 
 
@@ -314,7 +329,9 @@ class TPQuantizedLlama:
         mesh, cfg_l = self.mesh, self.cfg_local
 
         kinds = self.packed_kinds
-        lf_maker = lambda p, i: _make_tp_linear_fn(p, i, kinds)  # noqa: E731
+        psum_dtype = jnp.dtype(self.cfg.dtype)
+        lf_maker = lambda p, i: _make_tp_linear_fn(  # noqa: E731
+            p, i, kinds, psum_dtype)
 
         # vocab-sharded packed head: gather the logit shards over tp
         combine = lambda y: jax.lax.all_gather(  # noqa: E731
@@ -346,6 +363,39 @@ class TPQuantizedLlama:
             decode_impl, mesh=mesh,
             in_specs=(pspec, kspec, P("dp"), cspec),
             out_specs=(P("dp", None), cspec), check_rep=False))
+
+        # distributed greedy/top-k head: decode WITHOUT gathering the
+        # (B, V/tp) logit shards — shards exchange only winners (greedy,
+        # 8 B/row) or top candidates (sampling), cutting the per-step
+        # head collective from bs x V/tp floats to near-zero.  One
+        # compiled executable per SamplingParams value (hashable).
+        from .sampling import sample_token_sharded
+
+        head_sharded = "lm_head" in self.packed
+
+        def make_decode_sample(sp):
+            from .sampling import sample_token
+
+            def decode_sample_impl(params, packed, token, cache, key):
+                logits_shard, cache2 = dec_core(
+                    params, packed, token, cache, cfg=cfg_l,
+                    kv_quant=self.kv_quant, lf_maker=lf_maker,
+                    kinds=kinds, final_combine=lambda y: y)
+                if head_sharded:
+                    tok = sample_token_sharded(logits_shard, key, sp)
+                else:
+                    # dense lm_head replicates: full logits on every
+                    # shard, plain sampling already agrees everywhere
+                    k = None if sp is None or sp.is_greedy else key
+                    tok = sample_token(logits_shard, k, sp)
+                return tok, cache2
+            return jax.jit(shard_map(
+                decode_sample_impl, mesh=mesh,
+                in_specs=(pspec, kspec, P("dp"), cspec, P()),
+                out_specs=(P("dp"), cspec), check_rep=False))
+
+        self._decode_sample_cache = {}
+        self._make_decode_sample = make_decode_sample
 
     @classmethod
     def from_engine(cls, engine: QuantizedLlama, mesh: Mesh,
@@ -406,28 +456,46 @@ class TPQuantizedLlama:
             jax.block_until_ready(out)
         return out
 
+    def decode_sample_step(self, token: jax.Array, cache: KVCache,
+                           key: Optional[jax.Array] = None,
+                           sampling=None) -> Tuple[jax.Array, KVCache]:
+        """One decode step returning the NEXT TOKEN directly via the
+        distributed head (no (B, V/tp) logit gather).  ``sampling`` None
+        → greedy; the compiled executable is cached per SamplingParams."""
+        sp_key = sampling  # hashable frozen dataclass or None
+        fn = self._decode_sample_cache.get(sp_key)
+        if fn is None:
+            fn = self._make_decode_sample(sampling)
+            self._decode_sample_cache[sp_key] = fn
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        out = fn(self.params, self.packed, jnp.asarray(token), cache, key)
+        if self.mesh.devices.flat[0].platform == "cpu":
+            jax.block_until_ready(out)  # same CPU-collective serialization
+        return out
+
     def generate(self, input_ids: jax.Array, max_new_tokens: int = 32,
                  sampling=None) -> jax.Array:
         """Greedy by default; ``sampling`` (serve.SamplingParams) enables
-        seeded temperature/top-k/top-p.  Sampling runs on the COMBINED
-        (replicated) logits outside the shard_map, so every shard agrees
-        on the next token by construction."""
+        seeded temperature/top-k/top-p.  Decode steps run the
+        DISTRIBUTED head (``decode_sample_step``): shards exchange
+        winners/candidates instead of (B, V/tp) logit shards; sampling
+        uses one replicated key per step so every shard agrees on the
+        token by construction."""
         from .sampling import sample_token
-        key = (jax.random.PRNGKey(sampling.seed)
-               if sampling is not None and not sampling.is_greedy else None)
-
-        def nxt(logits):
-            nonlocal key
-            k = None
-            if key is not None:
-                key, k = jax.random.split(key)
-            return sample_token(logits, k, sampling)
+        stochastic = sampling is not None and not sampling.is_greedy
+        key = jax.random.PRNGKey(sampling.seed) if stochastic else None
 
         logits, cache = self.prefill(input_ids)
-        tok = nxt(logits)
+        k = None
+        if stochastic:
+            key, k = jax.random.split(key)
+        tok = sample_token(logits, k, sampling)
         out = [tok]
         for _ in range(max_new_tokens - 1):
-            logits, cache = self.decode_step(tok, cache)
-            tok = nxt(logits)
+            k = None
+            if stochastic:
+                key, k = jax.random.split(key)
+            tok, cache = self.decode_sample_step(tok, cache, k, sampling)
             out.append(tok)
         return jnp.stack(out, axis=1)

@@ -43,26 +43,33 @@ _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "i32": 4, "ui32": 4,
                 "i8": 1, "ui8": 1, "f64": 8, "i64": 8}
 
 
-def collective_bytes(hlo_text):
-    """Parse per-shard payload bytes of every collective in a compiled
-    HLO dump.  Matches lines like
-      %psum.14 = f32[1,1,4096]{2,1,0} all-reduce(...)
+def collective_bytes(stablehlo_text):
+    """Parse per-shard payload bytes of every collective in the LOWERED
+    StableHLO (the program as written — the CPU backend legalizes bf16
+    collectives to f32 in its compiled HLO, which round 3's parser read
+    and mis-reported as f32 psums).  Matches op uses like
+      "stablehlo.all_reduce"(%131) ... : (tensor<1x1x4096xbf16>) -> ...
     Returns {op_kind: [(shape_str, bytes), ...]}."""
     out = {}
     pat = re.compile(
-        r"=\s+(f32|bf16|f16|i32|ui32|i8|ui8|f64|i64)"
-        r"\[([0-9,]*)\][^=\n]*?\s"
-        r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
-        r"all-to-all)(-start)?\(")
-    for m in pat.finditer(hlo_text):
-        kind = m.group(3).replace("-", "_")
-        dims = [int(d) for d in m.group(2).split(",") if d]
+        r'"stablehlo\.(all_reduce|all_gather|reduce_scatter|'
+        r'collective_permute|all_to_all)"')
+    type_pat = re.compile(r":\s*\(tensor<([0-9x]*)x?"
+                          r"(f32|bf16|f16|i32|ui32|i8|ui8|f64|i64)>")
+    for m in pat.finditer(stablehlo_text):
+        kind = m.group(1)
+        # result type trails the op's region: find the next ') : (tensor<'
+        tail = stablehlo_text[m.end():m.end() + 4000]
+        tm = type_pat.search(tail)
+        if not tm:
+            continue
+        dims = [int(d) for d in tm.group(1).split("x") if d]
         n = 1
         for d in dims:
             n *= d
-        nbytes = n * _DTYPE_BYTES[m.group(1)]
+        nbytes = n * _DTYPE_BYTES[tm.group(2)]
         out.setdefault(kind, []).append(
-            ("x".join(map(str, dims)) + m.group(1), nbytes))
+            ("x".join(map(str, dims)) + tm.group(2), nbytes))
     return out
 
 
@@ -75,10 +82,14 @@ def build_block_engine():
 
     mesh = make_mesh(8)
     g = 128
+    # bf16 — the production engine dtype.  Round 3 measured an f32 test
+    # config and concluded "bf16 psums" was an unbuilt optimization; in
+    # fact the bf16 engine's activation psums already ride bf16 — the
+    # f32 volumes were an artifact of the f32 model under test.
     cfg = llama.LlamaConfig(
         vocab_size=1024, hidden_size=4096, intermediate_size=14336,
         num_layers=1, num_heads=32, num_kv_heads=8, rope_theta=5e5,
-        dtype=jnp.float32)
+        dtype=jnp.bfloat16)
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
     shapes = {"q_proj": (4096, 4096), "k_proj": (1024, 4096),
               "v_proj": (1024, 4096), "o_proj": (4096, 4096),
@@ -102,14 +113,21 @@ def build_block_engine():
 
 
 def measured_volumes():
+    """Collectives of (a) the logits-returning decode step and (b) the
+    round-4 distributed-head step (``decode_sample_step`` — shards
+    exchange per-shard winners instead of (B, V/tp) logit shards)."""
     tpe, mesh = build_block_engine()
     dp = mesh.shape["dp"]
     ids = jnp.zeros((dp, 8), jnp.int32)
     logits, cache = tpe.prefill(ids)
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
     lowered = tpe._decode_c.lower(tpe.params, tpe.packed, tok, cache)
-    txt = lowered.compile().as_text()
-    return collective_bytes(txt)
+    full = collective_bytes(lowered.as_text())
+    fn = tpe._make_decode_sample(None)
+    lowered2 = fn.lower(tpe.params, tpe.packed, tok, cache,
+                        jax.random.PRNGKey(0))
+    dist = collective_bytes(lowered2.as_text())
+    return full, dist
 
 
 def ring_allreduce_ms(nbytes, n):
@@ -129,12 +147,13 @@ def ring_allgather_ms(nbytes_shard, n):
 
 
 def scaling_table(bs=32, vocab=128256):
-    """Analytic per-step volumes at full 8B shapes (validated against the
-    HLO-measured block): per block 2 psums of (bs, H) activations (o_proj
-    and down_proj row-parallel combines), plus one logits all-gather of
-    (bs, vocab/tp) at the head."""
+    """Analytic per-step volumes at full 8B shapes (validated against
+    the HLO-measured block): per block 2 BF16 psums of (bs, H)
+    activations (o_proj and down_proj row-parallel combines), plus the
+    distributed head's winner exchange (greedy: an 8-byte/row gather —
+    the round-3 model's (bs, vocab/tp) f32 logits gather is gone)."""
     H = 4096
-    act_bytes = bs * H * 4          # engine runs f32 activations in psum
+    act_bytes = bs * H * 2          # bf16 activations in psum
     rows = []
     for dp, tp in [(1, 1), (1, 2), (1, 4), (1, 8),
                    (2, 4), (4, 2), (8, 1), (2, 8), (4, 4), (8, 2),
@@ -142,7 +161,7 @@ def scaling_table(bs=32, vocab=128256):
         n = dp * tp
         t_comp = SINGLE_CHIP_STEP_MS / tp
         comm = (2 * LAYERS * ring_allreduce_ms(act_bytes, tp)
-                + ring_allgather_ms(bs * (vocab // tp) * 4, tp))
+                + ring_allgather_ms(bs * 8, tp))   # winner pairs
         t = t_comp + comm
         toks = bs * dp / (t * 1e-3)
         eff = (bs * dp / (t * 1e-3)) / (n * bs / (SINGLE_CHIP_STEP_MS
@@ -154,16 +173,18 @@ def scaling_table(bs=32, vocab=128256):
 
 
 def main():
-    vols = measured_volumes()
-    print("HLO-measured collectives in one decode step "
-          "(1 block + head, dp=2 tp=4, per-shard payloads):")
-    total = 0
-    for kind, items in sorted(vols.items()):
-        for shape, b in items:
-            print(f"  {kind:20s} {shape:18s} {b/1024:8.1f} KiB")
-            total += b
-    print(f"  total per-shard collective payload: {total/1024:.1f} KiB "
-          "(x32 blocks at full depth)")
+    vols, vols_dist = measured_volumes()
+    for label, v in (("logits-returning decode", vols),
+                     ("distributed-head decode", vols_dist)):
+        print(f"HLO-measured collectives, {label} "
+              "(1 block + head, dp=2 tp=4, per-shard payloads):")
+        total = 0
+        for kind, items in sorted(v.items()):
+            for shape, b in items:
+                print(f"  {kind:20s} {shape:18s} {b/1024:8.1f} KiB")
+                total += b
+        print(f"  total per-shard collective payload: {total/1024:.1f} "
+              "KiB (x32 blocks at full depth)")
 
     rows = scaling_table()
     print("\nDecode scaling model, Llama-3-8B W4A16, bs=32/dp-shard, "
@@ -175,7 +196,9 @@ def main():
               f"{r['step_ms']:8.2f} {r['comm_ms']:8.3f} "
               f"{r['tok_s']:9.0f} {r['efficiency']:6.3f}")
     out = {"measured_hlo_collectives": {
-        k: v for k, v in vols.items()}, "table": rows,
+        k: v for k, v in vols.items()},
+        "measured_hlo_collectives_distributed_head": {
+        k: v for k, v in vols_dist.items()}, "table": rows,
         "ici_gbs_per_link": ICI_GBS,
         "single_chip_step_ms": SINGLE_CHIP_STEP_MS}
     with open("docs/scaling_model.json", "w") as f:

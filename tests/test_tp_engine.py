@@ -245,6 +245,78 @@ class TestVocabShardedHead:
                                    rtol=2e-2, atol=2e-2)
 
 
+class TestDistributedHead:
+    """Decode steps that return TOKENS, not logits: shards exchange
+    per-shard winners/candidates instead of (B, V/tp) logit shards."""
+
+    @pytest.fixture(scope="class")
+    def head_engines(self):
+        cfg = llama.LlamaConfig(vocab_size=256, hidden_size=1024,
+                                intermediate_size=1024, num_layers=1,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 256)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0,
+                        quant_lm_head=True).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        assert "lm_head" in eng.packed
+        mesh = make_mesh(4, dp=2, tp=2)
+        tpe = TPQuantizedLlama.from_engine(eng, mesh)
+        return eng, tpe, ids
+
+    def test_greedy_tokens_identical(self, head_engines):
+        eng, tpe, ids = head_engines
+        l0, c0 = eng.prefill(ids)
+        _, c1 = tpe.prefill(ids)
+        tok = jnp.argmax(l0, -1).astype(jnp.int32)
+        d0, _ = eng.decode_step(tok, c0)
+        want = np.asarray(jnp.argmax(d0, -1).astype(jnp.int32))
+        got, _ = tpe.decode_sample_step(tok, c1)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_generate_uses_distributed_head(self, head_engines):
+        eng, tpe, ids = head_engines
+        t0 = np.asarray(eng.generate(ids, max_new_tokens=5))
+        t1 = np.asarray(tpe.generate(ids, max_new_tokens=5))
+        assert (t0 == t1).mean() >= 0.9
+
+    def test_sampled_tokens_within_single_chip_nucleus(self, head_engines):
+        from autoround_tpu.serve.sampling import SamplingParams
+        eng, tpe, ids = head_engines
+        sp = SamplingParams(temperature=0.8, top_k=8, top_p=0.95, seed=3)
+        l0, c0 = eng.prefill(ids)
+        _, c1 = tpe.prefill(ids)
+        tok = jnp.argmax(l0, -1).astype(jnp.int32)
+        d0, _ = eng.decode_step(tok, c0)
+        got, _ = tpe.decode_sample_step(tok, c1, jax.random.PRNGKey(9), sp)
+        got = np.asarray(got)
+        # distributed sampling draws from exactly the single-chip
+        # top-k∩top-p candidate set (realization may differ — the
+        # categorical runs over the candidate subset)
+        x = np.asarray(d0, np.float32) / sp.temperature
+        for b in range(x.shape[0]):
+            order = np.argsort(-x[b])
+            keep = order[:sp.top_k]
+            probs = np.exp(x[b][keep] - x[b][keep].max())
+            probs /= probs.sum()
+            cum = np.cumsum(probs) - probs
+            nucleus = set(keep[cum < sp.top_p].tolist())
+            assert int(got[b]) in nucleus
+
+    def test_sampled_deterministic_per_key(self, head_engines):
+        from autoround_tpu.serve.sampling import SamplingParams
+        eng, tpe, ids = head_engines
+        sp = SamplingParams(temperature=0.8, top_k=8, seed=3)
+        l0, _ = eng.prefill(ids)
+        _, c1 = tpe.prefill(ids)
+        tok = jnp.argmax(l0, -1).astype(jnp.int32)
+        a, _ = tpe.decode_sample_step(tok, c1, jax.random.PRNGKey(5), sp)
+        _, c1b = tpe.prefill(ids)
+        b, _ = tpe.decode_sample_step(tok, c1b, jax.random.PRNGKey(5), sp)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestMLATensorParallel:
     """DeepSeek MLA over the (dp, tp) mesh: query heads and kv_b shard
     per head, the compressed latent cache replicates over tp (MQA-like),
