@@ -47,6 +47,8 @@ class MMDiTConfig(LlamaConfig):
     text_dim: int = 64            # text-encoder hidden size
     pooled_dim: int = 64          # pooled text-conditioning size
     qk_norm: bool = True          # SD3.5-style per-head RMSNorm on q/k
+    t_embed_dim: int = 0          # sinusoidal timestep dim (0 → hidden);
+    #                               diffusers SD3 uses 256
 
     @property
     def num_tokens(self) -> int:
@@ -125,17 +127,34 @@ def embed_fwd(params: Dict[str, Any], inputs: Dict[str, jax.Array],
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, cfg.patch_dim)
     x = jnp.einsum("bpi,hi->bph", x.astype(params["patch_embed"].dtype),
                    params["patch_embed"]) + params["pos_embed"][None]
+    if "patch_embed_bias" in params:
+        x = x + params["patch_embed_bias"][None, None]
     txt = jnp.einsum("btd,hd->bth",
                      inputs["encoder_states"].astype(x.dtype),
                      params["txt_embed"])
-    c = _timestep_embedding(inputs["timesteps"], cfg.hidden_size)
+    if "txt_embed_bias" in params:
+        txt = txt + params["txt_embed_bias"][None, None]
+    c = _timestep_embedding(inputs["timesteps"],
+                            cfg.t_embed_dim or cfg.hidden_size)
     c = c.astype(params["t_mlp1"].dtype)
-    c = jnp.einsum("bh,oh->bo", jax.nn.silu(
-        jnp.einsum("bh,oh->bo", c, params["t_mlp1"])), params["t_mlp2"])
+    h1 = jnp.einsum("bh,oh->bo", c, params["t_mlp1"])
+    if "t_mlp1_bias" in params:
+        h1 = h1 + params["t_mlp1_bias"][None]
+    c = jnp.einsum("bh,oh->bo", jax.nn.silu(h1), params["t_mlp2"])
+    if "t_mlp2_bias" in params:
+        c = c + params["t_mlp2_bias"][None]
     if "pooled" in inputs:
-        c = c + jnp.einsum("bd,hd->bh",
-                           inputs["pooled"].astype(c.dtype),
-                           params["pool_mlp"])
+        p1 = jnp.einsum("bd,hd->bh", inputs["pooled"].astype(c.dtype),
+                        params["pool_mlp"])
+        if "pool_mlp_bias" in params:
+            p1 = p1 + params["pool_mlp_bias"][None]
+        if "pool_mlp2" in params:
+            # diffusers 2-layer pooled-text MLP (silu between)
+            p1 = jnp.einsum("bh,oh->bo", jax.nn.silu(p1),
+                            params["pool_mlp2"])
+            if "pool_mlp2_bias" in params:
+                p1 = p1 + params["pool_mlp2_bias"][None]
+        c = c + p1
     return jnp.concatenate([x, txt, c[:, None, :]], axis=1)
 
 
@@ -168,7 +187,9 @@ def block_fwd(weights: Dict[str, Any], x_aug: jax.Array, cos, sin,
                                              weights["txt_ada_bias"])
 
     def qkv_heads(h, wname, qn, kn):
-        q, k, v = jnp.split(lf(wname, h, weights[wname]), 3, axis=-1)
+        q, k, v = jnp.split(
+            lf(wname, h, weights[wname], weights.get(wname + "_b")),
+            3, axis=-1)
         q = q.reshape(B, -1, nh, hd)
         k = k.reshape(B, -1, nh, hd)
         v = v.reshape(B, -1, nh, hd)
@@ -190,15 +211,19 @@ def block_fwd(weights: Dict[str, Any], x_aug: jax.Array, cos, sin,
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     a = jnp.einsum("bnst,btnh->bsnh", p, v).reshape(B, -1, H)
     ai, at = a[:, :Ti], a[:, Ti:]
-    x = x + g1[:, None] * lf("proj", ai, weights["proj"])
-    txt = txt + tg1[:, None] * lf("txt_proj", at, weights["txt_proj"])
+    x = x + g1[:, None] * lf("proj", ai, weights["proj"],
+                             weights.get("proj_b"))
+    txt = txt + tg1[:, None] * lf("txt_proj", at, weights["txt_proj"],
+                                  weights.get("txt_proj_b"))
 
     hx = _ln(x) * (1 + sc2[:, None]) + sh2[:, None]
     x = x + g2[:, None] * lf("fc2", jax.nn.gelu(
-        lf("fc1", hx, weights["fc1"])), weights["fc2"])
+        lf("fc1", hx, weights["fc1"], weights.get("fc1_b"))),
+        weights["fc2"], weights.get("fc2_b"))
     ht = _ln(txt) * (1 + tsc2[:, None]) + tsh2[:, None]
     txt = txt + tg2[:, None] * lf("txt_fc2", jax.nn.gelu(
-        lf("txt_fc1", ht, weights["txt_fc1"])), weights["txt_fc2"])
+        lf("txt_fc1", ht, weights["txt_fc1"], weights.get("txt_fc1_b"))),
+        weights["txt_fc2"], weights.get("txt_fc2_b"))
     return jnp.concatenate([x, txt, c[:, None]], axis=1)
 
 
@@ -212,7 +237,10 @@ def final_fwd(params: Dict[str, Any], x_aug: jax.Array,
          + params["final_ada_bias"].astype(jnp.float32))
     sh, sc = jnp.split(m.astype(x.dtype), 2, axis=-1)
     x = _ln(x) * (1 + sc[:, None]) + sh[:, None]
-    return jnp.einsum("bph,oh->bpo", x, params["final_linear"])
+    out = jnp.einsum("bph,oh->bpo", x, params["final_linear"])
+    if "final_linear_bias" in params:
+        out = out + params["final_linear_bias"][None, None]
+    return out
 
 
 def model_fwd(params: Dict[str, Any], inputs,
