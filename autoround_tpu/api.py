@@ -157,7 +157,8 @@ class AutoRound:
                 from .quantize.layer_config import apply_gguf_cascade
                 self.layer_schemes = apply_gguf_cascade(
                     self.layer_schemes, params, cfg.num_layers, scheme,
-                    quant_lm_head=quant_lm_head, pinned=pinned)
+                    quant_lm_head=quant_lm_head, pinned=pinned,
+                    model_cfg=cfg)
                 if special is not None and "embed_tokens" in \
                         self.layer_schemes:
                     # Q2_K_MIXED pins the embedding at Q8_0 (reference

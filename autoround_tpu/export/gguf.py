@@ -649,24 +649,73 @@ def write_gguf(path: str, metadata: List[Tuple[str, int, Any]],
             f.write(b"\x00" * ((-len(b)) % alignment))
 
 
+def _use_more_bits(block_idx: int, n_blocks: int) -> bool:
+    """llama.cpp's mixed-precision block rule: first/last 1/8 of blocks
+    plus every 3rd middle block get more bits."""
+    return (block_idx < n_blocks // 8
+            or block_idx >= n_blocks - n_blocks // 8
+            or block_idx % 3 == 2)
+
+
 def select_layer_qtype(base_type: int, block_idx: int, n_blocks: int,
-                       layer_kind: str, in_features: int) -> int:
-    """Per-layer type cascade (reference ``backends/gguf.py:485-617``):
-    official mixed rule gives the first/last 1/8 of blocks and every 3rd
-    middle block more bits; embeddings/output get at least Q6_K; layers
-    whose row length isn't 256-divisible fall back to Q8_0/Q4_0."""
+                       layer_kind: str, in_features: int,
+                       n_gqa: int = 1, n_expert: int = 0,
+                       has_imatrix: bool = False) -> int:
+    """Per-layer type cascade following llama.cpp's
+    ``llama_tensor_get_type`` as the reference reproduces it
+    (``backends/gguf.py:485-617``, ``export_to_gguf/gguf_dtype.py``):
+
+      * output / tied token_embd → at least Q6_K (Q8_0 stays)
+      * attn_v — Q2_K base: Q4_K when GQA ≥ 4 else Q3_K; Q3_K: Q5_K for
+        the first two blocks else Q4_K; Q4_K/Q5_K upgrade to Q6_K on
+        more-bits blocks; 8-expert models pin Q8_0
+      * attn_k (8-expert models) → Q8_0
+      * ffn_down — Q2_K: Q3_K; Q3_K: Q5_K below n/16 else Q4_K;
+        Q4_K/Q5_K → Q6_K on more-bits blocks; legacy Q4_0/Q5_0 with an
+        imatrix → Q4_1/Q5_1 for the first n/8 blocks
+      * attn_output — Q2_K: Q3_K; Q3_K: Q4_K; 8-expert low-bit → Q5_K
+      * 256-indivisible rows fall back Q8_0 → F16
+    """
     t = base_type
-    upgrade = {GGMLType.Q2_K: GGMLType.Q4_K, GGMLType.Q3_K: GGMLType.Q4_K,
-               GGMLType.Q4_K: GGMLType.Q6_K, GGMLType.Q5_K: GGMLType.Q6_K,
-               GGMLType.Q4_0: GGMLType.Q6_K, GGMLType.Q5_0: GGMLType.Q6_K}
     if layer_kind in ("output", "token_embd"):
-        t = max(t, GGMLType.Q6_K)
-    elif layer_kind in ("attn_v", "ffn_down") and t in upgrade:
-        use_more = (block_idx < n_blocks // 8
-                    or block_idx >= n_blocks - n_blocks // 8
-                    or block_idx % 3 == 2)
-        if use_more:
-            t = upgrade[t]
+        if t != GGMLType.Q8_0:
+            t = max(t, GGMLType.Q6_K)
+    elif layer_kind == "attn_v":
+        if base_type == GGMLType.Q2_K:
+            t = GGMLType.Q4_K if n_gqa >= 4 else GGMLType.Q3_K
+        elif base_type == GGMLType.Q3_K:
+            t = GGMLType.Q5_K if block_idx < 2 else GGMLType.Q4_K
+        elif base_type in (GGMLType.Q4_K, GGMLType.Q5_K) \
+                and _use_more_bits(block_idx, n_blocks):
+            t = GGMLType.Q6_K
+        if n_expert == 8:
+            t = GGMLType.Q8_0
+    elif layer_kind == "attn_k" and n_expert == 8:
+        t = GGMLType.Q8_0
+    elif layer_kind == "ffn_down":
+        if base_type == GGMLType.Q2_K:
+            t = GGMLType.Q3_K
+        elif base_type == GGMLType.Q3_K:
+            t = (GGMLType.Q5_K if block_idx < n_blocks // 16
+                 else GGMLType.Q4_K)
+        elif base_type in (GGMLType.Q4_K, GGMLType.Q5_K) \
+                and _use_more_bits(block_idx, n_blocks):
+            t = GGMLType.Q6_K
+        elif (base_type == GGMLType.Q4_0 and has_imatrix
+              and block_idx < n_blocks // 8):
+            t = GGMLType.Q4_1
+        elif (base_type == GGMLType.Q5_0 and has_imatrix
+              and block_idx < n_blocks // 8):
+            t = GGMLType.Q5_1
+    elif layer_kind == "attn_output":
+        if n_expert == 8:
+            if base_type in (GGMLType.Q2_K, GGMLType.Q3_K,
+                             GGMLType.Q4_K):
+                t = GGMLType.Q5_K
+        elif base_type == GGMLType.Q2_K:
+            t = GGMLType.Q3_K
+        elif base_type == GGMLType.Q3_K:
+            t = GGMLType.Q4_K
     if BLOCK_ELEMS.get(t) == QK_K and in_features % QK_K != 0:
         t = GGMLType.Q8_0 if in_features % QK == 0 else GGMLType.F16
     if BLOCK_ELEMS.get(t) == QK and in_features % QK != 0:
@@ -699,8 +748,16 @@ _ARCH_BLOCK_EXTRA = {
                "pre_feedforward_layernorm": "ffn_norm",
                "post_feedforward_layernorm": "post_ffw_norm",
                "q_norm": "attn_q_norm", "k_norm": "attn_k_norm"},
+    # MLA slots (llama.cpp deepseek2 conversion names)
+    "deepseek2": {"q_a_proj": "attn_q_a", "q_b_proj": "attn_q_b",
+                  "q_a_layernorm": "attn_q_a_norm",
+                  "kv_a_proj_with_mqa": "attn_kv_a_mqa",
+                  "kv_a_layernorm": "attn_kv_a_norm",
+                  "kv_b_proj": "attn_kv_b"},
+    "gpt-oss": {"sinks": "attn_sinks"},
 }
-_BIAS_NAME = {"q_bias": "attn_q", "k_bias": "attn_k", "v_bias": "attn_v"}
+_BIAS_NAME = {"q_bias": "attn_q", "k_bias": "attn_k", "v_bias": "attn_v",
+              "o_bias": "attn_output"}
 
 
 def gguf_arch(model_cfg) -> str:
@@ -947,6 +1004,232 @@ def dequant_tensor(ne, ttype: int, raw: np.ndarray) -> np.ndarray:
 _GGUF_BLOCK_INV = {v: k for k, v in _GGUF_BLOCK_NAME.items()}
 
 
+def _mk_get(tensors, dtype):
+    import jax.numpy as jnp
+
+    def get(nm):
+        ne, tt, raw = tensors[nm]
+        return jnp.asarray(dequant_tensor(ne, tt, raw), dtype)
+
+    def getf32(nm):
+        ne, tt, raw = tensors[nm]
+        return jnp.asarray(dequant_tensor(ne, tt, raw), jnp.float32)
+    return get, getf32
+
+
+def _load_exps(tensors, get, bi, E, proj_keys=("gate_proj", "up_proj",
+                                              "down_proj")):
+    """ffn_{gate,up,down}_exps 3-D stacks → per-expert weight trees
+    (plus stacked f32 biases for gpt-oss exports)."""
+    import jax.numpy as jnp
+    stacks = {k: get(f"blk.{bi}.ffn_{g}_exps.weight")
+              for k, g in zip(proj_keys, ("gate", "up", "down"))}
+    experts = [{k: stacks[k][e] for k in proj_keys} for e in range(E)]
+    for k, g in zip(("gate_bias", "up_bias", "down_bias"),
+                    ("gate", "up", "down")):
+        nm = f"blk.{bi}.ffn_{g}_exps.bias"
+        if nm in tensors:
+            ne, tt, raw = tensors[nm]
+            b = dequant_tensor(ne, tt, raw).reshape(E, -1)
+            for e in range(E):
+                experts[e][k] = jnp.asarray(b[e], jnp.float32)
+    return experts
+
+
+def _load_deepseek2(meta, tensors, dtype):
+    """deepseek2 loadback: MLA attention slots + dense-leading MoE."""
+    import jax.numpy as jnp  # noqa: F811
+    from ..models.deepseek import DeepseekConfig
+    a = "deepseek2"
+    L = int(meta[f"{a}.block_count"])
+    nh = int(meta[f"{a}.attention.head_count"])
+    dr = int(meta.get(f"{a}.rope.dimension_count", 0))
+    get, getf32 = _mk_get(tensors, dtype)
+    kv_b = tensors.get("blk.0.attn_kv_b.weight")
+    r = int(meta.get(f"{a}.attention.kv_lora_rank", 0))
+    # v_head/nope dims from the kv_b shape: (nh*(dn+dv), r); the llama
+    # convention stores dn == dv for every published deepseek
+    dn_dv = (kv_b[0][1] // nh) if kv_b else 128
+    dn = dv = dn_dv // 2
+    cfg = DeepseekConfig(
+        vocab_size=int(meta[f"{a}.vocab_size"]),
+        hidden_size=int(meta[f"{a}.embedding_length"]),
+        intermediate_size=int(meta[f"{a}.feed_forward_length"]),
+        num_layers=L, num_heads=nh, num_kv_heads=nh,
+        rope_theta=float(meta.get(f"{a}.rope.freq_base", 10000.0)),
+        rms_eps=float(meta.get(
+            f"{a}.attention.layer_norm_rms_epsilon", 1e-5)),
+        q_lora_rank=int(meta.get(f"{a}.attention.q_lora_rank", 0)),
+        kv_lora_rank=r, qk_nope_head_dim=dn, qk_rope_head_dim=dr,
+        v_head_dim=dv,
+        n_routed_experts=int(meta.get(f"{a}.expert_count", 0)),
+        num_experts_per_tok=int(meta.get(f"{a}.expert_used_count", 0)),
+        moe_intermediate_size=int(meta.get(
+            f"{a}.expert_feed_forward_length", 0)),
+        n_shared_experts=int(meta.get(f"{a}.expert_shared_count", 0)),
+        first_k_dense=int(meta.get(f"{a}.leading_dense_block_count", 0)),
+        routed_scaling_factor=float(meta.get(
+            f"{a}.expert_weights_scale", 1.0)),
+        scoring_func=("sigmoid" if int(meta.get(
+            f"{a}.expert_gating_func", 1)) == 2 else "softmax"),
+        norm_topk_prob=bool(int(meta.get(
+            f"{a}.expert_weights_norm", 0))),
+        tie_embeddings="output.weight" not in tensors,
+        dtype=dtype)
+    params = {"embed_tokens": get("token_embd.weight"),
+              "norm": get("output_norm.weight"), "blocks": []}
+    if "output.weight" in tensors:
+        params["lm_head"] = get("output.weight")
+    mla = {"attn_q_a": "q_a_proj", "attn_q_b": "q_b_proj",
+           "attn_q": "q_proj", "attn_q_a_norm": "q_a_layernorm",
+           "attn_kv_a_mqa": "kv_a_proj_with_mqa",
+           "attn_kv_a_norm": "kv_a_layernorm", "attn_kv_b": "kv_b_proj",
+           "attn_output": "o_proj", "attn_norm": "input_layernorm",
+           "ffn_norm": "post_attention_layernorm",
+           "ffn_gate": "gate_proj", "ffn_up": "up_proj",
+           "ffn_down": "down_proj"}
+    for bi in range(L):
+        blk = {}
+        for gk, ours in mla.items():
+            nm = f"blk.{bi}.{gk}.weight"
+            if nm in tensors:
+                blk[ours] = get(nm)
+        if f"blk.{bi}.ffn_gate_inp.weight" in tensors:
+            blk["gate"] = get(f"blk.{bi}.ffn_gate_inp.weight")
+            blk["experts"] = _load_exps(tensors, get, bi,
+                                        cfg.n_routed_experts)
+            shex = f"blk.{bi}.ffn_gate_shexp.weight"
+            if shex in tensors:
+                blk["shared_experts"] = {
+                    k: get(f"blk.{bi}.ffn_{g}_shexp.weight")
+                    for k, g in (("gate_proj", "gate"), ("up_proj", "up"),
+                                 ("down_proj", "down"))}
+            nm = f"blk.{bi}.exp_probs_b.bias"
+            if nm in tensors:
+                blk["e_score_correction_bias"] = getf32(nm)
+        params["blocks"].append(blk)
+    return params, cfg
+
+
+def _load_gptoss(meta, tensors, dtype):
+    import jax.numpy as jnp  # noqa: F811
+    from ..models.gptoss import GptOssConfig
+    a = "gpt-oss"
+    L = int(meta[f"{a}.block_count"])
+    get, getf32 = _mk_get(tensors, dtype)
+    E = int(meta.get(f"{a}.expert_count", 0))
+    cfg = GptOssConfig(
+        vocab_size=int(meta[f"{a}.vocab_size"]),
+        hidden_size=int(meta[f"{a}.embedding_length"]),
+        intermediate_size=int(meta[f"{a}.feed_forward_length"]),
+        num_layers=L,
+        num_heads=int(meta[f"{a}.attention.head_count"]),
+        num_kv_heads=int(meta[f"{a}.attention.head_count_kv"]),
+        head_dim=int(meta.get(f"{a}.attention.key_length", 0)) or None,
+        rope_theta=float(meta.get(f"{a}.rope.freq_base", 10000.0)),
+        rms_eps=float(meta.get(
+            f"{a}.attention.layer_norm_rms_epsilon", 1e-5)),
+        sliding_window=int(meta.get(
+            f"{a}.attention.sliding_window", 0)) or None,
+        num_experts=E,
+        top_k=int(meta.get(f"{a}.expert_used_count", 0)),
+        tie_embeddings="output.weight" not in tensors,
+        attn_bias=True, dtype=dtype)
+    params = {"embed_tokens": get("token_embd.weight"),
+              "norm": get("output_norm.weight"), "blocks": []}
+    if "output.weight" in tensors:
+        params["lm_head"] = get("output.weight")
+    names = {"attn_q": "q_proj", "attn_k": "k_proj", "attn_v": "v_proj",
+             "attn_output": "o_proj", "attn_norm": "input_layernorm",
+             "ffn_norm": "post_attention_layernorm"}
+    biases = {"attn_q": "q_bias", "attn_k": "k_bias", "attn_v": "v_bias",
+              "attn_output": "o_bias"}
+    for bi in range(L):
+        blk = {}
+        for gk, ours in names.items():
+            blk[ours] = get(f"blk.{bi}.{gk}.weight")
+        for gk, ours in biases.items():
+            nm = f"blk.{bi}.{gk}.bias"
+            if nm in tensors:
+                blk[ours] = get(nm)
+        nm = f"blk.{bi}.attn_sinks.weight"
+        if nm in tensors:
+            blk["sinks"] = getf32(nm)
+        blk["router"] = get(f"blk.{bi}.ffn_gate_inp.weight")
+        nm = f"blk.{bi}.ffn_gate_inp.bias"
+        if nm in tensors:
+            blk["router_bias"] = getf32(nm)
+        blk["experts"] = _load_exps(tensors, get, bi, E)
+        params["blocks"].append(blk)
+    return params, cfg
+
+
+def _load_llama4(meta, tensors, dtype):
+    import jax.numpy as jnp  # noqa: F811
+    from ..models.llama4 import Llama4Config
+    a = "llama4"
+    L = int(meta[f"{a}.block_count"])
+    get, _getf32 = _mk_get(tensors, dtype)
+    E = int(meta.get(f"{a}.expert_count", 0))
+    step = int(meta.get(f"{a}.interleave_moe_layer_step", 1)) or 1
+    start = int(meta.get(f"{a}.moe_layer_start", 0))
+    moe_layers = tuple(range(start, L, step)) if E else ()
+    nri = int(meta.get(f"{a}.no_rope_layer_interval", 0))
+    no_rope = tuple(0 if nri and (i + 1) % nri == 0 else 1
+                    for i in range(L))
+    layer_types = tuple(
+        "full_attention" if nri and (i + 1) % nri == 0
+        else "sliding_attention" for i in range(L)) if nri else None
+    cfg = Llama4Config(
+        vocab_size=int(meta[f"{a}.vocab_size"]),
+        hidden_size=int(meta[f"{a}.embedding_length"]),
+        intermediate_size=int(meta.get(
+            f"{a}.expert_feed_forward_length",
+            meta[f"{a}.feed_forward_length"])),
+        intermediate_size_mlp=int(meta[f"{a}.feed_forward_length"]),
+        num_layers=L,
+        num_heads=int(meta[f"{a}.attention.head_count"]),
+        num_kv_heads=int(meta[f"{a}.attention.head_count_kv"]),
+        rope_theta=float(meta.get(f"{a}.rope.freq_base", 10000.0)),
+        rms_eps=float(meta.get(
+            f"{a}.attention.layer_norm_rms_epsilon", 1e-5)),
+        num_experts=E,
+        top_k=int(meta.get(f"{a}.expert_used_count", 1)),
+        moe_layers=moe_layers,
+        sliding_window=int(meta.get(
+            f"{a}.attention.sliding_window", 0)) or None,
+        no_rope_layers=no_rope,
+        layer_types=layer_types,
+        tie_embeddings="output.weight" not in tensors,
+        dtype=dtype)
+    params = {"embed_tokens": get("token_embd.weight"),
+              "norm": get("output_norm.weight"), "blocks": []}
+    if "output.weight" in tensors:
+        params["lm_head"] = get("output.weight")
+    names = {"attn_q": "q_proj", "attn_k": "k_proj", "attn_v": "v_proj",
+             "attn_output": "o_proj", "attn_norm": "input_layernorm",
+             "ffn_norm": "post_attention_layernorm",
+             "ffn_gate": "gate_proj", "ffn_up": "up_proj",
+             "ffn_down": "down_proj"}
+    for bi in range(L):
+        blk = {}
+        for gk, ours in names.items():
+            nm = f"blk.{bi}.{gk}.weight"
+            if nm in tensors:
+                blk[ours] = get(nm)
+        if f"blk.{bi}.ffn_gate_inp.weight" in tensors:
+            blk["router"] = get(f"blk.{bi}.ffn_gate_inp.weight")
+            blk["experts"] = _load_exps(tensors, get, bi, E)
+            shex = f"blk.{bi}.ffn_gate_shexp.weight"
+            if shex in tensors:
+                blk["shared_expert"] = {
+                    k: get(f"blk.{bi}.ffn_{g}_shexp.weight")
+                    for k, g in (("gate_proj", "gate"), ("up_proj", "up"),
+                                 ("down_proj", "down"))}
+        params["blocks"].append(blk)
+    return params, cfg
+
+
 def load_gguf_checkpoint(path: str, dtype=None):
     """Load a llama-architecture .gguf file back into (params, LlamaConfig)
     with dequantized weights — the GGUF-file eval path (reference
@@ -959,8 +1242,15 @@ def load_gguf_checkpoint(path: str, dtype=None):
     meta, tensors = read_gguf(path)
     arch = meta.get("general.architecture", "llama")
     if arch not in ("llama", "qwen2", "qwen3", "gemma2", "gemma3",
-                    "qwen2moe", "qwen3moe"):
+                    "qwen2moe", "qwen3moe", "deepseek2", "gpt-oss",
+                    "llama4"):
         raise NotImplementedError(f"gguf arch {arch!r} not supported")
+    if arch == "deepseek2":
+        return _load_deepseek2(meta, tensors, dtype)
+    if arch == "gpt-oss":
+        return _load_gptoss(meta, tensors, dtype)
+    if arch == "llama4":
+        return _load_llama4(meta, tensors, dtype)
     gemma = arch in ("gemma2", "gemma3")
     moe = arch in ("qwen2moe", "qwen3moe")
     num_layers = int(meta[f"{arch}.block_count"])
@@ -1164,7 +1454,15 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
         elif kind in ("ffn_gate_inp", "ffn_gate_inp_shexp"):
             t = GGMLType.F32   # routers stay f32 (llama.cpp convention)
         elif mixed:
-            t = select_layer_qtype(base_type, block_idx, n_blocks, kind, I)
+            nh = getattr(model_cfg, "num_heads", 0)
+            nkv = getattr(model_cfg, "num_kv_heads", 0) or nh
+            t = select_layer_qtype(
+                base_type, block_idx, n_blocks, kind, I,
+                n_gqa=max(1, nh // nkv) if nh else 1,
+                n_expert=(getattr(model_cfg, "num_experts", 0)
+                          or getattr(model_cfg, "n_routed_experts", 0)
+                          or 0),
+                has_imatrix=flat_name in imatrix)
         else:
             t = base_type
             if I % BLOCK_ELEMS.get(t, 1):
@@ -1199,6 +1497,15 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
     if "lm_head" in params:
         add("output.weight", params["lm_head"], "output",
             flat_name="lm_head")
+    # expert-weight key aliases: mixtral-style trees use w1/w2/w3,
+    # deepseek/gpt-oss/llama4 use gate/up/down_proj
+    _EXP_SLOTS = ((("w1", "gate_proj"), "ffn_gate_exps", "ffn_gate"),
+                  (("w3", "up_proj"), "ffn_up_exps", "ffn_up"),
+                  (("w2", "down_proj"), "ffn_down_exps", "ffn_down"))
+
+    def _exp_key(tree, names):
+        return names[0] if names[0] in tree else names[1]
+
     for bi, block in enumerate(params["blocks"]):
         experts = block.get("experts")
         if isinstance(experts, (list, tuple)) and experts:
@@ -1206,30 +1513,50 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
             # ffn_{gate,up,down}_exps tensor; the router is
             # ffn_gate_inp; shared experts get *_shexp slots
             E = len(experts)
-            for wname, gk, kind in (("w1", "ffn_gate_exps", "ffn_gate"),
-                                    ("w3", "ffn_up_exps", "ffn_up"),
-                                    ("w2", "ffn_down_exps", "ffn_down")):
+            for names, gk, kind in _EXP_SLOTS:
+                wname = _exp_key(experts[0], names)
                 stk = np.concatenate(
                     [np.asarray(e[wname], np.float32) for e in experts],
                     axis=0)
                 add(f"blk.{bi}.{gk}.weight", stk, kind, bi, n_stack=E)
-        if block.get("router") is not None:
-            add(f"blk.{bi}.ffn_gate_inp.weight", block["router"],
+                bkey = {"gate_proj": "gate_bias", "up_proj": "up_bias",
+                        "down_proj": "down_bias"}.get(wname)
+                if bkey and bkey in experts[0]:
+                    # gpt-oss expert biases: stacked (E, O) f32
+                    bstk = np.stack([np.asarray(e[bkey], np.float32)
+                                     for e in experts])
+                    tensors.append((f"blk.{bi}.{gk}.bias",
+                                    (bstk.shape[1], bstk.shape[0]),
+                                    GGMLType.F32, bstk))
+        router = block.get("router")
+        if router is None:
+            router = block.get("gate")   # deepseek router slot name
+        if router is not None:
+            add(f"blk.{bi}.ffn_gate_inp.weight", router,
                 "ffn_gate_inp", bi)
+        if block.get("router_bias") is not None:
+            add(f"blk.{bi}.ffn_gate_inp.bias", block["router_bias"],
+                "bias", bi)
+        if block.get("e_score_correction_bias") is not None:
+            # deepseek-V3 sigmoid-gate correction (llama.cpp exp_probs_b)
+            add(f"blk.{bi}.exp_probs_b.bias",
+                block["e_score_correction_bias"], "bias", bi)
         shexp = block.get("shared_expert")
+        if shexp is None:
+            shexp = block.get("shared_experts")  # deepseek plural slot
         if shexp is not None:
-            for wname, gk in (("w1", "ffn_gate_shexp"),
-                              ("w3", "ffn_up_shexp"),
-                              ("w2", "ffn_down_shexp")):
-                add(f"blk.{bi}.{gk}.weight", shexp[wname],
-                    gk.rsplit("_", 1)[0], bi,
+            for names, gk, _k in _EXP_SLOTS:
+                wname = _exp_key(shexp, names)
+                add(f"blk.{bi}.{gk[:-5]}_shexp.weight", shexp[wname],
+                    gk[:-5], bi,
                     flat_name=f"blocks.{bi}.shared_expert.{wname}")
         if block.get("shared_expert_gate") is not None:
             add(f"blk.{bi}.ffn_gate_inp_shexp.weight",
                 block["shared_expert_gate"], "ffn_gate_inp_shexp", bi)
         for ours, arr in block.items():
-            if ours in ("experts", "router", "shared_expert",
-                        "shared_expert_gate"):
+            if ours in ("experts", "router", "router_bias", "gate",
+                        "shared_expert", "shared_experts",
+                        "shared_expert_gate", "e_score_correction_bias"):
                 continue
             if ours in _BIAS_NAME:
                 add(f"blk.{bi}.{_BIAS_NAME[ours]}.bias", arr, "bias", bi)
@@ -1289,6 +1616,71 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
             metadata.append(
                 (f"{arch}.expert_shared_feed_forward_length", _T_U32,
                  int(model_cfg.shared_expert_intermediate)))
+    if arch == "deepseek2":
+        # llama.cpp deepseek2 conversion keys; expert_gating_func:
+        # 1 = softmax (V2), 2 = sigmoid (V3)
+        metadata += [
+            (f"{arch}.leading_dense_block_count", _T_U32,
+             int(getattr(model_cfg, "first_k_dense", 0))),
+            (f"{arch}.expert_count", _T_U32,
+             int(getattr(model_cfg, "n_routed_experts", 0))),
+            (f"{arch}.expert_used_count", _T_U32,
+             int(getattr(model_cfg, "num_experts_per_tok", 0))),
+            (f"{arch}.expert_shared_count", _T_U32,
+             int(getattr(model_cfg, "n_shared_experts", 0))),
+            (f"{arch}.expert_feed_forward_length", _T_U32,
+             int(getattr(model_cfg, "moe_intermediate_size", 0))),
+            (f"{arch}.expert_weights_scale", _T_F32,
+             float(getattr(model_cfg, "routed_scaling_factor", 1.0))),
+            (f"{arch}.expert_gating_func", _T_U32,
+             2 if getattr(model_cfg, "scoring_func",
+                          "softmax") == "sigmoid" else 1),
+            (f"{arch}.expert_weights_norm", _T_U32,
+             int(bool(getattr(model_cfg, "norm_topk_prob", False)))),
+            (f"{arch}.attention.q_lora_rank", _T_U32,
+             int(getattr(model_cfg, "q_lora_rank", 0))),
+            (f"{arch}.attention.kv_lora_rank", _T_U32,
+             int(getattr(model_cfg, "kv_lora_rank", 0))),
+            (f"{arch}.rope.dimension_count", _T_U32,
+             int(getattr(model_cfg, "qk_rope_head_dim", 0))),
+        ]
+    if arch == "gpt-oss":
+        metadata += [
+            (f"{arch}.expert_count", _T_U32,
+             int(getattr(model_cfg, "num_experts", 0))),
+            (f"{arch}.expert_used_count", _T_U32,
+             int(getattr(model_cfg, "top_k", 0))),
+            (f"{arch}.attention.sliding_window", _T_U32,
+             int(model_cfg.sliding_window or 0)),
+        ]
+    if arch == "llama4":
+        ml = tuple(getattr(model_cfg, "moe_layers", ()) or ())
+        step = (ml[1] - ml[0] if len(ml) > 1
+                else (1 if ml else 0))
+        metadata += [
+            (f"{arch}.expert_count", _T_U32,
+             int(getattr(model_cfg, "num_experts", 0))),
+            (f"{arch}.expert_used_count", _T_U32,
+             int(getattr(model_cfg, "top_k", 0))),
+            (f"{arch}.expert_feed_forward_length", _T_U32,
+             model_cfg.intermediate_size),
+            # dense layers use the wider mlp; moe layers the expert width
+            (f"{arch}.feed_forward_length", _T_U32,
+             int(getattr(model_cfg, "intermediate_size_mlp",
+                         model_cfg.intermediate_size))),
+            (f"{arch}.interleave_moe_layer_step", _T_U32, int(step)),
+            (f"{arch}.moe_layer_start", _T_U32, int(ml[0]) if ml else 0),
+        ]
+        # NoPE interval (HF llama4: every Nth layer skips rope and runs
+        # full attention; the rest use sliding windows)
+        nr = tuple(getattr(model_cfg, "no_rope_layers", ()) or ())
+        nope = [i for i, v in enumerate(nr) if not v]
+        metadata += [
+            (f"{arch}.no_rope_layer_interval", _T_U32,
+             (nope[0] + 1) if nope else 0),
+            (f"{arch}.attention.sliding_window", _T_U32,
+             int(model_cfg.sliding_window or 0)),
+        ]
     if arch == "gemma3":
         lt = getattr(model_cfg, "layer_types", None) or ()
         pattern = 6  # llama.cpp gemma3 default: every 6th layer global

@@ -133,6 +133,7 @@ def apply_gguf_cascade(
     gguf_name: str,
     quant_lm_head: bool = False,
     pinned: Iterable[str] = (),
+    model_cfg=None,
 ) -> Dict[str, QuantizationScheme]:
     """Rewrite a uniform GGUF plan with the export-time per-layer type
     cascade (reference ``backends/gguf.py:485-617``) so each layer TUNES on
@@ -156,6 +157,13 @@ def apply_gguf_cascade(
     if base_t is None:
         return plan  # q4_0/q8_0 etc.: uniform simple formats, no cascade
     mixed = name.endswith("_m")
+    n_gqa, n_expert = 1, 0
+    if model_cfg is not None:
+        nh = getattr(model_cfg, "num_heads", 0)
+        nkv = getattr(model_cfg, "num_kv_heads", 0) or nh
+        n_gqa = max(1, nh // nkv) if nh else 1
+        n_expert = (getattr(model_cfg, "num_experts", 0)
+                    or getattr(model_cfg, "n_routed_experts", 0) or 0)
     type2scheme = {GGMLType.Q2_K: PRESET_SCHEMES["GGUF:Q2_K_S"],
                    GGMLType.Q3_K: PRESET_SCHEMES["GGUF:Q3_K_S"],
                    GGMLType.Q4_K: PRESET_SCHEMES["GGUF:Q4_K_S"],
@@ -198,7 +206,8 @@ def apply_gguf_cascade(
             if I % BLOCK_ELEMS.get(t, 1):
                 t = GGMLType.Q8_0 if I % QK == 0 else None
         elif mixed:
-            t = select_layer_qtype(base_t, bi, num_layers, kind, I)
+            t = select_layer_qtype(base_t, bi, num_layers, kind, I,
+                                   n_gqa=n_gqa, n_expert=n_expert)
         else:
             # match the export writer's non-mixed path exactly:
             # divisibility fallback only
