@@ -10,8 +10,9 @@ from __future__ import annotations
 from types import SimpleNamespace
 from typing import Any, Dict
 
-from . import (deepseek, dit, gemma3vl, glm4moe, gptoss, llama, llama4,
-               llava, minimax, mixtral, mmdit, qwen2vl, qwen3next)
+from . import (deepseek, deepseek_vl, dit, gemma3vl, glm4moe, gptoss,
+               llama, llama4, llava, minimax, mixtral, mllama, mmdit,
+               qwen2vl, qwen3next)
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -103,6 +104,27 @@ def get_model_fns(cfg) -> SimpleNamespace:
             rope_tables=llama.rope_tables,
             model_fwd=glm4moe.model_fwd,
             block_linear_names=glm4moe.block_linear_names,
+        )
+    if isinstance(cfg, mllama.MllamaConfig):
+        return SimpleNamespace(
+            init_params=mllama.init_params,
+            block_fwd=mllama._self_block_fwd,
+            block_fwd_for=mllama.block_fwd_for,  # self vs cross blocks
+            embed_fwd=mllama.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=llama.rope_tables,
+            model_fwd=mllama.model_fwd,
+            block_linear_names=mllama.block_linear_names,
+        )
+    if isinstance(cfg, deepseek_vl.DeepseekVLConfig):
+        return SimpleNamespace(
+            init_params=deepseek_vl.init_params,
+            block_fwd=deepseek.block_fwd,
+            embed_fwd=deepseek_vl.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=deepseek.rope_tables,
+            model_fwd=deepseek_vl.model_fwd,
+            block_linear_names=deepseek_vl.block_linear_names,
         )
     if isinstance(cfg, deepseek.DeepseekConfig):
         return SimpleNamespace(

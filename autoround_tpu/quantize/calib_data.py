@@ -319,11 +319,32 @@ def get_mllm_calib_batch(model_cfg, nsamples: int = 16, seqlen: int = 64,
         mask = np.ones((nsamples, seqlen), np.float32)
         return {"input_ids": ids, "pixel_values": pixels,
                 "grid_thw": [(1, gh, gw)] * nsamples}, mask
+    from ..models.mllama import MllamaConfig
+    if isinstance(model_cfg, MllamaConfig):
+        # cross-attention VLM: the text carries a SINGLE image marker;
+        # vision states ride the augmented cache, not the embeddings
+        ids = rng.integers(2, model_cfg.vocab_size,
+                           (nsamples, seqlen)).astype(np.int32)
+        ids[:, 0] = model_cfg.image_token_id
+        pixels = rng.standard_normal(
+            (nsamples, model_cfg.image_size, model_cfg.image_size, 3)
+        ).astype(np.float32)
+        # mask covers the AUGMENTED cache (text + vision tail): vision
+        # positions pass through every block unchanged, so their loss
+        # terms are zero — keeping them in the mask is harmless and
+        # keeps the mask shape aligned with the block cache
+        mask = np.ones((nsamples, seqlen + model_cfg.vision_tokens),
+                       np.float32)
+        return {"input_ids": ids, "pixel_values": pixels}, mask
+    from ..models.deepseek_vl import DeepseekVLConfig
     from ..models.gemma3vl import Gemma3VLConfig
-    # gemma3 pools the patch grid down to mm_tokens_per_image soft
-    # tokens; every other family uses one token per (vision) patch
+    # gemma3 pools the patch grid to mm_tokens_per_image soft tokens,
+    # deepseek-vl2 pixel-shuffles to num_image_tokens; other families
+    # use one token per vision patch
     P = (model_cfg.mm_tokens_per_image
          if isinstance(model_cfg, Gemma3VLConfig)
+         else model_cfg.num_image_tokens
+         if isinstance(model_cfg, DeepseekVLConfig)
          else model_cfg.num_patches)
     assert seqlen > P, f"seqlen {seqlen} must exceed image tokens {P}"
     ids = rng.integers(2, model_cfg.vocab_size,

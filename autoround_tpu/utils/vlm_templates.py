@@ -117,6 +117,31 @@ def _gemma3_preprocess(images: List[Any], cfg):
     return {"pixel_values": preprocess_images(images, cfg.image_size)}
 
 
+# --------------------------------------------------------------- mllama
+def _mllama_expand(text: str, cfg, grids=None) -> str:
+    """Cross-attention VLM: the TEXT keeps exactly one <|image|> marker
+    per image (vision states feed the cross layers, not the embedding
+    stream) — no per-patch expansion (HF MllamaProcessor)."""
+    return text.replace("<image>", "<|image|>")
+
+
+def _mllama_preprocess(images: List[Any], cfg):
+    from .vlm_loader import preprocess_images
+    return {"pixel_values": preprocess_images(images, cfg.image_size)}
+
+
+# -------------------------------------------------------- deepseek_vl_v2
+def _dsvl_expand(text: str, cfg, grids=None) -> str:
+    """One soft token per pixel-shuffled patch group (DeepSeek-VL2
+    processor: (g/r)² <image> ids per image)."""
+    return text.replace("<image>", "<image>" * cfg.num_image_tokens)
+
+
+def _dsvl_preprocess(images: List[Any], cfg):
+    from .vlm_loader import preprocess_images
+    return {"pixel_values": preprocess_images(images, cfg.image_size)}
+
+
 TEMPLATES: Dict[str, VLMTemplate] = {
     "llava": VLMTemplate(
         model_type="llava",
@@ -149,6 +174,27 @@ TEMPLATES: Dict[str, VLMTemplate] = {
         image_placeholder="<image>",
         expand_images=_gemma3_expand,
         preprocess=_gemma3_preprocess),
+    "mllama": VLMTemplate(
+        model_type="mllama",
+        format_user=("<|start_header_id|>user<|end_header_id|>\n\n"
+                     "{content}<|eot_id|>"),
+        format_assistant=("<|start_header_id|>assistant<|end_header_id|>"
+                          "\n\n{content}<|eot_id|>"),
+        format_system=("<|start_header_id|>system<|end_header_id|>\n\n"
+                       "{content}<|eot_id|>"),
+        format_separator="",
+        image_placeholder="<image>",
+        expand_images=_mllama_expand,
+        preprocess=_mllama_preprocess),
+    "deepseek_vl_v2": VLMTemplate(
+        model_type="deepseek_vl_v2",
+        format_user="<|User|>: {content}",
+        format_assistant="<|Assistant|>: {content}",
+        format_system="{content}",
+        format_separator="\n\n",
+        image_placeholder="<image>",
+        expand_images=_dsvl_expand,
+        preprocess=_dsvl_preprocess),
     "default": VLMTemplate(model_type="default"),
 }
 
@@ -157,13 +203,19 @@ def get_vlm_template(cfg_or_type) -> VLMTemplate:
     """Dispatch on a model config (family class) or a model-type str."""
     if isinstance(cfg_or_type, str):
         return TEMPLATES.get(cfg_or_type, TEMPLATES["default"])
+    from ..models.deepseek_vl import DeepseekVLConfig
     from ..models.gemma3vl import Gemma3VLConfig
     from ..models.llava import LlavaConfig
+    from ..models.mllama import MllamaConfig
     from ..models.qwen2vl import Qwen2VLConfig
     if isinstance(cfg_or_type, Qwen2VLConfig):
         return TEMPLATES["qwen2_vl"]
     if isinstance(cfg_or_type, Gemma3VLConfig):
         return TEMPLATES["gemma3"]
+    if isinstance(cfg_or_type, MllamaConfig):
+        return TEMPLATES["mllama"]
+    if isinstance(cfg_or_type, DeepseekVLConfig):
+        return TEMPLATES["deepseek_vl_v2"]
     if isinstance(cfg_or_type, LlavaConfig):
         return TEMPLATES["llava"]
     return TEMPLATES["default"]

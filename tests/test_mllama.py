@@ -1,0 +1,160 @@
+"""Mllama (Llama-3.2 Vision) family: cross-attention decoder parity vs
+HF transformers, gate-zero identity, and quantization e2e (VERDICT r3
+item 7 — a genuinely different VLM wiring than soft-token splicing)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoround_tpu import AutoRound
+from autoround_tpu.models import llama, mllama
+from autoround_tpu.models.mllama import CONFIG_PRESETS
+
+CFG = CONFIG_PRESETS["tiny-mllama"]
+
+
+def _inputs(B=2, S=12, seed=1):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(2, CFG.vocab_size, (B, S)).astype(np.int32)
+    ids[:, 0] = CFG.image_token_id
+    pixels = rng.standard_normal(
+        (B, CFG.image_size, CFG.image_size, 3)).astype(np.float32)
+    return {"input_ids": jnp.asarray(ids),
+            "pixel_values": jnp.asarray(pixels)}
+
+
+class TestStructure:
+    def test_gate_zero_is_text_only_llama(self):
+        """Fresh gates are 0, so cross blocks are identities on the text
+        stream: logits must equal the chain of SELF blocks alone."""
+        params = mllama.init_params(CFG, jax.random.PRNGKey(0))
+        inputs = _inputs()
+        y = mllama.model_fwd(params, inputs, CFG)
+        # reference: run only the self blocks as plain llama blocks
+        ids = inputs["input_ids"]
+        x = llama.embed_fwd(params, ids, CFG)
+        S = x.shape[1]
+        cos, sin = llama.rope_tables(CFG, S)
+        for bi, b in enumerate(params["blocks"]):
+            if bi not in CFG.cross_attention_layers:
+                x = llama.block_fwd(b, x, cos, sin, CFG)
+        ref = llama.final_fwd(params, x, CFG)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_registry_dispatch(self):
+        from autoround_tpu.models.registry import get_model_fns
+        fns = get_model_fns(CFG)
+        assert fns.embed_fwd is mllama.embed_fwd
+        assert fns.block_fwd_for(CFG, 1) is mllama._cross_block_fwd
+        assert fns.block_fwd_for(CFG, 0) is mllama._self_block_fwd
+
+    def test_template(self):
+        from autoround_tpu.utils.vlm_templates import get_vlm_template
+        tpl = get_vlm_template(CFG)
+        assert tpl.model_type == "mllama"
+        txt = tpl.expand_images("look: <image> ok", CFG)
+        assert txt == "look: <|image|> ok"   # single marker, no patches
+
+
+class TestHFParity:
+    """Decoder parity against HF MllamaTextModel driven with the SAME
+    cross-attention states (the HF vision tower's gated-tile machinery
+    is out of scope; the cross-attention WIRING is what this family
+    adds)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        torch = pytest.importorskip("torch")
+        from transformers.models.mllama.configuration_mllama import (
+            MllamaTextConfig)
+        from transformers.models.mllama.modeling_mllama import (
+            MllamaTextModel)
+        hc = MllamaTextConfig(
+            vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+            intermediate_size=CFG.intermediate_size,
+            num_hidden_layers=CFG.num_layers,
+            num_attention_heads=CFG.num_heads,
+            num_key_value_heads=CFG.num_kv_heads,
+            rope_theta=CFG.rope_theta,
+            cross_attention_layers=list(CFG.cross_attention_layers),
+            rms_norm_eps=CFG.rms_eps, tie_word_embeddings=False,
+            pad_token_id=0, rope_scaling={"rope_type": "default"})
+        torch.manual_seed(0)
+        hf = MllamaTextModel._from_config(
+            hc, attn_implementation="eager").eval()
+        # randomize the gates (init 0 would hide cross-attn bugs)
+        for li in CFG.cross_attention_layers:
+            lay = hf.layers[li]
+            lay.cross_attn_attn_gate.data = torch.tensor([0.7])
+            lay.cross_attn_mlp_gate.data = torch.tensor([-0.3])
+
+        params = mllama.init_params(CFG, jax.random.PRNGKey(0))
+
+        def j(t):
+            return jnp.asarray(t.detach().numpy())
+
+        params["embed_tokens"] = j(hf.embed_tokens.weight)[:CFG.vocab_size]
+        params["norm"] = j(hf.norm.weight)
+        for li in range(CFG.num_layers):
+            lay = hf.layers[li]
+            b = params["blocks"][li]
+            b["input_layernorm"] = j(lay.input_layernorm.weight)
+            b["post_attention_layernorm"] = j(
+                lay.post_attention_layernorm.weight)
+            b["gate_proj"] = j(lay.mlp.gate_proj.weight)
+            b["up_proj"] = j(lay.mlp.up_proj.weight)
+            b["down_proj"] = j(lay.mlp.down_proj.weight)
+            if li in CFG.cross_attention_layers:
+                b["cross_q_proj"] = j(lay.cross_attn.q_proj.weight)
+                b["cross_k_proj"] = j(lay.cross_attn.k_proj.weight)
+                b["cross_v_proj"] = j(lay.cross_attn.v_proj.weight)
+                b["cross_o_proj"] = j(lay.cross_attn.o_proj.weight)
+                b["cross_q_norm"] = j(lay.cross_attn.q_norm.weight)
+                b["cross_k_norm"] = j(lay.cross_attn.k_norm.weight)
+                b["gate_attn"] = j(lay.cross_attn_attn_gate)[0]
+                b["gate_ffn"] = j(lay.cross_attn_mlp_gate)[0]
+            else:
+                b["q_proj"] = j(lay.self_attn.q_proj.weight)
+                b["k_proj"] = j(lay.self_attn.k_proj.weight)
+                b["v_proj"] = j(lay.self_attn.v_proj.weight)
+                b["o_proj"] = j(lay.self_attn.o_proj.weight)
+        return hf, params, torch
+
+    def test_decoder_with_cross_states(self, pair):
+        hf, params, torch = pair
+        rng = np.random.default_rng(3)
+        B, S, Tv = 2, 10, CFG.vision_tokens
+        ids = rng.integers(2, CFG.vocab_size, (B, S)).astype(np.int64)
+        vis = rng.standard_normal((B, Tv, CFG.hidden_size)).astype(
+            np.float32) * 0.5
+        with torch.no_grad():
+            hout = hf(input_ids=torch.from_numpy(ids),
+                      cross_attention_states=torch.from_numpy(vis)
+                      ).last_hidden_state.numpy()
+        # ours: run the block chain on the augmented cache
+        x = llama.embed_fwd(params, jnp.asarray(ids, jnp.int32), CFG)
+        x_aug = jnp.concatenate([x, jnp.asarray(vis)], axis=1)
+        cos, sin = llama.rope_tables(CFG, S)
+        for bi, b in enumerate(params["blocks"]):
+            x_aug = mllama.block_fwd_for(CFG, bi)(b, x_aug, cos, sin, CFG)
+        ours = llama.rms_norm(x_aug[:, :S], params["norm"], CFG.rms_eps,
+                              CFG.norm_offset)
+        np.testing.assert_allclose(np.asarray(ours, np.float32), hout,
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestQuantize:
+    def test_multimodal_calibration_e2e(self):
+        from autoround_tpu.quantize.calib_data import get_mllm_calib_batch
+        params = mllama.init_params(CFG, jax.random.PRNGKey(0))
+        inputs, mask = get_mllm_calib_batch(CFG, nsamples=4, seqlen=16)
+        assert mask.shape[1] == 16 + CFG.vision_tokens
+        res = AutoRound((params, CFG), scheme="W4A16G32", iters=2,
+                        batch_size=2).quantize(inputs, mask=mask)
+        # cross layers quantized their cross_* linears
+        qnames = set(res.layers)
+        assert any("cross_q_proj" in n for n in qnames), sorted(qnames)
+        y = mllama.model_fwd(res.params, _inputs(), CFG)
+        assert np.isfinite(np.asarray(y)).all()
