@@ -31,6 +31,13 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # MoE serving: capacity-based expert dispatch factor (0 = dense)
     "AR_MOE_CAPACITY_FACTOR": lambda: float(os.environ.get(
         "AR_MOE_CAPACITY_FACTOR", "0")),
+    # serving: token count at/above which packed W4/W2/W8 projections
+    # switch from the dequant-per-tile Pallas kernel to the dequant-ONCE
+    # XLA path (prefill reads each weight once per call, so the VPU
+    # extraction tax is paid once instead of once per batch tile).
+    # 0 disables the routing (kernel always). Read at trace time.
+    "AR_PREFILL_DEQUANT_TOKENS": lambda: int(os.environ.get(
+        "AR_PREFILL_DEQUANT_TOKENS", "256")),
     # isolate hub dataset loading in a spawn subprocess (calib_data.py)
     "AR_CALIB_SUBPROCESS": lambda: os.environ.get(
         "AR_CALIB_SUBPROCESS", "0") == "1",

@@ -1005,6 +1005,8 @@ def quantize_model(
                     ql.zp = np.asarray(ql.zp)
         if monitor is not None:
             monitor.log_summary(f"block {bi}")
+            from ..utils.memory import log_live_arrays
+            log_live_arrays(f"block {bi}")
         if shard_writer is not None:
             for lname in schemes:
                 shard_writer.add_many(

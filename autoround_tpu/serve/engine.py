@@ -21,8 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import envs
 from ..models import llama
-from ..ops.qmatmul import pack_w4_planes, w4a16_matmul
+from ..ops.qmatmul import pack_w4_planes, w4a16_matmul, w4a16_matmul_ref
 from ..ops.qmatmul_ext import (decode_e2m1, fp8_matmul, mxfp4_matmul,
                                pack_w2_planes, w2a16_matmul,
                                w4a16_asym_matmul, w8a16_matmul)
@@ -312,6 +313,11 @@ class QuantizedLlama:
     # static kernel-kind per packed entry: "w4a16" | "w4a8" | "w8a8"
     # (absent/None → w4a16, the historical default)
     packed_kinds: Optional[Dict[str, str]] = None
+    # opt-in: run W4 PROMPT projections on the 2x int8 MXU with dynamic
+    # per-token int8 activations (decode stays exact A16) — the serving
+    # analogue of the reference's W4A8 prompt mode.  Changes prompt
+    # numerics; default off.
+    prefill_a8: bool = False
 
     def __post_init__(self):
         # jitted entry points close over static config; weights flow in as
@@ -550,13 +556,54 @@ class QuantizedLlama:
 
     # -- linear interceptor: packed kernel or dense fallback --
     @staticmethod
-    def _packed_matmul(x, entry, kind: str):
+    def _packed_matmul(x, entry, kind: str, a8_prompt: bool = False):
         """Dispatch one packed projection entry to its serving kernel.
 
         ``entry`` is the packed payload tuple: (qweight, scales) for most
         kinds, (qweight, scales, zp) for asym.  Group size is derived
-        from the static shapes so it never rides in the traced pytree."""
+        from the static shapes so it never rides in the traced pytree.
+
+        Prefill routing (VERDICT r3 item 4): at token counts >=
+        ``AR_PREFILL_DEQUANT_TOKENS`` the int-scheme kinds dequantize
+        ONCE into a bf16 scratch and run the dense 724 GB/s MXU path
+        (the Pallas kernels re-extract the weight block per batch tile —
+        right for decode where weight bytes dominate, a pure VPU tax at
+        prefill where each weight is read once).  With ``a8_prompt`` the
+        W4 prompt pass instead repacks to the byte-pair layout and runs
+        the 2x int8 MXU (per-token dynamic int8 activations — opt-in
+        because it changes prompt numerics like the reference's W4A8)."""
         qw, scales = entry[0], entry[1]
+        tokens = 1
+        for d in x.shape[:-1]:
+            tokens *= int(d)
+        thresh = envs.AR_PREFILL_DEQUANT_TOKENS
+        is_prefill = thresh > 0 and tokens >= thresh
+        if is_prefill:
+            if kind == "w4a16":
+                group_size = (qw.shape[1] * 8) // scales.shape[1]
+                if (a8_prompt and group_size == 128
+                        and qw.shape[0] % 256 == 0
+                        and (qw.shape[1] * 8) % 256 == 0):
+                    from ..ops.qmatmul import unpack_w4_planes
+                    codes = unpack_w4_planes(qw, group_size)
+                    bytepair = pack_w4_bytes(codes)
+                    return w4a8_matmul(x, bytepair, scales, group_size)
+                return w4a16_matmul_ref(x, qw, scales, group_size)
+            if kind == "w4a16_asym":
+                from ..ops.qmatmul_ext import w4a16_asym_matmul_ref
+                group_size = (qw.shape[1] * 8) // scales.shape[1]
+                return w4a16_asym_matmul_ref(x, qw, scales, entry[2],
+                                             group_size)
+            if kind == "w2a16":
+                from ..ops.qmatmul_ext import w2a16_matmul_ref
+                group_size = (qw.shape[1] * 16) // scales.shape[1]
+                return w2a16_matmul_ref(x, qw, scales, group_size)
+            if kind == "w8a16":
+                from ..ops.qmatmul_ext import w8a16_matmul_ref
+                K = qw.shape[1]
+                ncols = scales.shape[1]
+                return w8a16_matmul_ref(x, qw, scales,
+                                        0 if ncols == 1 else K // ncols)
         if kind == "w8a8":
             return w8a8_matmul(x, qw, scales)
         if kind == "fp8":
@@ -583,12 +630,14 @@ class QuantizedLlama:
         return w4a16_matmul(x, qw, scales, group_size)
 
     @staticmethod
-    def _make_linear_fn(packed, block_idx: int, kinds=None):
+    def _make_linear_fn(packed, block_idx: int, kinds=None,
+                        a8_prompt: bool = False):
         def lf(name, x, w, b=None):
             key = f"blocks.{block_idx}.{name}"
             if key in packed:
                 kind = (kinds or {}).get(key, "w4a16")
-                y = QuantizedLlama._packed_matmul(x, packed[key], kind)
+                y = QuantizedLlama._packed_matmul(x, packed[key], kind,
+                                                  a8_prompt)
             else:
                 y = jnp.einsum("...i,oi->...o", x, w)
             if b is not None:
@@ -638,6 +687,7 @@ class QuantizedLlama:
 
     def _prefill_impl(self, params, packed, input_ids):
         kinds = self.packed_kinds
+        a8 = self.prefill_a8
         from ..models.deepseek import DeepseekConfig
         from ..models.minimax import MiniMaxConfig
         from ..models.qwen3next import Qwen3NextConfig
@@ -645,18 +695,18 @@ class QuantizedLlama:
             return _q3n_prefill_core(
                 params, packed, input_ids, cfg=self.cfg,
                 max_seq=self.max_seq,
-                lf_maker=lambda p, i: self._make_linear_fn(p, i, kinds),
+                lf_maker=lambda p, i: self._make_linear_fn(p, i, kinds, a8),
                 kinds=kinds)
         if isinstance(self.cfg, DeepseekConfig) and self.cfg.kv_lora_rank:
             return _mla_prefill_core(
                 params, packed, input_ids, cfg=self.cfg,
                 max_seq=self.max_seq, kv_quant=self.kv_quant,
-                lf_maker=lambda p, i: self._make_linear_fn(p, i, kinds),
+                lf_maker=lambda p, i: self._make_linear_fn(p, i, kinds, a8),
                 kinds=kinds)
         return _prefill_core(params, packed, input_ids, cfg=self.cfg,
                              max_seq=self.max_seq, kv_quant=self.kv_quant,
                              lf_maker=lambda p, i: self._make_linear_fn(
-                                 p, i, kinds), kinds=kinds)
+                                 p, i, kinds, a8), kinds=kinds)
 
     def decode_step(self, token: jax.Array, cache: KVCache
                     ) -> Tuple[jax.Array, KVCache]:

@@ -96,7 +96,8 @@ def main():
 
     from autoround_tpu import AutoRound
     from autoround_tpu.eval import perplexity
-    from autoround_tpu.eval.lm_eval_adapter import evaluate_offline
+    from autoround_tpu.eval.lm_eval_adapter import (evaluate_offline,
+                                                    greedy_token_accuracy)
     from train_tiny_lm import load_checkpoint
 
     params, cfg = load_checkpoint(args.ckpt)
@@ -141,7 +142,14 @@ def main():
     fp_task = evaluate_offline(params, cfg, tokenizer, task_path,
                                max_len=1024)
     report["task_fp"] = fp_task
-    print(f"[fp] ppl {ppl_fp:.2f} task {fp_task} "
+    # discriminative task: per-position greedy continuation on held-out
+    # code — n = windows x (seqlen-1) predictions, so deltas the
+    # 200-sample MC task saturates away stay visible (r3 weak #5)
+    gacc_fp = greedy_token_accuracy(params, cfg, heldout)
+    report["greedy_acc_fp"] = round(gacc_fp, 4)
+    report["greedy_n_predictions"] = int(heldout.shape[0]
+                                         * (heldout.shape[1] - 1))
+    print(f"[fp] ppl {ppl_fp:.2f} task {fp_task} greedy {gacc_fp:.4f} "
           f"({time.time()-t0:.0f}s)", flush=True)
 
     for scheme in args.schemes.split(","):
@@ -154,8 +162,10 @@ def main():
         entry["ppl_rtn"] = round(ppl_rtn, 3)
         entry["task_rtn"] = evaluate_offline(rtn.params, cfg, tokenizer,
                                              task_path, max_len=1024)
-        print(f"[{scheme} rtn] ppl {ppl_rtn:.2f} task {entry['task_rtn']}",
-              flush=True)
+        entry["greedy_acc_rtn"] = round(
+            greedy_token_accuracy(rtn.params, cfg, heldout), 4)
+        print(f"[{scheme} rtn] ppl {ppl_rtn:.2f} task {entry['task_rtn']} "
+              f"greedy {entry['greedy_acc_rtn']:.4f}", flush=True)
         del rtn
 
         t0 = time.time()
@@ -166,12 +176,15 @@ def main():
         entry["ppl_tuned"] = round(ppl_tuned, 3)
         entry["task_tuned"] = evaluate_offline(
             tuned.params, cfg, tokenizer, task_path, max_len=1024)
+        entry["greedy_acc_tuned"] = round(
+            greedy_token_accuracy(tuned.params, cfg, heldout), 4)
         gap = np.log(ppl_rtn) - np.log(ppl_fp)
         entry["gap_recovery"] = round(
             float((np.log(ppl_rtn) - np.log(ppl_tuned)) / gap), 4) \
             if gap > 1e-6 else None
         print(f"[{scheme} tuned] ppl {ppl_tuned:.2f} "
-              f"task {entry['task_tuned']} recovery "
+              f"task {entry['task_tuned']} greedy "
+              f"{entry['greedy_acc_tuned']:.4f} recovery "
               f"{entry['gap_recovery']}", flush=True)
 
         if scheme.upper().startswith("W4"):

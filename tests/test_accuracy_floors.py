@@ -131,3 +131,24 @@ class TestRealModelFloors:
         # CI floor: recover ≥ 25% of the RTN→FP gap (the 83M evidence
         # run recovers ~73%, docs/accuracy_evidence_real.json)
         assert rec >= 0.25, f"gap recovery {rec:.2f} below floor"
+
+    def test_w2_greedy_task_is_discriminative(self, trained):
+        """TASK-level gate (r3 weak #5): per-position greedy
+        continuation on held-out bytes — 24 x 127 ≈ 3k predictions, so
+        the W2 RTN→tuned delta that a small multiple-choice task
+        saturates away must be visible here with margin."""
+        from autoround_tpu.eval.lm_eval_adapter import greedy_token_accuracy
+        params, heldout, calib = trained
+        acc_fp = greedy_token_accuracy(params, CFG, heldout)
+        rtn = AutoRound((params, CFG), scheme="W2A16G64", iters=0,
+                        donate_params=False).quantize(calib)
+        acc_rtn = greedy_token_accuracy(rtn.params, CFG, heldout)
+        tuned = AutoRound((params, CFG), scheme="W2A16G64", iters=60,
+                          batch_size=8,
+                          donate_params=False).quantize(calib)
+        acc_tuned = greedy_token_accuracy(tuned.params, CFG, heldout)
+        assert acc_fp > acc_rtn, "W2 RTN must visibly degrade the task"
+        # floor: tuning must claw back a REAL task-level margin
+        assert acc_tuned >= acc_rtn + 0.01, (
+            f"tuned {acc_tuned:.4f} vs rtn {acc_rtn:.4f}: no "
+            f"task-level win")

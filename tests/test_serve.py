@@ -117,3 +117,59 @@ class TestPackedLmHead:
         np.testing.assert_allclose(np.asarray(logits2, np.float32),
                                    np.asarray(want2, np.float32),
                                    rtol=5e-2, atol=5e-2)
+
+
+class TestPrefillRouting:
+    """Prefill dequant-once routing (AR_PREFILL_DEQUANT_TOKENS) and the
+    opt-in int8-MXU prompt mode (prefill_a8)."""
+
+    def test_long_prompt_matches_fake_quant(self, quantized):
+        """>=256 tokens routes W4 projections through the dequant-once
+        XLA path — which IS the fake-quant forward, so parity must hold
+        at fp32-exactness level for f32 models."""
+        cfg, params, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=512)
+        ids = jax.random.randint(jax.random.PRNGKey(7), (2, 260), 0, 128)
+        logits, cache = eng.prefill(ids)
+        want = llama.model_fwd(res.params, ids, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=5e-3, atol=5e-3)
+        assert int(cache.length) == 260
+
+    def test_a8_prompt_close_and_decode_exact(self, quantized):
+        """prefill_a8 quantizes prompt activations per-token int8: the
+        prompt logits stay close (int8 act error), and the decode path
+        is untouched (token-level agreement from the same cache)."""
+        cfg, params, res = quantized
+        exact = QuantizedLlama.from_quantize_result(res, cfg, max_seq=512)
+        a8 = QuantizedLlama.from_quantize_result(res, cfg, max_seq=512)
+        a8.prefill_a8 = True
+        ids = jax.random.randint(jax.random.PRNGKey(8), (2, 260), 0, 128)
+        l_exact, c_exact = exact.prefill(ids)
+        l_a8, c_a8 = a8.prefill(ids)
+        le = np.asarray(l_exact, np.float32)
+        la = np.asarray(l_a8, np.float32)
+        # close in logit space relative to the logit scale
+        denom = max(1e-6, float(np.abs(le).max()))
+        assert float(np.abs(le - la).max()) / denom < 0.05
+        # same greedy continuation from both caches
+        t_exact = jnp.argmax(l_exact, -1).astype(jnp.int32)
+        t_a8 = jnp.argmax(l_a8, -1).astype(jnp.int32)
+        d_exact, _ = exact.decode_step(t_exact, c_exact)
+        d_a8, _ = a8.decode_step(t_a8, c_a8)
+        if bool(jnp.all(t_exact == t_a8)):
+            np.testing.assert_allclose(np.asarray(d_a8, np.float32),
+                                       np.asarray(d_exact, np.float32),
+                                       rtol=5e-2, atol=5e-2)
+
+    def test_routing_disabled_by_env(self, quantized, monkeypatch):
+        monkeypatch.setenv("AR_PREFILL_DEQUANT_TOKENS", "0")
+        cfg, params, res = quantized
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=512)
+        ids = jax.random.randint(jax.random.PRNGKey(9), (2, 260), 0, 128)
+        logits, _ = eng.prefill(ids)
+        want = llama.model_fwd(res.params, ids, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=5e-2, atol=5e-2)
