@@ -10,9 +10,9 @@ from __future__ import annotations
 from types import SimpleNamespace
 from typing import Any, Dict
 
-from . import (deepseek, deepseek_vl, dit, gemma3vl, glm4moe, gptoss,
-               llama, llama4, llava, minimax, mixtral, mllama, mmdit,
-               qwen2vl, qwen3next)
+from . import (deepseek, deepseek_vl, dit, ernie45, gemma3vl, glm4moe,
+               gptoss, llama, llama4, llava, minimax, mixtral, mllama,
+               mmdit, qwen2vl, qwen3next)
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -160,6 +160,16 @@ def get_model_fns(cfg) -> SimpleNamespace:
             model_fwd=minimax.model_fwd,
             block_linear_names=minimax.block_linear_names,
         )
+    if isinstance(cfg, ernie45.Ernie45Config):
+        return SimpleNamespace(
+            init_params=ernie45.init_params,
+            block_fwd=ernie45.block_fwd,
+            embed_fwd=llama.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=llama.rope_tables,
+            model_fwd=ernie45.model_fwd,
+            block_linear_names=ernie45.block_linear_names,
+        )
     if isinstance(cfg, mixtral.MixtralConfig):
         return SimpleNamespace(
             init_params=mixtral.init_params,
@@ -192,6 +202,7 @@ ALL_PRESETS.update(llama4.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen3next.CONFIG_PRESETS)
 ALL_PRESETS.update(minimax.CONFIG_PRESETS)
 ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
+ALL_PRESETS.update(ernie45.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen2vl.CONFIG_PRESETS)
 ALL_PRESETS.update(gemma3vl.CONFIG_PRESETS)
