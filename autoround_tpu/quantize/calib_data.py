@@ -304,7 +304,8 @@ def get_mllm_calib_batch(model_cfg, nsamples: int = 16, seqlen: int = 64,
     """
     rng = np.random.default_rng(seed)
     from ..models.qwen2vl import Qwen2VLConfig
-    if isinstance(model_cfg, Qwen2VLConfig):
+    from ..models.qwen3vlmoe import Qwen3VLMoeConfig
+    if isinstance(model_cfg, (Qwen2VLConfig, Qwen3VLMoeConfig)):
         # one image per row, uniform grid (shared m-rope layout)
         m = model_cfg.spatial_merge_size
         gh = gw = 2 * m

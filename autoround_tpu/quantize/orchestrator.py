@@ -507,6 +507,25 @@ def quantize_model(
     x_fp = mfns.embed_fwd(params, input_ids, model_cfg)
     x_q = x_fp if (cfg.enable_quanted_input and cfg.iters > 0) else None
 
+    # inter-block residual injections (Qwen3-VL deepstack: visual
+    # features add to the hidden states after the first few decoder
+    # layers).  Applied to BOTH chains after each block advance — the
+    # identical additive constant cancels in every block's tuning loss,
+    # so calibration stays exact (models/qwen3vlmoe.chain_extras).
+    _extras_map: Dict[int, jax.Array] = {}
+    if hasattr(mfns, "chain_extras"):
+        _extras_map = mfns.chain_extras(params, input_ids, model_cfg)
+        if _extras_map and cfg.nblocks > 1:
+            raise NotImplementedError(
+                "deepstack chain extras (inter-block injections) require "
+                "nblocks=1 — the grouped tuner chains blocks internally")
+
+    def _apply_extras(bi: int, xf, xq):
+        ex = _extras_map.get(bi)
+        if ex is None:
+            return xf, xq
+        return xf + ex, (None if xq is None else xq + ex)
+
     if cfg.offload_params:
         # FP blocks live on host; the loop below transfers one block to
         # HBM per tuning window and sends its qdq replacement back
@@ -759,6 +778,7 @@ def quantize_model(
                 x_q = _batched_block_apply(block, x_q, cb, sb, model_cfg,
                                            cfg.cache_batch, attn_mask=am,
                                            block_fwd=bf_i)
+            x_fp, x_q = _apply_extras(bi, x_fp, x_q)
             if resume is not None:
                 resume.mark_block_done(
                     bi, {"_empty": np.zeros((1,), np.int8)},
@@ -936,6 +956,7 @@ def quantize_model(
             x_q = _batched_block_apply(qdq_block, x_q, cb, sb, model_cfg,
                                        cfg.cache_batch, linear_fn=act_lf,
                                        attn_mask=am, block_fwd=bf_i)
+        x_fp, x_q = _apply_extras(bi, x_fp, x_q)
         if cfg.offload_params:
             # qdq result returns to host; only the caches stay in HBM.
             # Host-link bytes are the offload regime's bottleneck, so:
@@ -1003,6 +1024,16 @@ def quantize_model(
                 ql.scale = np.asarray(ql.scale)
                 if ql.zp is not None:
                     ql.zp = np.asarray(ql.zp)
+        if cfg.offload_params:
+            # each iteration leaves ~one bf16 block copy (device upload /
+            # pre-pull qdq tree) in REFERENCE CYCLES that only gen-2 gc
+            # reclaims; at 8B that lag OOMed the 16 GB chip at block 15
+            # (measured: live device bytes sawtoothed 2.5->3.6 GB with
+            # occasional gc dips).  Collect deterministically per block —
+            # microseconds against a ~50 s tuning window.
+            block = None       # release this block's device upload now
+            import gc as _gc
+            _gc.collect()
         if monitor is not None:
             monitor.log_summary(f"block {bi}")
             from ..utils.memory import log_live_arrays

@@ -70,3 +70,52 @@ def log_live_arrays(tag: str = "", top: int = 8) -> None:
                      for (s, d), (n, b) in rows)
     logger.info("live arrays%s: total %.2f GB | %s",
                 f" [{tag}]" if tag else "", total / 1024 ** 3, desc)
+    import os
+    if os.environ.get("AR_LEAK_PROBE") == "1":
+        _leak_probe(tag)
+
+
+_SEEN_IDS: set = set()
+
+
+def _leak_probe(tag: str, min_mb: float = 16.0) -> None:
+    """For arrays alive across TWO log calls (long-lived), print who
+    refers to them (gc.get_referrers, 2 levels) — the leak finder's
+    second stage."""
+    import gc
+    global _SEEN_IDS
+    now = {}
+    for a in jax.live_arrays():
+        if getattr(a, "nbytes", 0) >= min_mb * 1024 ** 2:
+            now[id(a)] = a
+    old = [a for i, a in now.items() if i in _SEEN_IDS]
+    _SEEN_IDS = set(now)
+    # sample up to 3 survivors of distinct shapes
+    seen_shapes = set()
+    probes = []
+    for a in old:
+        if a.shape not in seen_shapes:
+            seen_shapes.add(a.shape)
+            probes.append(a)
+        if len(probes) == 3:
+            break
+    for a in probes:
+        refs = [r for r in gc.get_referrers(a)
+                if r is not now and r is not old and r is not probes]
+        lines = []
+        for r in refs[:6]:
+            if isinstance(r, dict):
+                keys = [k for k, v in r.items() if v is a]
+                lines.append(f"dict(keys={keys[:3]})")
+                for rr in gc.get_referrers(r)[:3]:
+                    lines.append(f"  <- {type(rr).__name__}"
+                                 + (f" {getattr(rr, '__name__', '')}"
+                                    if callable(rr) else ""))
+            elif isinstance(r, list):
+                lines.append(f"list(len={len(r)})")
+                for rr in gc.get_referrers(r)[:3]:
+                    lines.append(f"  <- {type(rr).__name__}")
+            else:
+                lines.append(type(r).__name__)
+        logger.info("leak probe [%s] %s %s: %s", tag, a.shape, a.dtype,
+                    " | ".join(lines))

@@ -373,6 +373,108 @@ _Q2VL_MERGER = {
 }
 
 
+_Q3VL_VBLOCK = {
+    "norm1.weight": "ln1_g", "norm1.bias": "ln1_b",
+    "norm2.weight": "ln2_g", "norm2.bias": "ln2_b",
+    "attn.qkv.weight": "qkv", "attn.qkv.bias": "qkv_b",
+    "attn.proj.weight": "proj", "attn.proj.bias": "proj_b",
+    "mlp.linear_fc1.weight": "fc1", "mlp.linear_fc1.bias": "fc1_b",
+    "mlp.linear_fc2.weight": "fc2", "mlp.linear_fc2.bias": "fc2_b",
+}
+_Q3VL_MERGER = {
+    "norm.weight": "ln_g", "norm.bias": "ln_b",
+    "linear_fc1.weight": "fc1", "linear_fc1.bias": "fc1_b",
+    "linear_fc2.weight": "fc2", "linear_fc2.bias": "fc2_b",
+}
+_Q3VL_TEXT = {
+    "input_layernorm.weight": "input_layernorm",
+    "post_attention_layernorm.weight": "post_attention_layernorm",
+    "self_attn.q_proj.weight": "q_proj",
+    "self_attn.k_proj.weight": "k_proj",
+    "self_attn.v_proj.weight": "v_proj",
+    "self_attn.o_proj.weight": "o_proj",
+    "self_attn.q_norm.weight": "q_norm",
+    "self_attn.k_norm.weight": "k_norm",
+    "mlp.gate.weight": "router",
+}
+
+
+def qwen3vlmoe_params_from_state(state, cfg, dtype=None) -> Dict[str, Any]:
+    """Map a flat {hf_key: array} Qwen3-VL-MoE state dict
+    (``model.visual.*`` / ``model.language_model.*``, FUSED expert
+    tensors ``mlp.experts.gate_up_proj`` (E, H, 2I) and ``down_proj``
+    (E, I, H)) into the functional pytree of ``models.qwen3vlmoe``
+    (per-expert ``experts.<e>.{w1,w3,w2}`` leaves — the unfused layout
+    every expert quantizes independently under, the role of the
+    reference's fused-moe replace_modules for qwen3_vl_moe)."""
+    import jax.numpy as jnp
+    dtype = dtype or cfg.dtype
+    I = cfg.intermediate_size  # routed expert width in our MixtralConfig
+    blocks = [
+        {"experts": [dict() for _ in range(cfg.num_experts)]}
+        for _ in range(cfg.num_layers)]
+    vblocks = [dict() for _ in range(cfg.v_layers)]
+    nds = len(cfg.deepstack_visual_indexes)
+    visual: Dict[str, Any] = {
+        "blocks": vblocks, "merger": {},
+        "deepstack_mergers": [dict() for _ in range(nds)]}
+    params: Dict[str, Any] = {"blocks": blocks, "visual": visual}
+    for key, tensor in state.items():
+        arr = jnp.asarray(np.asarray(tensor)).astype(dtype)
+        lm_key = _strip_lm(key)
+        if lm_key is not None:
+            if lm_key == "model.embed_tokens.weight":
+                params["embed_tokens"] = arr
+            elif lm_key == "model.norm.weight":
+                params["norm"] = arr
+            elif lm_key == "lm_head.weight":
+                params["lm_head"] = arr
+            elif lm_key.startswith("model.layers."):
+                rest = lm_key[len("model.layers."):]
+                li, sub = rest.split(".", 1)
+                b = blocks[int(li)]
+                if sub in _Q3VL_TEXT:
+                    b[_Q3VL_TEXT[sub]] = arr
+                elif sub == "mlp.experts.gate_up_proj":
+                    for e in range(cfg.num_experts):
+                        b["experts"][e]["w1"] = arr[e, :, :I].T
+                        b["experts"][e]["w3"] = arr[e, :, I:].T
+                elif sub == "mlp.experts.down_proj":
+                    for e in range(cfg.num_experts):
+                        b["experts"][e]["w2"] = arr[e].T
+            continue
+        vkey = key
+        for pre in ("model.visual.", "visual."):
+            if vkey.startswith(pre):
+                vkey = vkey[len(pre):]
+                break
+        else:
+            continue
+        if vkey == "patch_embed.proj.weight":
+            w = np.asarray(tensor)
+            visual["patch_embed"] = jnp.asarray(
+                w.reshape(w.shape[0], -1)).astype(dtype)
+        elif vkey == "patch_embed.proj.bias":
+            visual["patch_embed_b"] = arr
+        elif vkey == "pos_embed.weight":
+            visual["pos_embed"] = arr
+        elif vkey.startswith("blocks."):
+            li, sub = vkey[len("blocks."):].split(".", 1)
+            if sub in _Q3VL_VBLOCK:
+                vblocks[int(li)][_Q3VL_VBLOCK[sub]] = arr
+        elif vkey.startswith("merger."):
+            sub = vkey[len("merger."):]
+            if sub in _Q3VL_MERGER:
+                visual["merger"][_Q3VL_MERGER[sub]] = arr
+        elif vkey.startswith("deepstack_merger_list."):
+            li, sub = vkey[len("deepstack_merger_list."):].split(".", 1)
+            if sub in _Q3VL_MERGER:
+                visual["deepstack_mergers"][int(li)][_Q3VL_MERGER[sub]] = arr
+    if cfg.tie_embeddings:
+        params.pop("lm_head", None)
+    return params
+
+
 def qwen2vl_params_from_state(state, cfg, dtype=None) -> Dict[str, Any]:
     """Map a flat {hf_key: array} dict (both the classic
     ``model.layers.*``/``visual.*`` and the newer

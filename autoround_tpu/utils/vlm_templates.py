@@ -165,6 +165,17 @@ TEMPLATES: Dict[str, VLMTemplate] = {
         image_placeholder="<image>",
         expand_images=_qwen2vl_expand,
         preprocess=_qwen2vl_preprocess),
+    "qwen3_vl_moe": VLMTemplate(
+        # qwen3-vl shares the qwen chat format and per-patch vision_pad
+        # expansion (HF Qwen3VLProcessor)
+        model_type="qwen3_vl_moe",
+        format_user="<|im_start|>user\n{content}<|im_end|>",
+        format_assistant="<|im_start|>assistant\n{content}<|im_end|>",
+        format_system="<|im_start|>system\n{content}<|im_end|>",
+        format_separator="\n",
+        image_placeholder="<image>",
+        expand_images=_qwen2vl_expand,
+        preprocess=_qwen2vl_preprocess),
     "gemma3": VLMTemplate(
         model_type="gemma3",
         format_user="<start_of_turn>user\n{content}<end_of_turn>",
@@ -208,6 +219,9 @@ def get_vlm_template(cfg_or_type) -> VLMTemplate:
     from ..models.llava import LlavaConfig
     from ..models.mllama import MllamaConfig
     from ..models.qwen2vl import Qwen2VLConfig
+    from ..models.qwen3vlmoe import Qwen3VLMoeConfig
+    if isinstance(cfg_or_type, Qwen3VLMoeConfig):
+        return TEMPLATES["qwen3_vl_moe"]
     if isinstance(cfg_or_type, Qwen2VLConfig):
         return TEMPLATES["qwen2_vl"]
     if isinstance(cfg_or_type, Gemma3VLConfig):
