@@ -42,6 +42,11 @@ class VLMTemplate:
     # (placeholder expansion, preprocessing) — family callables
     expand_images: Optional[Callable] = None   # (text, cfg, grids) -> text
     preprocess: Optional[Callable] = None      # (images, cfg) -> tensors
+    # audio modality (omni/tts families): placeholder users write, its
+    # per-frame expansion, and waveform -> feature preprocessing
+    audio_placeholder: str = "<audio>"
+    expand_audio: Optional[Callable] = None    # (text, cfg, n_frames) -> text
+    preprocess_audio: Optional[Callable] = None  # (waves, sr) -> tensors
 
     def render(self, messages: Sequence[Dict[str, str]]) -> str:
         """messages: [{"role": "user"/"assistant"/"system", "content"}]
@@ -142,6 +147,50 @@ def _dsvl_preprocess(images: List[Any], cfg):
     return {"pixel_values": preprocess_images(images, cfg.image_size)}
 
 
+# ------------------------------------------------- mistral3 / pixtral
+def _mistral3_expand(text: str, cfg, grids=None) -> str:
+    """Pixtral convention: one [IMG] per patch, [IMG_BREAK] at each row
+    end, [IMG_END] after the grid (HF PixtralProcessor)."""
+    if grids:
+        runs = []
+        for t, h, w in grids:
+            rows = ["[IMG]" * w] * h
+            runs.append("[IMG_BREAK]".join(rows) + "[IMG_END]")
+        out = text
+        for run in runs:
+            out = out.replace("<image>", run, 1)
+        return out
+    return text.replace("<image>", "[IMG]")
+
+
+# -------------------------------------------------------- glm_image
+def _glm_image_expand(text: str, cfg, grids=None) -> str:
+    """GLM-4V: image content wrapped in begin/end markers, one token per
+    merged patch when the grid is known."""
+    n = 1
+    if grids:
+        n = sum(t * h * w // 4 for t, h, w in grids)
+    return text.replace(
+        "<image>", "<|begin_of_image|>" + "<|image|>" * n
+        + "<|end_of_image|>")
+
+
+# ------------------------------------------------------ audio families
+def _audio_frames(waves, sr: int = 16000):
+    from .audio import log_mel_spectrogram
+    feats = [log_mel_spectrogram(np.asarray(w, np.float32), sr)
+             for w in waves]
+    return {"input_features": feats}
+
+
+def _qwen_audio_expand(text: str, cfg, n_frames=None) -> str:
+    """<|audio_bos|> + one pad per ~40 ms output frame + <|audio_eos|>
+    (Qwen-Audio: the encoder pools 100 Hz mel frames 4x)."""
+    n = max(1, (n_frames or 100) // 4)
+    return text.replace("<audio>", "<|audio_bos|>" + "<|AUDIO|>" * n
+                        + "<|audio_eos|>")
+
+
 TEMPLATES: Dict[str, VLMTemplate] = {
     "llava": VLMTemplate(
         model_type="llava",
@@ -206,6 +255,86 @@ TEMPLATES: Dict[str, VLMTemplate] = {
         image_placeholder="<image>",
         expand_images=_dsvl_expand,
         preprocess=_dsvl_preprocess),
+    # qwen2.5-vl shares qwen2-vl's processor semantics (reference
+    # registers both on PROCESSORS["qwen2_vl"], template.py:120-121)
+    "qwen2_5_vl": VLMTemplate(
+        model_type="qwen2_5_vl",
+        format_user="<|im_start|>user\n{content}<|im_end|>",
+        format_assistant="<|im_start|>assistant\n{content}<|im_end|>",
+        format_system="<|im_start|>system\n{content}<|im_end|>",
+        format_separator="\n",
+        default_system="You are a helpful assistant.",
+        image_placeholder="<image>",
+        expand_images=_qwen2vl_expand,
+        preprocess=_qwen2vl_preprocess),
+    # omni families: image path = qwen2-vl processor; audio path = the
+    # 128-mel Whisper-convention features (utils/audio.py)
+    "qwen2_5_omni": VLMTemplate(
+        model_type="qwen2_5_omni",
+        format_user="<|im_start|>user\n{content}<|im_end|>",
+        format_assistant="<|im_start|>assistant\n{content}<|im_end|>",
+        format_system="<|im_start|>system\n{content}<|im_end|>",
+        format_separator="\n",
+        image_placeholder="<image>",
+        expand_images=_qwen2vl_expand,
+        preprocess=_qwen2vl_preprocess,
+        expand_audio=_qwen_audio_expand,
+        preprocess_audio=_audio_frames),
+    "qwen3_omni_moe": VLMTemplate(
+        model_type="qwen3_omni_moe",
+        format_user="<|im_start|>user\n{content}<|im_end|>",
+        format_assistant="<|im_start|>assistant\n{content}<|im_end|>",
+        format_system="<|im_start|>system\n{content}<|im_end|>",
+        format_separator="\n",
+        image_placeholder="<image>",
+        expand_images=_qwen2vl_expand,
+        preprocess=_qwen2vl_preprocess,
+        expand_audio=_qwen_audio_expand,
+        preprocess_audio=_audio_frames),
+    "glm_image": VLMTemplate(
+        model_type="glm_image",
+        format_user="<|user|>\n{content}",
+        format_assistant="<|assistant|>\n{content}",
+        format_system="<|system|>\n{content}",
+        format_separator="\n",
+        image_placeholder="<image>",
+        expand_images=_glm_image_expand,
+        preprocess=_mllama_preprocess),
+    "mistral3": VLMTemplate(
+        model_type="mistral3",
+        format_user="[INST]{content}[/INST]",
+        format_assistant="{content}</s>",
+        format_system="{content}",
+        format_separator="",
+        image_placeholder="<image>",
+        expand_images=_mistral3_expand,
+        preprocess=_mllama_preprocess),
+    "mistral3_2": VLMTemplate(
+        model_type="mistral3_2",
+        format_user="[INST]{content}[/INST]",
+        format_assistant="{content}</s>",
+        format_system="[SYSTEM_PROMPT]{content}[/SYSTEM_PROMPT]",
+        format_separator="",
+        image_placeholder="<image>",
+        expand_images=_mistral3_expand,
+        preprocess=_mllama_preprocess),
+    # reference registers these three with all-default format strings
+    # (template.py:130-132) — the tokenizer chat template supplies the
+    # turn format at runtime; the registry entry carries the modality
+    # preprocessing
+    "longcat_next": VLMTemplate(
+        model_type="longcat_next",
+        image_placeholder="<image>",
+        expand_images=_llava_expand,
+        preprocess=_mllama_preprocess),
+    "mimo_audio": VLMTemplate(
+        model_type="mimo_audio",
+        expand_audio=_qwen_audio_expand,
+        preprocess_audio=_audio_frames),
+    "qwen3_tts": VLMTemplate(
+        model_type="qwen3_tts",
+        expand_audio=_qwen_audio_expand,
+        preprocess_audio=_audio_frames),
     "default": VLMTemplate(model_type="default"),
 }
 

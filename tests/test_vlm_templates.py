@@ -88,3 +88,56 @@ class TestBuildCalibInputs:
         res = AutoRound((params, cfg), scheme="W4A16", iters=0,
                         donate_params=False).quantize(batch, mask=mask)
         assert len(res.layers) == cfg.num_layers * 7
+
+
+class TestRegistryBreadth:
+    """All 13 families the reference registers (template.py:120-132)
+    resolve, with working modality callables."""
+
+    REF_FAMILIES = ["qwen2_vl", "qwen2_5_vl", "qwen2_5_omni",
+                    "qwen3_omni_moe", "glm_image", "mllama",
+                    "deepseek_vl_v2", "mistral3", "mistral3_2", "gemma3",
+                    "longcat_next", "mimo_audio", "qwen3_tts"]
+
+    def test_all_reference_families_registered(self):
+        from autoround_tpu.utils.vlm_templates import get_vlm_template
+        for fam in self.REF_FAMILIES:
+            tpl = get_vlm_template(fam)
+            assert tpl.model_type == fam, fam
+
+    def test_mistral3_pixtral_grid_expansion(self):
+        from autoround_tpu.utils.vlm_templates import TEMPLATES
+        tpl = TEMPLATES["mistral3"]
+        out = tpl.expand_images("see <image> ok", None, [(1, 2, 3)])
+        assert out == ("see [IMG][IMG][IMG][IMG_BREAK][IMG][IMG][IMG]"
+                       "[IMG_END] ok")
+
+    def test_audio_expansion_and_features(self):
+        from autoround_tpu.utils.vlm_templates import TEMPLATES
+        tpl = TEMPLATES["qwen2_5_omni"]
+        txt = tpl.expand_audio("hear <audio> now", None, 400)
+        assert txt.count("<|AUDIO|>") == 100
+        assert "<|audio_bos|>" in txt and "<|audio_eos|>" in txt
+        # 440 Hz tone: mel energy concentrates at the right bin
+        import numpy as np
+        from autoround_tpu.utils.audio import (SAMPLE_RATE,
+                                               log_mel_spectrogram,
+                                               mel_filterbank)
+        t = np.arange(SAMPLE_RATE) / SAMPLE_RATE
+        tone = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+        feats = tpl.preprocess_audio([tone])["input_features"][0]
+        assert feats.shape[1] == 128 and feats.shape[0] > 90
+        mean = feats.mean(0)
+        peak_mel = int(mean.argmax())
+        # which mel bin covers 440 Hz?
+        fb = mel_filterbank()
+        freqs = np.linspace(0, SAMPLE_RATE / 2, fb.shape[1])
+        want = int(np.argmax(fb[:, np.argmin(np.abs(freqs - 440.0))]))
+        assert abs(peak_mel - want) <= 1, (peak_mel, want)
+
+    def test_mel_resample_path(self):
+        import numpy as np
+        from autoround_tpu.utils.audio import log_mel_spectrogram
+        wav = np.random.default_rng(0).standard_normal(8000)
+        f = log_mel_spectrogram(wav, sample_rate=8000)  # resamples 2x
+        assert f.shape[1] == 128 and np.isfinite(f).all()
