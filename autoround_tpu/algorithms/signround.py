@@ -92,6 +92,9 @@ class TuneResult(dict):
     best_loss: float = None
 
 
+_INIT_SEARCH_CACHE: Dict[str, Any] = {}
+
+
 def _search_init_max_scale(w: jax.Array, scheme: QuantizationScheme
                            ) -> jax.Array:
     """alg_ext searched init: per-group max_scale minimizing qdq error.
@@ -109,30 +112,53 @@ def _search_init_max_scale(w: jax.Array, scheme: QuantizationScheme
 
     fn = get_quant_func(scheme.data_type, scheme.bits, scheme.sym)
     O, I = w.shape
-    gg = I if (not isinstance(g, int) or g in (-1, 0)) else min(g, I)
     is_mx = scheme.data_type.startswith("mx")
     cands = jnp.concatenate([
         1.0 - 0.05 * jnp.arange(10, dtype=jnp.float32),
         (1.0 + 0.25 * jnp.arange(1, 5, dtype=jnp.float32)) if is_mx
         else jnp.zeros((0,), jnp.float32),
     ])
-    kw = {}
-    if scheme.super_bits is not None:
-        kw = dict(super_bits=scheme.super_bits,
-                  super_group_size=scheme.super_group_size)
 
-    def err_for(c):
-        ms = jnp.full((O, -(-I // gg)), c, jnp.float32)
-        qdq = fn(w, bits=scheme.bits, group_size=scheme.group_size,
-                 max_scale=ms, clip_lo=0.0, clip_hi=2.0, **kw).qdq
-        d = (qdq.astype(jnp.float32) - w.astype(jnp.float32)) ** 2
-        pad = (-I) % gg
-        if pad:
-            d = jnp.pad(d, ((0, 0), (0, pad)))
-        return d.reshape(O, -1, gg).sum(-1)  # (O, groups)
+    # ONE compiled executable per (scheme, weight shape): unjitted, the
+    # sweep dispatches every op separately — minutes of 4-28 ms tunnel
+    # round-trips per 8B block at orchestration time (r3 weak #7).  The
+    # jitted fn closes over the SCHEME only; weights/candidates ride as
+    # arguments so one cache entry serves every layer of that scheme
+    # (jit re-specializes per shape internally).
+    key = repr(scheme)
+    sweep = _INIT_SEARCH_CACHE.get(key)
+    if sweep is None:
+        gs = scheme.group_size
+        kw = {}
+        if scheme.super_bits is not None:
+            kw = dict(super_bits=scheme.super_bits,
+                      super_group_size=scheme.super_group_size)
 
-    errs = jax.vmap(err_for)(cands)
-    return cands[jnp.argmin(errs, axis=0)]
+        @jax.jit
+        def sweep(wx, cx):
+            Ox, Ix = wx.shape
+            ggx = Ix if (not isinstance(gs, int) or gs in (-1, 0)) \
+                else min(gs, Ix)
+
+            def err_for(c):
+                ms = jnp.full((Ox, -(-Ix // ggx)), c, jnp.float32)
+                qdq = fn(wx, bits=scheme.bits, group_size=gs,
+                         max_scale=ms, clip_lo=0.0, clip_hi=2.0,
+                         **kw).qdq
+                d = (qdq.astype(jnp.float32)
+                     - wx.astype(jnp.float32)) ** 2
+                pad = (-Ix) % ggx
+                if pad:
+                    d = jnp.pad(d, ((0, 0), (0, pad)))
+                return d.reshape(Ox, -1, ggx).sum(-1)  # (O, groups)
+
+            errs = jax.vmap(err_for)(cx)
+            return cx[jnp.argmin(errs, axis=0)]
+
+        _INIT_SEARCH_CACHE[key] = sweep
+        if len(_INIT_SEARCH_CACHE) > 64:
+            _INIT_SEARCH_CACHE.pop(next(iter(_INIT_SEARCH_CACHE)))
+    return sweep(w, cands)
 
 
 def init_tune_params(

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -176,6 +178,9 @@ def rtn_int_asym(w, bits, group_size, **_):
     return qdq_int_asym(w, bits, group_size)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("bits", "group_size", "num_steps",
+                                    "step"))
 def search_init_scale_ratio(
     w: jax.Array,
     bits: int,
