@@ -34,7 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="score through packed serving weights")
     p.add_argument("--ppl", default=None,
                    help=".npy token matrix for a perplexity report")
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batch", "--eval-bs", dest="batch", type=int,
+                   default=8)
+    p.add_argument("--limit", type=int, default=None,
+                   help="cap samples per task (reference --limit)")
+    p.add_argument("--greedy-acc", default=None,
+                   help=".npy token matrix for per-position greedy "
+                        "next-token accuracy")
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--seed", type=int, default=42)
     return p
@@ -91,7 +97,8 @@ def main(argv=None) -> int:
         for tp in args.tasks:
             report["tasks"][os.path.basename(tp)] = evaluate_offline(
                 params, cfg, tokenizer, tp, detokenizer=detokenizer,
-                batch=args.batch, max_len=args.max_len, engine=engine)
+                batch=args.batch, max_len=args.max_len, engine=engine,
+                limit=args.limit)
     if args.lm_eval_tasks:
         from .lm_eval_adapter import simple_evaluate
         res = simple_evaluate(params, cfg, tokenizer, args.lm_eval_tasks,
@@ -99,6 +106,13 @@ def main(argv=None) -> int:
                               max_len=args.max_len)
         report["lm_eval"] = {t: res["results"].get(t)
                              for t in args.lm_eval_tasks}
+    if args.greedy_acc:
+        import numpy as np
+
+        from .lm_eval_adapter import greedy_token_accuracy
+        ids = np.load(args.greedy_acc)
+        report["greedy_acc"] = round(
+            greedy_token_accuracy(params, cfg, ids, batch=args.batch), 4)
     if args.ppl:
         import numpy as np
 

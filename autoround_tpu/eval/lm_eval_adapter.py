@@ -244,12 +244,15 @@ def simple_evaluate(params, cfg, tokenizer, tasks: List[str],
 
 def evaluate_offline(params, cfg, tokenizer, task_path: str,
                      detokenizer=None, batch: int = 8, max_len: int = 2048,
-                     engine=None) -> dict:
+                     engine=None, limit: Optional[int] = None) -> dict:
     """Run one offline JSONL task file end-to-end through the harness
-    adapter (loader + metrics from ``eval/harness_shim.py``)."""
+    adapter (loader + metrics from ``eval/harness_shim.py``).  ``limit``
+    caps the sample count (reference --limit)."""
     from .harness_shim import evaluate_task, load_task_jsonl
 
     lm = make_harness_lm(params, cfg, tokenizer, detokenizer,
                          batch=batch, max_len=max_len, engine=engine)
     task = load_task_jsonl(task_path)
+    if limit is not None:
+        task = dict(task, samples=task["samples"][:limit])
     return evaluate_task(lm, task)
