@@ -12,7 +12,7 @@ from typing import Any, Dict
 
 from . import (deepseek, deepseek_vl, dit, ernie45, gemma3vl, glm4moe,
                gptoss, llama, llama4, llava, minimax, mixtral, mllama,
-               mmdit, qwen2vl, qwen3next, qwen3vlmoe)
+               mmdit, qwen2vl, qwen3next, qwen3omni, qwen3vlmoe)
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -42,6 +42,18 @@ def get_model_fns(cfg) -> SimpleNamespace:
             rope_tables=llama.rope_tables,  # unused by DiT blocks
             model_fwd=dit.model_fwd,
             block_linear_names=dit.block_linear_names,
+        )
+    if isinstance(cfg, qwen3omni.Qwen3OmniConfig):
+        return SimpleNamespace(
+            init_params=qwen3omni.init_params,
+            block_fwd=mixtral.block_fwd,
+            embed_fwd=qwen3omni.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=qwen3vlmoe.rope_tables,
+            rope_tables_for_inputs=qwen3vlmoe.rope_tables_for_inputs,
+            chain_extras=qwen3vlmoe.chain_extras,
+            model_fwd=qwen3omni.model_fwd,
+            block_linear_names=qwen3omni.block_linear_names,
         )
     if isinstance(cfg, qwen3vlmoe.Qwen3VLMoeConfig):
         return SimpleNamespace(
@@ -216,6 +228,7 @@ ALL_PRESETS.update(minimax.CONFIG_PRESETS)
 ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
 ALL_PRESETS.update(ernie45.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen3vlmoe.CONFIG_PRESETS)
+ALL_PRESETS.update(qwen3omni.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen2vl.CONFIG_PRESETS)
 ALL_PRESETS.update(gemma3vl.CONFIG_PRESETS)

@@ -304,7 +304,28 @@ def get_mllm_calib_batch(model_cfg, nsamples: int = 16, seqlen: int = 64,
     """
     rng = np.random.default_rng(seed)
     from ..models.qwen2vl import Qwen2VLConfig
+    from ..models.qwen3omni import Qwen3OmniConfig
     from ..models.qwen3vlmoe import Qwen3VLMoeConfig
+    if isinstance(model_cfg, Qwen3OmniConfig):
+        # omni: one image + one audio clip per row (uniform layout)
+        m = model_cfg.spatial_merge_size
+        gh = gw = 2 * m
+        n_img = gh * gw // (m * m)
+        T = 2 * model_cfg.a_chunk
+        n_aud = model_cfg.a_tokens_for(T)
+        assert seqlen > n_img + n_aud + 3
+        ids = rng.integers(10, model_cfg.vocab_size,
+                           (nsamples, seqlen)).astype(np.int32)
+        ids[:, 1:1 + n_img] = model_cfg.image_token_id
+        ids[:, 2 + n_img:2 + n_img + n_aud] = model_cfg.audio_token_id
+        pixels = rng.standard_normal(
+            (nsamples * gh * gw, model_cfg.patch_dim)).astype(np.float32)
+        mel = rng.standard_normal(
+            (nsamples, T, model_cfg.n_mels)).astype(np.float32)
+        mask = np.ones((nsamples, seqlen), np.float32)
+        return {"input_ids": ids, "pixel_values": pixels,
+                "input_features": mel,
+                "grid_thw": [(1, gh, gw)] * nsamples}, mask
     if isinstance(model_cfg, (Qwen2VLConfig, Qwen3VLMoeConfig)):
         # one image per row, uniform grid (shared m-rope layout)
         m = model_cfg.spatial_merge_size
