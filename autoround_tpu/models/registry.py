@@ -11,8 +11,8 @@ from types import SimpleNamespace
 from typing import Any, Dict
 
 from . import (deepseek, deepseek_vl, dit, ernie45, gemma3vl, glm4moe,
-               gptoss, llama, llama4, llava, minimax, mixtral, mllama,
-               mmdit, qwen2vl, qwen3next, qwen3omni, qwen3vlmoe)
+               gptoss, llama, llama4, llava, longcat, minimax, mixtral,
+               mllama, mmdit, qwen2vl, qwen3next, qwen3omni, qwen3vlmoe)
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -150,6 +150,16 @@ def get_model_fns(cfg) -> SimpleNamespace:
             model_fwd=deepseek_vl.model_fwd,
             block_linear_names=deepseek_vl.block_linear_names,
         )
+    if isinstance(cfg, longcat.LongcatConfig):
+        return SimpleNamespace(
+            init_params=longcat.init_params,
+            block_fwd=longcat.block_fwd,
+            embed_fwd=llama.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=deepseek.rope_tables,
+            model_fwd=longcat.model_fwd,
+            block_linear_names=longcat.block_linear_names,
+        )
     if isinstance(cfg, deepseek.DeepseekConfig):
         return SimpleNamespace(
             init_params=deepseek.init_params,
@@ -229,6 +239,7 @@ ALL_PRESETS.update(mixtral.CONFIG_PRESETS)
 ALL_PRESETS.update(ernie45.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen3vlmoe.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen3omni.CONFIG_PRESETS)
+ALL_PRESETS.update(longcat.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen2vl.CONFIG_PRESETS)
 ALL_PRESETS.update(gemma3vl.CONFIG_PRESETS)
