@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--bf16-layers", default="16,4",
                     help="layer counts for the affine BF16 extrapolation; "
                          "empty to skip the baseline")
+    ap.add_argument("--prefill-a8", action="store_true",
+                    help="opt-in int8-MXU prompt mode (engine.prefill_a8)")
     ap.add_argument("--out", default="docs/prefill_r03.json")
     args = ap.parse_args()
 
@@ -80,6 +82,9 @@ def main():
     key = jax.random.PRNGKey(0)
 
     eng = make_packed_engine(cfg, max_seq, key)
+    if args.prefill_a8:
+        eng.prefill_a8 = True
+        out["prefill_a8"] = True
     for bs, seq in grid:
         ids = jax.device_put(np.random.default_rng(3).integers(
             0, cfg.vocab_size, (bs, seq)).astype(np.int32))
