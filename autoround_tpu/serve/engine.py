@@ -651,9 +651,16 @@ class QuantizedLlama:
             entry = packed.get(f"blocks.{block_idx}.experts_stack.{wname}")
             if entry is None:
                 return None
-            from ..ops.qmatmul import PLANES, w4a16_matmul_grouped
+            from ..ops.qmatmul import (PLANES, w4a16_matmul_grouped,
+                                       w4a16_matmul_grouped_ref)
             qw, sc = entry
             g = (qw.shape[2] * PLANES) // sc.shape[2]
+            # prefill routing (same rationale as _packed_matmul): at
+            # large per-expert token counts dequant ONCE per expert
+            # instead of per batch tile
+            thresh = envs.AR_PREFILL_DEQUANT_TOKENS
+            if thresh > 0 and int(x_slabs.shape[1]) >= thresh:
+                return w4a16_matmul_grouped_ref(x_slabs, qw, sc, g)
             return w4a16_matmul_grouped(x_slabs, qw, sc, g)
 
         lf.grouped = grouped
