@@ -217,7 +217,9 @@ def _recorded_artifacts():
     import os
     out = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    pf = os.path.join(here, "docs", "prefill_r03.json")
+    pf = os.path.join(here, "docs", "prefill_r04.json")
+    if not os.path.exists(pf):
+        pf = os.path.join(here, "docs", "prefill_r03.json")
     if os.path.exists(pf):
         with open(pf) as f:
             pts = json.load(f)["points"]
@@ -225,7 +227,9 @@ def _recorded_artifacts():
             {k: p[k] for k in ("bs", "seq", "w4_prefill_tok_s",
                                "w4_ttft_ms", "w4_vs_bf16_prefill")
              if k in p} for p in pts]
-    qf = os.path.join(here, "docs", "flagship_quant_r03.json")
+    qf = os.path.join(here, "docs", "flagship_r04.json")
+    if not os.path.exists(qf):
+        qf = os.path.join(here, "docs", "flagship_quant_r03.json")
     if os.path.exists(qf):
         with open(qf) as f:
             q = json.load(f)
