@@ -11,8 +11,9 @@ from types import SimpleNamespace
 from typing import Any, Dict
 
 from . import (deepseek, deepseek_vl, dit, ernie45, gemma3vl, glm4moe,
-               gptoss, llama, llama4, llava, longcat, minimax, mixtral,
-               mllama, mmdit, qwen2vl, qwen3next, qwen3omni, qwen3vlmoe)
+               glm4vmoe, gptoss, llama, llama4, llava, longcat, minimax,
+               mixtral, mllama, mmdit, qwen2vl, qwen3next, qwen3omni,
+               qwen3vlmoe)
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -118,6 +119,17 @@ def get_model_fns(cfg) -> SimpleNamespace:
             rope_tables=gptoss.rope_tables,
             model_fwd=gptoss.model_fwd,
             block_linear_names=gptoss.block_linear_names,
+        )
+    if isinstance(cfg, glm4vmoe.Glm4vMoeConfig):
+        return SimpleNamespace(
+            init_params=glm4vmoe.init_params,
+            block_fwd=glm4moe.block_fwd,
+            embed_fwd=glm4vmoe.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=glm4vmoe.rope_tables,
+            rope_tables_for_inputs=glm4vmoe.rope_tables_for_inputs,
+            model_fwd=glm4vmoe.model_fwd,
+            block_linear_names=glm4vmoe.block_linear_names,
         )
     if isinstance(cfg, glm4moe.Glm4MoeConfig):
         return SimpleNamespace(
@@ -240,6 +252,7 @@ ALL_PRESETS.update(ernie45.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen3vlmoe.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen3omni.CONFIG_PRESETS)
 ALL_PRESETS.update(longcat.CONFIG_PRESETS)
+ALL_PRESETS.update(glm4vmoe.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen2vl.CONFIG_PRESETS)
 ALL_PRESETS.update(gemma3vl.CONFIG_PRESETS)

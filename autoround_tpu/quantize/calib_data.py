@@ -303,6 +303,7 @@ def get_mllm_calib_batch(model_cfg, nsamples: int = 16, seqlen: int = 64,
     registry), producing the same input dict + mask.
     """
     rng = np.random.default_rng(seed)
+    from ..models.glm4vmoe import Glm4vMoeConfig
     from ..models.qwen2vl import Qwen2VLConfig
     from ..models.qwen3omni import Qwen3OmniConfig
     from ..models.qwen3vlmoe import Qwen3VLMoeConfig
@@ -326,7 +327,8 @@ def get_mllm_calib_batch(model_cfg, nsamples: int = 16, seqlen: int = 64,
         return {"input_ids": ids, "pixel_values": pixels,
                 "input_features": mel,
                 "grid_thw": [(1, gh, gw)] * nsamples}, mask
-    if isinstance(model_cfg, (Qwen2VLConfig, Qwen3VLMoeConfig)):
+    if isinstance(model_cfg, (Qwen2VLConfig, Qwen3VLMoeConfig,
+                              Glm4vMoeConfig)):
         # one image per row, uniform grid (shared m-rope layout)
         m = model_cfg.spatial_merge_size
         gh = gw = 2 * m

@@ -348,8 +348,11 @@ def get_vlm_template(cfg_or_type) -> VLMTemplate:
     from ..models.llava import LlavaConfig
     from ..models.mllama import MllamaConfig
     from ..models.qwen2vl import Qwen2VLConfig
+    from ..models.glm4vmoe import Glm4vMoeConfig
     from ..models.qwen3omni import Qwen3OmniConfig
     from ..models.qwen3vlmoe import Qwen3VLMoeConfig
+    if isinstance(cfg_or_type, Glm4vMoeConfig):
+        return TEMPLATES["glm_image"]
     if isinstance(cfg_or_type, Qwen3OmniConfig):
         return TEMPLATES["qwen3_omni_moe"]
     if isinstance(cfg_or_type, Qwen3VLMoeConfig):
