@@ -64,24 +64,27 @@ def host_init_params(cfg, seed=0):
     return params
 
 
-def time_decode(engine, ids, steps=24):
-    """Mean per-step decode latency via generate_scan (on-device loop).
+def time_decode(engine, ids, steps=24, reps=3):
+    """Median per-step decode latency via generate_scan (on-device loop).
 
     Both scan lengths are compiled AND executed once before timing —
     generate_scan specializes on max_new_tokens, so an unwarmed length
-    would put a 10-40 s remote compile inside the timed region."""
+    would put a 10-40 s remote compile inside the timed region.  The
+    long/short difference is taken as median-of-reps: a single tunnel
+    hiccup on either leg once produced a NEGATIVE step time."""
     for n in (2, 2 + steps):  # warm both executables
         toks = engine.generate_scan(ids, max_new_tokens=n)
         _ = int(np.asarray(toks[0, -1]))  # force completion (axon quirk)
-    t0 = time.perf_counter()
-    toks = engine.generate_scan(ids, max_new_tokens=2 + steps)
-    _ = int(np.asarray(toks[0, -1]))
-    t1 = time.perf_counter()
-    t0b = time.perf_counter()
-    toks = engine.generate_scan(ids, max_new_tokens=2)
-    _ = int(np.asarray(toks[0, -1]))
-    t1b = time.perf_counter()
-    return ((t1 - t0) - (t1b - t0b)) / steps
+
+    def run(n):
+        t0 = time.perf_counter()
+        toks = engine.generate_scan(ids, max_new_tokens=n)
+        _ = int(np.asarray(toks[0, -1]))
+        return time.perf_counter() - t0
+
+    long_t = sorted(run(2 + steps) for _ in range(reps))[reps // 2]
+    short_t = sorted(run(2) for _ in range(reps))[reps // 2]
+    return (long_t - short_t) / steps
 
 
 def main():
