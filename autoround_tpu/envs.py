@@ -32,12 +32,15 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "AR_MOE_CAPACITY_FACTOR": lambda: float(os.environ.get(
         "AR_MOE_CAPACITY_FACTOR", "0")),
     # serving: token count at/above which packed W4/W2/W8 projections
-    # switch from the dequant-per-tile Pallas kernel to the dequant-ONCE
-    # XLA path (prefill reads each weight once per call, so the VPU
-    # extraction tax is paid once instead of once per batch tile).
-    # 0 disables the routing (kernel always). Read at trace time.
+    # switch from the Pallas kernel to a dequant-ONCE XLA path.
+    # MEASURED ON THE CHIP (docs/prefill_r04.json A/B): the XLA path is
+    # 1.5-2.4x SLOWER at prefill — XLA materializes the bf16 scratch
+    # through HBM (write 16 GB + read-back per call) instead of fusing
+    # it into the dot, so default 0 = DISABLED (kernel always); the
+    # kernel's large prefill batch tiles (TB=1024) carry the win
+    # instead.  Kept as an opt-in for future XLA fusion behavior.
     "AR_PREFILL_DEQUANT_TOKENS": lambda: int(os.environ.get(
-        "AR_PREFILL_DEQUANT_TOKENS", "256")),
+        "AR_PREFILL_DEQUANT_TOKENS", "0")),
     # isolate hub dataset loading in a spawn subprocess (calib_data.py)
     "AR_CALIB_SUBPROCESS": lambda: os.environ.get(
         "AR_CALIB_SUBPROCESS", "0") == "1",

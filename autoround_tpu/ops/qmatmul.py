@@ -148,7 +148,14 @@ def w4a16_matmul(
         TO //= 2
 
     # batch tiling: decode batches fit one tile; prefill (B = prompts x
-    # seq) tiles at 256 rows to stay inside VMEM
+    # seq) CHUNKS at the JAX level (lax.map over 512-row tiles) instead
+    # of a batch grid dim: the chipless AOT compile helper promotes
+    # whole custom-call operands <= 16 MB into scoped VMEM, and a
+    # (2048, K) prefill operand plus the kernel's buffers blows its
+    # 16 MB stack limit (measured); per-chunk operands stay a few MB.
+    # TB=256: kernel buffers (~7.6 MB double-buffered) + the helper's
+    # staged per-chunk operand must fit the 16 MB scoped-vmem limit
+    # (TB=512's ~12 MB of buffers + 4 MB operand measured 16.58 MB)
     TB = min(max(16, -(-B // 16) * 16), 256)
     Bp = -(-B // TB) * TB
     if Bp != B:
@@ -157,31 +164,42 @@ def w4a16_matmul(
     # scales transposed to (K//g, O): plane-row layout for the kernel
     scales_t = scales.astype(jnp.float32).T
 
-    grid = (Bp // TB, O // TO, K // TK)
-    out = pl.pallas_call(
-        functools.partial(_kernel, group_size=group_size),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TB, TK), lambda b, o, k: (b, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TO, group_size), lambda b, o, k: (o, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((PLANES, TO), lambda b, o, k: (k, o),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TB, TO), lambda b, o, k: (b, o),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, O), x.dtype),
-        scratch_shapes=[pltpu.VMEM((TB, TO), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * O * K,
-            bytes_accessed=O * K // 2 + Bp * K * 2 + Bp * O * 2,
-            transcendentals=0,
-        ),
-    )(x2, qweight, scales_t)
+    def one_tile(xt):
+        return pl.pallas_call(
+            functools.partial(_kernel, group_size=group_size),
+            grid=(1, O // TO, K // TK),
+            in_specs=[
+                pl.BlockSpec((TB, TK), lambda b, o, k: (b, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TO, group_size), lambda b, o, k: (o, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((PLANES, TO), lambda b, o, k: (k, o),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TB, TO), lambda b, o, k: (b, o),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((TB, O), x.dtype),
+            scratch_shapes=[pltpu.VMEM((TB, TO), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * TB * O * K,
+                bytes_accessed=O * K // 2 + TB * K * 2 + TB * O * 2,
+                transcendentals=0,
+            ),
+        )(xt, qweight, scales_t)
+
+    if Bp == TB:
+        out = one_tile(x2)
+    else:
+        # Python-unrolled chunk loop: lax.map's stacked operand is the
+        # full (Bp, K) activation again, which the AOT helper promotes
+        # into scoped VMEM (same 16 MB failure); per-slice operands
+        # are 4 MB and promote safely
+        outs = [one_tile(jax.lax.dynamic_slice_in_dim(x2, i * TB, TB, 0))
+                for i in range(Bp // TB)]
+        out = jnp.concatenate(outs, axis=0)
     return out[:B].reshape(*orig_shape[:-1], O)
 
 

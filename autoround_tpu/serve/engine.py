@@ -576,18 +576,25 @@ class QuantizedLlama:
         tokens = 1
         for d in x.shape[:-1]:
             tokens *= int(d)
+        if (a8_prompt and kind == "w4a16" and tokens >= 256
+                and len(entry) >= 2
+                and (qw.shape[1] * 8) // scales.shape[1] == 128
+                and qw.shape[0] % 256 == 0
+                and (qw.shape[1] * 8) % 256 == 0):
+            # int8-MXU prompt mode: prefill is MXU-compute-bound, so the
+            # 2x int8 MXU is the only lever past BF16 parity (the A16
+            # kernel tops out ~0.9x there — docs/prefill_r04.json)
+            if len(entry) > 2:                # engine-cached byte pairs
+                bytepair = entry[2]
+            else:
+                from ..ops.qmatmul import unpack_w4_planes
+                bytepair = pack_w4_bytes(unpack_w4_planes(qw, 128))
+            return w4a8_matmul(x, bytepair, scales, 128)
         thresh = envs.AR_PREFILL_DEQUANT_TOKENS
         is_prefill = thresh > 0 and tokens >= thresh
         if is_prefill:
             if kind == "w4a16":
                 group_size = (qw.shape[1] * 8) // scales.shape[1]
-                if (a8_prompt and group_size == 128
-                        and qw.shape[0] % 256 == 0
-                        and (qw.shape[1] * 8) % 256 == 0):
-                    from ..ops.qmatmul import unpack_w4_planes
-                    codes = unpack_w4_planes(qw, group_size)
-                    bytepair = pack_w4_bytes(codes)
-                    return w4a8_matmul(x, bytepair, scales, group_size)
                 return w4a16_matmul_ref(x, qw, scales, group_size)
             if kind == "w4a16_asym":
                 from ..ops.qmatmul_ext import w4a16_asym_matmul_ref
@@ -687,9 +694,38 @@ class QuantizedLlama:
             off += s
         return outs
 
+    def _a8_packed(self):
+        """Packed dict with byte-pair copies appended to eligible W4
+        entries — built ONCE (the per-call plane→byte repack measured
+        ~100 ms of VPU work per 8B prefill).  +0.5 byte/weight HBM,
+        opt-in via ``prefill_a8``."""
+        cached = getattr(self, "_a8_packed_cache", None)
+        if cached is not None:
+            return cached
+        from ..ops.qmatmul import unpack_w4_planes
+
+        @jax.jit
+        def to_bytes(qw):
+            return pack_w4_bytes(unpack_w4_planes(qw, 128))
+
+        out = {}
+        for key, entry in self.packed.items():
+            kind = (self.packed_kinds or {}).get(key, "w4a16")
+            qw, sc = entry[0], entry[1]
+            g = (qw.shape[1] * 8) // sc.shape[1] if kind == "w4a16" else 0
+            if (kind == "w4a16" and len(entry) == 2 and g == 128
+                    and qw.shape[0] % 256 == 0
+                    and (qw.shape[1] * 8) % 256 == 0):
+                out[key] = (qw, sc, to_bytes(qw))
+            else:
+                out[key] = entry
+        self._a8_packed_cache = out
+        return out
+
     def prefill(self, input_ids: jax.Array) -> Tuple[jax.Array, KVCache]:
         """Run the prompt, return (logits_last, cache)."""
-        return self._prefill_c(self.params, self.packed,
+        packed = self._a8_packed() if self.prefill_a8 else self.packed
+        return self._prefill_c(self.params, packed,
                                jnp.asarray(input_ids))
 
     def _prefill_impl(self, params, packed, input_ids):
@@ -803,7 +839,8 @@ class QuantizedLlama:
                 self._gen_scan_cache = {}
             self._gen_scan_cache[key] = fn
         rng = jax.random.PRNGKey(sampling.seed if sampling else 0)
-        return fn(self.params, self.packed, jnp.asarray(input_ids), rng)
+        packed = self._a8_packed() if self.prefill_a8 else self.packed
+        return fn(self.params, packed, jnp.asarray(input_ids), rng)
 
 
 def _final_fwd_packed(params, packed, x, cfg, kinds=None, combine=None):
