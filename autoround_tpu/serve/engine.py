@@ -329,8 +329,16 @@ class QuantizedLlama:
     def from_quantize_result(cls, result: QuantizeResult,
                              cfg: llama.LlamaConfig,
                              max_seq: int = 2048,
-                             kv_quant: Optional[str] = None
+                             kv_quant: Optional[str] = None,
+                             serve_a8: bool = False
                              ) -> "QuantizedLlama":
+        """``serve_a8=True`` (opt-in THROUGHPUT MODE): W4A16-quantized
+        layers serve through the int8-MXU byte-pair kernel with dynamic
+        per-token int8 activations — measured 2274 vs 2187 tok/s/chip
+        at 8B decode and the prompt pass above BF16
+        (docs/prefill_r04.json).  Changes serving numerics (activation
+        int8, like the reference's W4A8 backends); default off keeps
+        exact A16 serving."""
         from ..models.deepseek import DeepseekConfig
         is_mla = isinstance(cfg, DeepseekConfig) and bool(cfg.kv_lora_rank)
         packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
@@ -345,6 +353,10 @@ class QuantizedLlama:
             s = ql.scheme
             g = s.group_size if isinstance(s.group_size, int) else 0
             kind = _serving_kind(s)
+            if (serve_a8 and kind == "w4a16" and g == 128
+                    and np.asarray(ql.qdq).shape[0] % 256 == 0
+                    and np.asarray(ql.qdq).shape[1] % 256 == 0):
+                kind = "w4a8"
             qdq = np.asarray(ql.qdq, np.float32)
             O, K = qdq.shape
             if kind == "w4a16" and K % (8 * g) == 0:

@@ -163,3 +163,34 @@ class TestTPInt8:
         rms = float(jnp.sqrt(jnp.mean((lg_tp - lg_1) ** 2))
                     / jnp.sqrt(jnp.mean(lg_1 ** 2)))
         assert rms < 0.05, rms
+
+
+class TestServeA8Mode:
+    def test_from_quantize_result_serve_a8(self):
+        """Opt-in throughput mode: W4A16 layers repack to the byte-pair
+        int8-MXU kind; outputs stay close to exact-A16 serving."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from autoround_tpu import AutoRound
+        from autoround_tpu.models import llama
+        from autoround_tpu.serve import QuantizedLlama
+        cfg = llama.LlamaConfig(vocab_size=128, hidden_size=1024,
+                                intermediate_size=1024, num_layers=2,
+                                num_heads=4, num_kv_heads=2,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 128)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0,
+                        donate_params=False).quantize(ids)
+        exact = QuantizedLlama.from_quantize_result(res, cfg, max_seq=64)
+        a8 = QuantizedLlama.from_quantize_result(res, cfg, max_seq=64,
+                                                 serve_a8=True)
+        assert set(a8.packed_kinds.values()) == {"w4a8"}
+        prompt = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 128)
+        le, _ = exact.prefill(prompt)
+        la, _ = a8.prefill(prompt)
+        le, la = np.asarray(le, np.float32), np.asarray(la, np.float32)
+        denom = max(1e-6, float(np.abs(le).max()))
+        assert float(np.abs(le - la).max()) / denom < 0.06
