@@ -227,6 +227,12 @@ def _recorded_artifacts():
             {k: p[k] for k in ("bs", "seq", "w4_prefill_tok_s",
                                "w4_ttft_ms", "w4_vs_bf16_prefill")
              if k in p} for p in pts]
+    af = os.path.join(here, "docs", "decode_a8_r04.json")
+    if os.path.exists(af):
+        with open(af) as f:
+            a = json.load(f)
+        out["decode_a8_mode"] = {k: a[k] for k in (
+            "w4a8_tok_s", "w4a8_step_ms", "a8_speedup") if k in a}
     qf = os.path.join(here, "docs", "flagship_r04.json")
     if not os.path.exists(qf):
         qf = os.path.join(here, "docs", "flagship_quant_r03.json")
