@@ -147,11 +147,12 @@ def _make_tp_linear_fn(packed, block_idx: int, kinds=None,
         key = f"blocks.{block_idx}.{name}"
         if key in packed:
             kind = (kinds or {}).get(key) or "w4a16"
-            if kind == "w4a16":
+            if kind in ("w4a16", "w4a8"):
                 # row shards may be tile-padded (see _reshard_row_layers):
                 # zero-pad the matching x columns (codes there dequant to
                 # 0, so the padded lanes contribute nothing)
-                k_exp = packed[key][0].shape[1] * 8
+                k_exp = packed[key][0].shape[1] * (
+                    8 if kind == "w4a16" else 2)
                 if x.shape[-1] < k_exp:
                     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1)
                                 + [(0, k_exp - x.shape[-1])])
@@ -253,6 +254,49 @@ def _reshard_row_layers(packed, params, cfg, tp: int, kinds=None):
         if lname not in _ROW or "experts_stack" in key:
             continue  # stacked experts shard on E, not K
         qw, s = packed[key]
+        kind0 = (kinds or {}).get(key) or "w4a16"
+        if kind0 == "w4a8":
+            # byte-pair layout (O, K//2) int8: a contiguous K split is a
+            # valid packing at 2g-tile granularity; otherwise pad each
+            # shard's codes to the tile with zero-dequant code 8 (hi
+            # nibble stores 8^8=0 -> (b & -16) = 0 exactly; lo rides the
+            # rowsum correction against zero-padded x)
+            from ..ops.qmatmul_int8 import pack_w4_bytes, unpack_w4_bytes
+            K = qw.shape[1] * 2
+            groups = s.shape[1]
+            g = K // groups
+            if groups % tp or g != 128:
+                pass  # fall through to dense below
+            else:
+                Kl = K // tp
+                tile = 2 * g
+                Kp = -(-Kl // tile) * tile
+                codes = unpack_w4_bytes(qw)
+                chunks = jnp.split(codes, tp, axis=1)
+                schunks = jnp.split(s, tp, axis=1)
+                if Kp != Kl:
+                    chunks = [jnp.pad(c, ((0, 0), (0, Kp - Kl)),
+                                      constant_values=8) for c in chunks]
+                    schunks = [jnp.pad(sc.astype(jnp.float32),
+                                       ((0, 0), (0, (Kp - Kl) // g)),
+                                       constant_values=1.0)
+                               for sc in schunks]
+                    logger.info("tp engine: %s per-shard K %d padded to "
+                                "%d for byte-pair repack at tp=%d",
+                                key, Kl, Kp, tp)
+                packed[key] = (jnp.concatenate(
+                    [pack_w4_bytes(c) for c in chunks], axis=1),
+                    jnp.concatenate(schunks, axis=1))
+                continue
+            # dense fallback: exact byte-pair dequant
+            codes = unpack_w4_bytes(qw)
+            srep = jnp.repeat(s.astype(jnp.float32), g, axis=1)[:, :K]
+            w = ((codes - 8).astype(jnp.float32) * srep).astype(cfg.dtype)
+            _set_dense(key, w)
+            del packed[key]
+            logger.info("tp engine: %s K=%d (w4a8) not shardable at "
+                        "tp=%d; serving dense", key, K, tp)
+            continue
         if qw.dtype == jnp.int8:
             # w8a8: plain (O, K) int8 rows split contiguously on K; only
             # the per-shard lane multiple matters for the Pallas kernel

@@ -427,3 +427,58 @@ class TestGptOssTensorParallel:
         np.testing.assert_allclose(np.asarray(d1, np.float32),
                                    np.asarray(d0, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+class TestA8TensorParallel:
+    """serve_a8 (byte-pair int8-MXU) engines shard over the mesh: column
+    layers split on O, row layers split contiguously at 2g tiles (or
+    pad with zero-dequant codes), and logits track the single-chip a8
+    engine."""
+
+    def test_a8_row_repack_and_parity(self):
+        cfg = llama.LlamaConfig(vocab_size=64, hidden_size=1024,
+                                intermediate_size=1024, num_layers=1,
+                                num_heads=4, num_kv_heads=4,
+                                rope_theta=1e4, dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 64)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32,
+                                                  serve_a8=True)
+        assert set(eng.packed_kinds.values()) == {"w4a8"}
+        mesh = make_mesh(2, dp=1, tp=2)   # local K = 512 = 2 tiles
+        tpe = TPQuantizedLlama.from_engine(eng, mesh)
+        assert "blocks.0.down_proj" in tpe.packed   # stayed packed
+        l0, _ = eng.prefill(ids)
+        l1, _ = tpe.prefill(ids)
+        np.testing.assert_allclose(np.asarray(l1, np.float32),
+                                   np.asarray(l0, np.float32),
+                                   rtol=3e-2, atol=3e-2)
+
+    def test_a8_padded_row_chunks(self):
+        """tp=4 over hidden 1024: per-shard K = 256 = exactly one 2g
+        tile — and tp=4 over K=1536 pads 384→512 per shard."""
+        from autoround_tpu.ops.qmatmul_int8 import (pack_w4_bytes,
+                                                    unpack_w4_bytes)
+        from autoround_tpu.serve.tp_engine import _reshard_row_layers
+        g, O, K, tp = 128, 8, 1536, 4     # local K = 384 -> pad 512
+        codes = jax.random.randint(jax.random.PRNGKey(0), (O, K), 0, 16)
+        scales = jnp.ones((O, K // g))
+        packed = {"blocks.0.down_proj": (pack_w4_bytes(codes), scales)}
+        packed, _ = _reshard_row_layers(
+            packed, {"blocks": [{}]},
+            llama.LlamaConfig(vocab_size=8, hidden_size=64,
+                              intermediate_size=64, num_layers=1,
+                              num_heads=2, num_kv_heads=2,
+                              rope_theta=1e4, dtype=jnp.float32),
+            tp, kinds={"blocks.0.down_proj": "w4a8"})
+        qw2, s2 = packed["blocks.0.down_proj"]
+        Kp = 512
+        assert qw2.shape == (O, tp * Kp // 2)
+        for d in range(tp):
+            chunk = qw2[:, d * Kp // 2:(d + 1) * Kp // 2]
+            un = np.asarray(unpack_w4_bytes(chunk))
+            np.testing.assert_array_equal(
+                un[:, :K // tp],
+                np.asarray(codes[:, d * K // tp:(d + 1) * K // tp]))
+            assert (un[:, K // tp:] == 8).all()
