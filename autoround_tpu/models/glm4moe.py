@@ -2,7 +2,11 @@
 and optional per-head q/k norm + DeepSeek-style MoE.
 
 Role of the reference's GLM MoE support (``auto_round/modeling/
-unfused_moe/glm*.py``).  The router/MoE semantics are identical to
+unfused_moe/glm*.py`` — incl. ``glm_moe_dsa.py``, whose unfused expert
+spec is this same DeepSeek-V3 routing verbatim: sigmoid scores +
+aux-free bias, top-2-sum group limiting, shared experts; the DSA
+attention variant has no public transformers modeling to lock parity
+against).  The router/MoE semantics are identical to
 DeepSeek-V3 (sigmoid scores + aux-free bias, top-2-sum group limiting,
 routed_scaling_factor, shared experts, first_k_dense) — so
 ``Glm4MoeConfig`` subclasses :class:`~.deepseek.DeepseekConfig` and

@@ -227,6 +227,13 @@ def _recorded_artifacts():
             {k: p[k] for k in ("bs", "seq", "w4_prefill_tok_s",
                                "w4_ttft_ms", "w4_vs_bf16_prefill")
              if k in p} for p in pts]
+        with open(pf) as f:
+            a8pts = json.load(f).get("prefill_a8_points")
+        if a8pts:
+            out["prefill_a8"] = [
+                {k: p[k] for k in ("bs", "seq", "w4_prefill_tok_s",
+                                   "w4_ttft_ms", "a8_vs_bf16_prefill")
+                 if k in p} for p in a8pts]
     af = os.path.join(here, "docs", "decode_a8_r04.json")
     if os.path.exists(af):
         with open(af) as f:
