@@ -12,8 +12,8 @@ from typing import Any, Dict
 
 from . import (deepseek, deepseek_vl, dit, ernie45, gemma3vl, glm4moe,
                glm4vmoe, gptoss, llama, llama4, llava, longcat, minimax,
-               mixtral, mllama, mmdit, qwen2vl, qwen3next, qwen3omni,
-               qwen3vlmoe)
+               mistral3, mixtral, mllama, mmdit, qwen2vl, qwen3next,
+               qwen3omni, qwen3vlmoe)
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -88,6 +88,16 @@ def get_model_fns(cfg) -> SimpleNamespace:
             rope_tables=llama.rope_tables,
             model_fwd=gemma3vl.model_fwd,
             block_linear_names=gemma3vl.block_linear_names,
+        )
+    if isinstance(cfg, mistral3.Mistral3Config):
+        return SimpleNamespace(
+            init_params=mistral3.init_params,
+            block_fwd=llama.block_fwd,
+            embed_fwd=mistral3.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=llama.rope_tables,
+            model_fwd=mistral3.model_fwd,
+            block_linear_names=mistral3.block_linear_names,
         )
     if isinstance(cfg, llava.LlavaConfig):
         return SimpleNamespace(
@@ -253,6 +263,7 @@ ALL_PRESETS.update(qwen3vlmoe.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen3omni.CONFIG_PRESETS)
 ALL_PRESETS.update(longcat.CONFIG_PRESETS)
 ALL_PRESETS.update(glm4vmoe.CONFIG_PRESETS)
+ALL_PRESETS.update(mistral3.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen2vl.CONFIG_PRESETS)
 ALL_PRESETS.update(gemma3vl.CONFIG_PRESETS)

@@ -343,6 +343,22 @@ def get_mllm_calib_batch(model_cfg, nsamples: int = 16, seqlen: int = 64,
         mask = np.ones((nsamples, seqlen), np.float32)
         return {"input_ids": ids, "pixel_values": pixels,
                 "grid_thw": [(1, gh, gw)] * nsamples}, mask
+    from ..models.mistral3 import Mistral3Config
+    if isinstance(model_cfg, Mistral3Config):
+        # pixtral: row-major patch stream + (h, w) grid metadata; one
+        # soft token per m x m merged block
+        m = model_cfg.spatial_merge_size
+        gh = gw = 2 * m
+        n_img = gh * gw // (m * m)
+        assert seqlen > n_img + 2
+        ids = rng.integers(12, model_cfg.vocab_size,
+                           (nsamples, seqlen)).astype(np.int32)
+        ids[:, 1:1 + n_img] = model_cfg.image_token_id
+        pixels = rng.standard_normal(
+            (nsamples * gh * gw, model_cfg.patch_dim)).astype(np.float32)
+        mask = np.ones((nsamples, seqlen), np.float32)
+        return {"input_ids": ids, "pixel_values": pixels,
+                "grid_hw": [(gh, gw)] * nsamples}, mask
     from ..models.mllama import MllamaConfig
     if isinstance(model_cfg, MllamaConfig):
         # cross-attention VLM: the text carries a SINGLE image marker;

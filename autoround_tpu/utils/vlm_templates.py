@@ -361,6 +361,9 @@ def get_vlm_template(cfg_or_type) -> VLMTemplate:
         return TEMPLATES["qwen2_vl"]
     if isinstance(cfg_or_type, Gemma3VLConfig):
         return TEMPLATES["gemma3"]
+    from ..models.mistral3 import Mistral3Config
+    if isinstance(cfg_or_type, Mistral3Config):
+        return TEMPLATES["mistral3"]
     if isinstance(cfg_or_type, MllamaConfig):
         return TEMPLATES["mllama"]
     if isinstance(cfg_or_type, DeepseekVLConfig):
