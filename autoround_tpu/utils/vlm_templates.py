@@ -357,6 +357,9 @@ def get_vlm_template(cfg_or_type) -> VLMTemplate:
         return TEMPLATES["qwen3_omni_moe"]
     if isinstance(cfg_or_type, Qwen3VLMoeConfig):
         return TEMPLATES["qwen3_vl_moe"]
+    from ..models.qwen25vl import Qwen25VLConfig
+    if isinstance(cfg_or_type, Qwen25VLConfig):
+        return TEMPLATES["qwen2_5_vl"]
     if isinstance(cfg_or_type, Qwen2VLConfig):
         return TEMPLATES["qwen2_vl"]
     if isinstance(cfg_or_type, Gemma3VLConfig):
