@@ -12,8 +12,8 @@ from typing import Any, Dict
 
 from . import (deepseek, deepseek_vl, dit, ernie45, gemma3vl, glm4moe,
                glm4vmoe, gptoss, llama, llama4, llava, longcat, minimax,
-               mistral3, mixtral, mllama, mmdit, qwen25vl, qwen2vl,
-               qwen3next, qwen3omni, qwen3vlmoe)
+               mistral3, mixtral, mllama, mmdit, qwen25omni, qwen25vl,
+               qwen2vl, qwen3next, qwen3omni, qwen3vlmoe)
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -67,6 +67,17 @@ def get_model_fns(cfg) -> SimpleNamespace:
             chain_extras=qwen3vlmoe.chain_extras,
             model_fwd=qwen3vlmoe.model_fwd,
             block_linear_names=qwen3vlmoe.block_linear_names,
+        )
+    if isinstance(cfg, qwen25omni.Qwen25OmniConfig):
+        return SimpleNamespace(
+            init_params=qwen25omni.init_params,
+            block_fwd=llama.block_fwd,
+            embed_fwd=qwen25omni.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=qwen25vl.rope_tables,
+            rope_tables_for_inputs=qwen25vl.rope_tables_for_inputs,
+            model_fwd=qwen25omni.model_fwd,
+            block_linear_names=qwen25omni.block_linear_names,
         )
     if isinstance(cfg, qwen25vl.Qwen25VLConfig):
         return SimpleNamespace(
@@ -276,6 +287,7 @@ ALL_PRESETS.update(longcat.CONFIG_PRESETS)
 ALL_PRESETS.update(glm4vmoe.CONFIG_PRESETS)
 ALL_PRESETS.update(mistral3.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen25vl.CONFIG_PRESETS)
+ALL_PRESETS.update(qwen25omni.CONFIG_PRESETS)
 ALL_PRESETS.update(llava.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen2vl.CONFIG_PRESETS)
 ALL_PRESETS.update(gemma3vl.CONFIG_PRESETS)

@@ -305,9 +305,10 @@ def get_mllm_calib_batch(model_cfg, nsamples: int = 16, seqlen: int = 64,
     rng = np.random.default_rng(seed)
     from ..models.glm4vmoe import Glm4vMoeConfig
     from ..models.qwen2vl import Qwen2VLConfig
+    from ..models.qwen25omni import Qwen25OmniConfig
     from ..models.qwen3omni import Qwen3OmniConfig
     from ..models.qwen3vlmoe import Qwen3VLMoeConfig
-    if isinstance(model_cfg, Qwen3OmniConfig):
+    if isinstance(model_cfg, (Qwen3OmniConfig, Qwen25OmniConfig)):
         # omni: one image + one audio clip per row (uniform layout)
         m = model_cfg.spatial_merge_size
         gh = gw = 2 * m

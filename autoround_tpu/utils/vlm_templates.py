@@ -357,7 +357,10 @@ def get_vlm_template(cfg_or_type) -> VLMTemplate:
         return TEMPLATES["qwen3_omni_moe"]
     if isinstance(cfg_or_type, Qwen3VLMoeConfig):
         return TEMPLATES["qwen3_vl_moe"]
+    from ..models.qwen25omni import Qwen25OmniConfig
     from ..models.qwen25vl import Qwen25VLConfig
+    if isinstance(cfg_or_type, Qwen25OmniConfig):
+        return TEMPLATES["qwen2_5_omni"]
     if isinstance(cfg_or_type, Qwen25VLConfig):
         return TEMPLATES["qwen2_5_vl"]
     if isinstance(cfg_or_type, Qwen2VLConfig):
