@@ -399,6 +399,74 @@ _Q3VL_TEXT = {
 }
 
 
+_Q25VL_VBLOCK = {
+    "norm1.weight": "norm1", "norm2.weight": "norm2",
+    "attn.qkv.weight": "qkv", "attn.qkv.bias": "qkv_b",
+    "attn.proj.weight": "proj", "attn.proj.bias": "proj_b",
+    "mlp.gate_proj.weight": "gate_proj", "mlp.gate_proj.bias": "gate_b",
+    "mlp.up_proj.weight": "up_proj", "mlp.up_proj.bias": "up_b",
+    "mlp.down_proj.weight": "down_proj", "mlp.down_proj.bias": "down_b",
+}
+_Q25VL_MERGER = {
+    "ln_q.weight": "ln_q",
+    "mlp.0.weight": "fc1", "mlp.0.bias": "fc1_b",
+    "mlp.2.weight": "fc2", "mlp.2.bias": "fc2_b",
+}
+
+
+def qwen25vl_params_from_state(state, cfg, dtype=None) -> Dict[str, Any]:
+    """Map a flat Qwen2.5-VL state dict (``model.visual.*`` /
+    ``model.language_model.*`` or classic prefixes) into the functional
+    pytree of ``models.qwen25vl`` (RMSNorm ViT, bias'd SwiGLU)."""
+    import jax.numpy as jnp
+    dtype = dtype or cfg.dtype
+    blocks = [dict() for _ in range(cfg.num_layers)]
+    vblocks = [dict() for _ in range(cfg.v_layers)]
+    visual: Dict[str, Any] = {"blocks": vblocks, "merger": {}}
+    params: Dict[str, Any] = {"blocks": blocks, "visual": visual}
+    for key, tensor in state.items():
+        arr = jnp.asarray(np.asarray(tensor)).astype(dtype)
+        lm_key = _strip_lm(key)
+        if lm_key is None and key.startswith(
+                ("model.layers.", "model.embed_tokens.", "model.norm.")):
+            lm_key = key
+        if lm_key is not None:
+            if lm_key == "model.embed_tokens.weight":
+                params["embed_tokens"] = arr
+            elif lm_key == "model.norm.weight":
+                params["norm"] = arr
+            elif lm_key == "lm_head.weight":
+                params["lm_head"] = arr
+            elif lm_key.startswith("model.layers."):
+                rest = lm_key[len("model.layers."):]
+                li, sub = rest.split(".", 1)
+                if sub in _BLOCK_MAP:
+                    blocks[int(li)][_BLOCK_MAP[sub]] = arr
+            continue
+        vkey = key
+        for pre in ("model.visual.", "visual."):
+            if vkey.startswith(pre):
+                vkey = vkey[len(pre):]
+                break
+        else:
+            continue
+        if vkey == "patch_embed.proj.weight":
+            w = np.asarray(tensor)
+            visual["patch_embed"] = jnp.asarray(
+                w.reshape(w.shape[0], -1)).astype(dtype)
+        elif vkey.startswith("blocks."):
+            li, sub = vkey[len("blocks."):].split(".", 1)
+            if sub in _Q25VL_VBLOCK:
+                vblocks[int(li)][_Q25VL_VBLOCK[sub]] = arr
+        elif vkey.startswith("merger."):
+            sub = vkey[len("merger."):]
+            if sub in _Q25VL_MERGER:
+                visual["merger"][_Q25VL_MERGER[sub]] = arr
+    if cfg.tie_embeddings:
+        params.pop("lm_head", None)
+    return params
+
+
 def qwen3vlmoe_params_from_state(state, cfg, dtype=None) -> Dict[str, Any]:
     """Map a flat {hf_key: array} Qwen3-VL-MoE state dict
     (``model.visual.*`` / ``model.language_model.*``, FUSED expert
