@@ -43,8 +43,8 @@ def pytest_collection_modifyitems(config, items):
 
       * ``-m smoke``  — the FIRST test of every class/module (one
         representative per subsystem feature, parametrizations deduped),
-        minus anything explicitly ``slow``; ~12 min cold, ~7-13 min warm
-        depending on load (measured in-container, round 4).
+        minus anything explicitly ``slow``; ~11.5 min measured warm on an
+        idle container (round 4, 216 tests).
       * ``-m "not slow"`` — everything but the explicitly slow tests.
       * (no marker)   — the whole suite.
     """
