@@ -235,7 +235,10 @@ def _quant_nontext_rtn(result, scheme):
     from .utils.pytree import set_by_path
     s = parse_scheme(scheme) if not hasattr(scheme, "bits") else scheme
     n = 0
-    for tower in ("vision_tower", "mm_projector", "multi_modal_projector"):
+    # "visual" covers the Qwen-VL/omni/GLM4V/Mistral3 families;
+    # "audio_tower" the omni audio thinkers.
+    for tower in ("vision_tower", "mm_projector", "multi_modal_projector",
+                  "visual", "audio_tower"):
         sub = result.params.get(tower)
         if sub is None:
             continue
@@ -430,6 +433,12 @@ def main(argv=None) -> int:
     n_vis = 0
     if args.quant_nontext_module:
         n_vis = _quant_nontext_rtn(result, scheme)
+        if n_vis == 0:
+            from .utils.logger import logger
+            logger.warning(
+                "--quant-nontext-module matched no vision/audio tower "
+                "params (checked vision_tower/mm_projector/"
+                "multi_modal_projector/visual/audio_tower)")
 
     out = ar.save_quantized(args.output, format=args.format)
 

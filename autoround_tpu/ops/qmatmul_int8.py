@@ -265,9 +265,11 @@ def w4a8_matmul(x, qweight, scales, group_size: int = 128,
     O, Kb = qweight.shape
     x2 = x.reshape(-1, K)
     B = x2.shape[0]
-    usable = (jax.devices()[0].platform == "tpu" and group_size >= 128
-              and group_size % 128 == 0 and K % (2 * group_size) == 0
-              and O % 256 == 0)
+    # The byte-pair layout (pack_w4_bytes) and the kernel's scale folding
+    # both pair groups at a hard 128-byte tile; a wider group_size would
+    # read mismatched columns, so only g=128 takes the Pallas path.
+    usable = (jax.devices()[0].platform == "tpu" and group_size == 128
+              and K % (2 * group_size) == 0 and O % 256 == 0)
     if not usable:
         return w4a8_matmul_ref(x, qweight, scales, group_size).reshape(
             *orig[:-1], O)

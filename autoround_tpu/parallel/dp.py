@@ -25,7 +25,7 @@ from typing import Any, Callable, Dict
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 __all__ = ["dp_grad_step", "shard_calib_data"]
 
@@ -54,7 +54,7 @@ def dp_grad_step(
         shard_map, mesh=mesh,
         in_specs=(P(), P("dp"), P("dp")),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def step(params, batch_in, batch_ref):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch_in, batch_ref)

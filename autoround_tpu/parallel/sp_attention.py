@@ -87,7 +87,7 @@ def sp_decode_attention_host(q, k_cache, v_cache, pos, n_shards: int,
     Builds a 1-axis mesh over the first ``n_shards`` devices if none is
     given.  Used by tests and as the integration template for a
     time-sharded serving cache."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh
     from jax.sharding import PartitionSpec as P
 

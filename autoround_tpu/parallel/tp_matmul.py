@@ -19,7 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.qmatmul import w4a16_matmul
@@ -44,7 +44,7 @@ def w4a16_matmul_col_tp(x, qweight, scales, group_size: int, mesh: Mesh):
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P("tp", None), P("tp", None)),
-             out_specs=P(None, "tp"), check_rep=False)
+             out_specs=P(None, "tp"), check_vma=False)
     def f(xx, qw, s):
         return w4a16_matmul(xx, qw, s, group_size)
 
@@ -57,7 +57,7 @@ def w4a16_matmul_row_tp(x, qweight, scales, group_size: int, mesh: Mesh):
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(None, "tp"), P(None, "tp"), P(None, "tp")),
-             out_specs=P(), check_rep=False)
+             out_specs=P(), check_vma=False)
     def f(xx, qw, s):
         y = w4a16_matmul(xx, qw, s, group_size)
         return jax.lax.psum(y, "tp")

@@ -588,7 +588,11 @@ class QuantizedLlama:
         tokens = 1
         for d in x.shape[:-1]:
             tokens *= int(d)
-        if (a8_prompt and kind == "w4a16" and tokens >= 256
+        # a8 prompt mode keys on SEQUENCE length, not raw token count: a
+        # (B, 1, D) / (B, D) decode step must stay exact A16 even at
+        # batch >= 256 (the documented prefill_a8 contract).
+        seq = int(x.shape[-2]) if x.ndim >= 3 else tokens
+        if (a8_prompt and kind == "w4a16" and seq >= 256
                 and len(entry) >= 2
                 and (qw.shape[1] * 8) // scales.shape[1] == 128
                 and qw.shape[0] % 256 == 0

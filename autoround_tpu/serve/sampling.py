@@ -124,6 +124,22 @@ def sample_token_sharded(logits_shard: jax.Array,
         inv = jnp.argsort(sort_idx, axis=-1)
         keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
         gv = jnp.where(keep, gv, -jnp.inf)
+        # Flat-distribution guard: the candidate set carries only
+        # tp*C tokens of mass; if every candidate survives the nucleus
+        # filter yet their total mass is still below top_p, tokens
+        # inside the true nucleus were unsampleable this step.  Emit a
+        # device-side warning (first axis member only) so the cap is
+        # visible instead of silent — raise candidates_per_shard.
+        cand_mass = jnp.sum(probs, axis=-1)                      # (B,)
+        truncated = jnp.any((cand_mass < sp.top_p)
+                            & jnp.all(keep_sorted, axis=-1))
+        jax.lax.cond(
+            truncated & (jax.lax.axis_index(axis) == 0),
+            lambda: jax.debug.print(
+                "autoround_tpu sampling: sharded nucleus truncated — "
+                "candidate mass {m:.3f} < top_p; raise "
+                "candidates_per_shard", m=jnp.min(cand_mass)),
+            lambda: None)
     pick = jax.random.categorical(key, gv, axis=-1)              # (B,)
     return jnp.take_along_axis(gi, pick[:, None], axis=-1)[:, 0]
 

@@ -26,7 +26,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import llama
@@ -402,11 +402,11 @@ class TPQuantizedLlama:
         self._prefill_c = jax.jit(shard_map(
             prefill_impl, mesh=mesh,
             in_specs=(pspec, kspec, P("dp", None)),
-            out_specs=(P("dp", None), cspec), check_rep=False))
+            out_specs=(P("dp", None), cspec), check_vma=False))
         self._decode_c = jax.jit(shard_map(
             decode_impl, mesh=mesh,
             in_specs=(pspec, kspec, P("dp"), cspec),
-            out_specs=(P("dp", None), cspec), check_rep=False))
+            out_specs=(P("dp", None), cspec), check_vma=False))
 
         # distributed greedy/top-k head: decode WITHOUT gathering the
         # (B, V/tp) logit shards — shards exchange only winners (greedy,
@@ -436,7 +436,7 @@ class TPQuantizedLlama:
             return jax.jit(shard_map(
                 decode_sample_impl, mesh=mesh,
                 in_specs=(pspec, kspec, P("dp"), cspec, P()),
-                out_specs=(P("dp"), cspec), check_rep=False))
+                out_specs=(P("dp"), cspec), check_vma=False))
 
         self._decode_sample_cache = {}
         self._make_decode_sample = make_decode_sample

@@ -72,6 +72,24 @@ class TestKernelRefs:
         r = np.asarray(w4a8_matmul_ref(x, qw, scales, 128))
         np.testing.assert_allclose(y, r, rtol=1e-4, atol=1e-4)
 
+    def test_w4a8_group256_correct(self):
+        """group_size=256 must produce correct output on every backend:
+        the Pallas kernel pairs byte tiles at a hard 128, so g!=128 must
+        route to the (group-size-agnostic) ref path (ADVICE r4)."""
+        from autoround_tpu.ops.qmatmul_int8 import pack_w4_bytes
+        rng = np.random.default_rng(5)
+        O, K, g = 256, 1024, 256
+        codes = rng.integers(0, 16, (O, K)).astype(np.int32)
+        scales = rng.uniform(0.01, 0.02, (O, K // g)).astype(np.float32)
+        x = rng.normal(size=(4, K)).astype(np.float32)
+        xi, xs = quantize_rows(jnp.asarray(x))
+        w = (codes - 8) * np.repeat(scales, g, axis=1)
+        want = (np.asarray(xi, np.float32) @ w.T) * np.asarray(xs)[:, None]
+        got = np.asarray(w4a8_matmul(
+            jnp.asarray(x), pack_w4_bytes(jnp.asarray(codes)),
+            jnp.asarray(scales), g))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
     def test_w4_bytes_pack_roundtrip(self):
         from autoround_tpu.ops.qmatmul_int8 import (pack_w4_bytes,
                                                     unpack_w4_bytes)
