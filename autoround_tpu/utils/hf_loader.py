@@ -487,7 +487,19 @@ def _map_deepseek_key(sub: str, block: Dict[str, Any], arr) -> bool:
 
 
 def _iter_shards(path: str):
+    """Yield (key, numpy tensor) over all safetensors shards.
+
+    FP8-source checkpoints (DeepSeek-V3/R1 layout: float8 weights with
+    per-128x128-block ``weight_scale_inv`` grids, reference
+    ``modeling/fp8_quant.py:27`` / ``finegrained_fp8_patch.py``) are
+    dequantized to f32 on the fly so they enter the FULL tuning
+    pipeline, not just model-free streaming: the scale tensors are
+    consumed (never yielded) and each fp8 weight is yielded already
+    multiplied out.  Scales are prefetched in a first cheap pass since
+    a weight and its scale may live in different shards."""
     from safetensors import safe_open
+
+    from ..quantize.model_free import _dequant_fp8_source, _load_fp8_as_f32
 
     index_path = os.path.join(path, "model.safetensors.index.json")
     if os.path.exists(index_path):
@@ -496,10 +508,34 @@ def _iter_shards(path: str):
         shard_files = sorted(set(index["weight_map"].values()))
     else:
         shard_files = ["model.safetensors"]
+
+    scales: Dict[str, Any] = {}
     for shard in shard_files:
         with safe_open(os.path.join(path, shard), framework="numpy") as f:
             for key in f.keys():
-                yield key, f.get_tensor(key)
+                if key.endswith((".weight_scale_inv", ".weight_scale")):
+                    scales[key] = f.get_tensor(key)
+
+    for shard in shard_files:
+        sp = os.path.join(path, shard)
+        with safe_open(sp, framework="numpy") as f:
+            for key in f.keys():
+                if key in scales:
+                    continue
+                try:
+                    t = f.get_tensor(key)
+                except Exception:
+                    # float8 payload: numpy safetensors cannot decode it
+                    t = _load_fp8_as_f32(sp, key)
+                    base = key[:-len(".weight")] if key.endswith(
+                        ".weight") else key
+                    s = scales.get(base + ".weight_scale_inv",
+                                   scales.get(base + ".weight_scale"))
+                    if t.ndim == 2:
+                        t = _dequant_fp8_source(t, s)
+                    elif s is not None and s.ndim <= 1 and s.size == 1:
+                        t = t * float(s.reshape(()))
+                yield key, t
 
 
 def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
