@@ -31,8 +31,8 @@ from . import deepseek, llama
 from .deepseek import DeepseekConfig, _mlp, _moe_mlp
 from .llama import rms_norm
 
-__all__ = ["Glm4MoeConfig", "init_params", "block_fwd", "model_fwd",
-           "block_linear_names", "CONFIG_PRESETS"]
+__all__ = ["Glm4MoeConfig", "GlmMoeLiteConfig", "init_params", "block_fwd",
+           "model_fwd", "block_linear_names", "CONFIG_PRESETS"]
 
 
 @dataclass(frozen=True)
@@ -43,7 +43,30 @@ class Glm4MoeConfig(DeepseekConfig):
     partial_rotary_factor: float = 0.5
 
 
+@dataclass(frozen=True)
+class GlmMoeLiteConfig(DeepseekConfig):
+    """GLM-4.6-Lite / "glmflash" (HF ``Glm4MoeLiteForCausalLM``,
+    model_type ``glm4_moe_lite``): architecturally DeepSeek-V2 — MLA
+    attention + DeepSeek-MoE with sigmoid scores, aux-free bias, group
+    limiting and shared experts.  The reference's own GGUF converter
+    exports it as ``MODEL_ARCH.DEEPSEEK2``
+    (``export_to_gguf/conversion/glm.py:204-210``) and its unfused MoE
+    spec (``modeling/unfused_moe/glm_moe_light.py``) is the
+    DeepSeek-V3 routing verbatim, so everything dispatches through
+    :mod:`.deepseek`; this subclass is the registry/loader marker plus
+    GLM presets."""
+
+
 CONFIG_PRESETS: Dict[str, Glm4MoeConfig] = {
+    "tiny-glmlite": GlmMoeLiteConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=3, num_heads=4, num_kv_heads=4, rope_theta=10000.0,
+        q_lora_rank=32, kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2, moe_intermediate_size=64,
+        n_shared_experts=1, first_k_dense=1, routed_scaling_factor=1.8,
+        scoring_func="sigmoid", n_group=2, topk_group=1,
+        norm_topk_prob=True, dtype=jnp.float32),
     "tiny-glm4moe": Glm4MoeConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,
         num_layers=3, num_heads=4, num_kv_heads=2, head_dim=16,

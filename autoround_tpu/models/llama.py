@@ -64,6 +64,9 @@ class LlamaConfig:
     # Gemma3 dual rope: sliding layers use a local base frequency and no
     # scaling; global layers use rope_theta / linear rope_scaling_factor
     rope_local_theta: float = 0.0
+    # Step-3.5: sliding layers rotate a DIFFERENT head fraction than
+    # full-attention layers (swa 1.0 vs full 0.5); 0 → same fraction
+    partial_rotary_factor_local: float = 0.0
     rope_scaling_factor: float = 1.0
     # Llama-3.1+ NTK-by-parts rope scaling:
     # (factor, low_freq_factor, high_freq_factor, original_max_pos)
@@ -262,7 +265,10 @@ def rope_tables(cfg: LlamaConfig, seqlen: int,
     convention; ``rotary_dim = hd * partial_rotary_factor`` (GLM-4.5
     rotates only the leading half of each head).  ``local=True`` builds
     the Gemma3 sliding-layer tables (local base frequency, unscaled)."""
-    hd = int(cfg.hd * cfg.partial_rotary_factor)
+    frac = (cfg.partial_rotary_factor_local
+            if local and cfg.partial_rotary_factor_local
+            else cfg.partial_rotary_factor)
+    hd = int(cfg.hd * frac)
     theta = (cfg.rope_local_theta if local and cfg.rope_local_theta
              else cfg.rope_theta)
     inv_freq = 1.0 / (theta ** (np.arange(0, hd, 2) / hd))

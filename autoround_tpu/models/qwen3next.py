@@ -41,7 +41,7 @@ from . import llama, mixtral
 from .llama import rms_norm
 from .mixtral import MixtralConfig
 
-__all__ = ["Qwen3NextConfig", "init_params", "block_fwd", "model_fwd",
+__all__ = ["Qwen3NextConfig", "Qwen35MoeConfig", "init_params", "block_fwd", "model_fwd",
            "block_linear_names", "block_fwd_for", "CONFIG_PRESETS"]
 
 
@@ -61,7 +61,35 @@ class Qwen3NextConfig(MixtralConfig):
     delta_chunk: int = 64
 
 
+@dataclass(frozen=True)
+class Qwen35MoeConfig(Qwen3NextConfig):
+    """Qwen3.5-MoE (HF ``Qwen3_5MoeForCausalLM``): the Qwen3-Next
+    hybrid (gated DeltaNet linear-attention layers + full-attention
+    layers, sigmoid-gated shared expert) with FUSED per-expert
+    checkpoint stacks and an ``mtp.*`` draft namespace.  Role of the
+    reference's spec (``modeling/fused_moe/qwen3_5_moe.py`` —
+    ``SequentialQwen3_5MoeExperts`` splits ``gate_up_proj``/``down_proj``
+    (E, ·, ·) stacks into per-expert linears, exactly what
+    ``utils/hf_loader.py`` does on load; shared expert + sigmoid
+    ``shared_expert_gate`` as in the replacement's forward).  Text-only
+    positions collapse the interleaved MRoPE to standard rope, so the
+    Qwen3-Next tables apply; MTP draft layers are skipped on load (the
+    reference's GGUF converter treats them as an optional side file)."""
+
+
 CONFIG_PRESETS: Dict[str, Qwen3NextConfig] = {
+    "tiny-qwen35moe": Qwen35MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=64, num_layers=3, num_heads=4,
+        num_kv_heads=2, head_dim=16, partial_rotary_factor=0.25,
+        rope_theta=10000.0, rms_eps=1e-6, qk_norm=True, norm_offset=1.0,
+        layer_types=("linear_attention", "full_attention",
+                     "linear_attention"),
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        num_experts=4, top_k=2, shared_expert_intermediate=64,
+        shared_expert_gate=True, norm_topk_prob=True, delta_chunk=8,
+        dtype=jnp.float32),
     "tiny-qwen3next": Qwen3NextConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,
         moe_intermediate_size=64, num_layers=4, num_heads=4,

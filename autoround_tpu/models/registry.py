@@ -11,9 +11,10 @@ from types import SimpleNamespace
 from typing import Any, Dict
 
 from . import (deepseek, deepseek_vl, dit, ernie45, gemma3vl, glm4moe,
-               glm4vmoe, gptoss, llama, llama4, llava, longcat, minimax,
-               mistral3, mixtral, mllama, mmdit, qwen25omni, qwen25vl,
-               qwen2vl, qwen3next, qwen3omni, qwen3vlmoe)
+               glm4vmoe, glmdsa, gptoss, llama, llama4, llava, longcat,
+               minimax, mistral3, mixtral, mllama, mmdit, qwen25omni,
+               qwen25vl, qwen2vl, qwen3next, qwen3omni, qwen3vlmoe,
+               step35)
 
 __all__ = ["get_model_fns", "ALL_PRESETS"]
 
@@ -194,6 +195,27 @@ def get_model_fns(cfg) -> SimpleNamespace:
             model_fwd=deepseek_vl.model_fwd,
             block_linear_names=deepseek_vl.block_linear_names,
         )
+    if isinstance(cfg, glmdsa.GlmMoeDsaConfig):
+        return SimpleNamespace(
+            init_params=glmdsa.init_params,
+            block_fwd=glmdsa.block_fwd,
+            embed_fwd=llama.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=deepseek.rope_tables,
+            model_fwd=glmdsa.model_fwd,
+            block_linear_names=glmdsa.block_linear_names,
+        )
+    if isinstance(cfg, step35.Step35Config):
+        return SimpleNamespace(
+            init_params=step35.init_params,
+            block_fwd=step35.block_fwd,
+            block_fwd_for=step35.block_fwd_for,  # full vs sliding attn
+            embed_fwd=llama.embed_fwd,
+            final_fwd=llama.final_fwd,
+            rope_tables=llama.rope_tables,
+            model_fwd=step35.model_fwd,
+            block_linear_names=step35.block_linear_names,
+        )
     if isinstance(cfg, longcat.LongcatConfig):
         return SimpleNamespace(
             init_params=longcat.init_params,
@@ -284,6 +306,8 @@ ALL_PRESETS.update(ernie45.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen3vlmoe.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen3omni.CONFIG_PRESETS)
 ALL_PRESETS.update(longcat.CONFIG_PRESETS)
+ALL_PRESETS.update(glmdsa.CONFIG_PRESETS)
+ALL_PRESETS.update(step35.CONFIG_PRESETS)
 ALL_PRESETS.update(glm4vmoe.CONFIG_PRESETS)
 ALL_PRESETS.update(mistral3.CONFIG_PRESETS)
 ALL_PRESETS.update(qwen25vl.CONFIG_PRESETS)

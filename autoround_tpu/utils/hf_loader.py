@@ -65,6 +65,74 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
     intermediate = cfg["intermediate_size"]
     if mt in ("deepseek_v2", "deepseek_v3"):
         return _deepseek_config_from_hf(cfg, mt, dtype)
+    if mt == "glm4_moe_lite":
+        # GLM-4.6-Lite: DeepSeek-V2 architecture with GLM vocab (the
+        # reference exports it as DEEPSEEK2, conversion/glm.py:204)
+        from ..models.glm4moe import GlmMoeLiteConfig
+        return _deepseek_config_from_hf(cfg, "deepseek_v3", dtype,
+                                        cls=GlmMoeLiteConfig)
+    if mt == "glm_moe_dsa":
+        # GLM-5: DeepSeek architecture + DSA lightning-indexer sparse
+        # attention (models/glmdsa.py; ref unfused_moe/glm_moe_dsa.py)
+        from ..models.glmdsa import GlmMoeDsaConfig
+        return _deepseek_config_from_hf(
+            cfg, "deepseek_v3", dtype, cls=GlmMoeDsaConfig,
+            extra=dict(
+                index_n_heads=cfg.get("index_n_heads", 64),
+                index_head_dim=cfg.get("index_head_dim", 128),
+                index_topk=cfg.get("index_topk", 2048),
+                index_layers=tuple(cfg.get("index_layers") or ()),
+            ))
+    if mt == "step3p5":
+        from ..models.step35 import Step35Config
+        other = cfg.get("attention_other_setting") or {}
+        theta = cfg.get("rope_theta", 10000.0)
+        theta_local = 0.0
+        if isinstance(theta, list):
+            theta, theta_local = float(theta[0]), float(theta[1])
+        moe_layers = ()
+        enum = cfg.get("moe_layers_enum")
+        if isinstance(enum, str) and enum.strip():
+            moe_layers = tuple(sorted(int(i) for i in
+                                      enum.strip().split(",")))
+        limits = [v for v in (cfg.get("swiglu_limits") or []) if v]
+        limits_sh = [v for v in (cfg.get("swiglu_limits_shared") or [])
+                     if v]
+        return Step35Config(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg.get("num_attention_groups",
+                                 cfg.get("num_key_value_heads",
+                                         cfg["num_attention_heads"])),
+            head_dim=cfg.get("head_dim"),
+            rope_theta=theta, rope_local_theta=theta_local,
+            rms_eps=cfg.get("rms_norm_eps", 1e-5),
+            tie_embeddings=cfg.get("tie_word_embeddings", False),
+            norm_offset=1.0,      # (1 + w) RMSNorm fold (conversion
+                                  # step3.py:260 stores w+1 for llama.cpp)
+            partial_rotary_factor=0.5,
+            partial_rotary_factor_local=1.0,
+            sliding_window=cfg.get("sliding_window"),
+            layer_types=tuple(cfg.get("layer_types")
+                              or ())[:cfg["num_hidden_layers"]] or None,
+            swa_num_heads=other.get("num_attention_heads", 0),
+            swa_num_kv_heads=other.get("num_attention_groups", 0),
+            moe_layers=moe_layers,
+            moe_num_experts=cfg.get("moe_num_experts", 0),
+            moe_top_k=cfg.get("moe_top_k", 1),
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+            share_expert_dim=cfg.get("share_expert_dim", 0),
+            moe_router_scaling_factor=cfg.get(
+                "moe_router_scaling_factor", 1.0),
+            norm_expert_weight=cfg.get("norm_expert_weight", True),
+            use_moe_router_bias=cfg.get("use_moe_router_bias", False),
+            swiglu_limit=float(limits[0]) if limits else 0.0,
+            swiglu_limit_shared=float(limits_sh[0]) if limits_sh else 0.0,
+            dtype=dtype,
+        )
     if mt == "glm4_moe":
         # GLM-4.5: GQA attention (partial rotary, optional qk-norm) +
         # DeepSeek-V3-style router/MoE
@@ -137,14 +205,19 @@ def config_from_hf(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> LlamaConfig:
             rope_llama3=_llama3_rope(cfg),
             dtype=dtype,
         )
-    if mt == "qwen3_next":
-        from ..models.qwen3next import Qwen3NextConfig
+    if mt in ("qwen3_next", "qwen3_5_moe", "qwen3_5"):
+        # Qwen3.5(-MoE) is the Qwen3-Next hybrid with fused expert
+        # checkpoint stacks + an mtp.* draft namespace (reference
+        # modeling/fused_moe/qwen3_5_moe.py); text-only positions
+        # collapse its interleaved MRoPE to standard rope
+        from ..models.qwen3next import Qwen35MoeConfig, Qwen3NextConfig
+        ncls = Qwen3NextConfig if mt == "qwen3_next" else Qwen35MoeConfig
         step = cfg.get("decoder_sparse_step", 1)
         mlp_only = set(cfg.get("mlp_only_layers") or ())
         if cfg.get("num_experts", 0) and step > 1:
             mlp_only |= {li for li in range(cfg["num_hidden_layers"])
                          if (li + 1) % step != 0}
-        return Qwen3NextConfig(
+        return ncls(
             vocab_size=cfg["vocab_size"],
             hidden_size=cfg["hidden_size"],
             intermediate_size=cfg["intermediate_size"],
@@ -309,7 +382,8 @@ def _llama3_rope(cfg: Dict[str, Any]):
             rs.get("original_max_position_embeddings", 8192))
 
 
-def _deepseek_config_from_hf(cfg: Dict[str, Any], mt: str, dtype):
+def _deepseek_config_from_hf(cfg: Dict[str, Any], mt: str, dtype,
+                             cls=None, extra=None):
     """DeepSeek V2/V3 (MLA + DeepSeek-MoE) HF config → DeepseekConfig.
 
     V3 routers score with sigmoid + aux-free bias and group by top-2 sum
@@ -328,7 +402,8 @@ def _deepseek_config_from_hf(cfg: Dict[str, Any], mt: str, dtype):
             np.log(rs["factor"])) + 1.0
     topk_method = cfg.get("topk_method", "noaux_tc" if v3 else "greedy")
     grouped = topk_method in ("noaux_tc", "group_limited_greedy")
-    return DeepseekConfig(
+    return (cls or DeepseekConfig)(
+        **(extra or {}),
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
         intermediate_size=cfg["intermediate_size"],
@@ -468,6 +543,12 @@ def _map_deepseek_key(sub: str, block: Dict[str, Any], arr) -> bool:
     if sub in _DS_ATTN_MAP:
         block[_DS_ATTN_MAP[sub]] = arr
         return True
+    # GLM-5 DSA lightning indexer (models/glmdsa.py)
+    if sub.startswith("self_attn.indexer."):
+        wname = sub[len("self_attn.indexer."):].rsplit(".weight", 1)[0]
+        if wname in ("q_proj", "k_proj", "weights_proj"):
+            block.setdefault("indexer", {})[wname] = arr
+            return True
     for moe_prefix, dest in (("mlp.experts.", "experts"),
                              ("mlp.shared_experts.", "shared_experts")):
         if not sub.startswith(moe_prefix):
@@ -669,6 +750,23 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
                 continue
             if sub.startswith("mlp.experts."):
                 parts = sub.split(".")
+                # Qwen3.5-MoE fused stacks: gate_up_proj (E, 2I, H) /
+                # down_proj (E, H, I) split per expert on load (role of
+                # the reference's SequentialQwen3_5MoeExperts
+                # _materialize_weights, modeling/fused_moe/qwen3_5_moe.py)
+                if parts[2] in ("gate_up_proj", "down_proj") \
+                        and arr.ndim == 3:
+                    exps = blocks[int(li)]["experts"]
+                    if parts[2] == "gate_up_proj":
+                        I2 = arr.shape[1] // 2
+                        for e in range(arr.shape[0]):
+                            exps[e]["w1"] = arr[e, :I2]
+                            exps[e]["w3"] = arr[e, I2:]
+                    else:
+                        for e in range(arr.shape[0]):
+                            exps[e]["w2"] = arr[e]
+                    n += 1
+                    continue
                 e, wname = int(parts[2]), qmap.get(parts[3])
                 if wname:
                     blocks[int(li)]["experts"][e][wname] = arr
@@ -694,6 +792,17 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16
             if isinstance(b.get("experts"), dict):
                 exp = b["experts"]
                 b["experts"] = [exp[e] for e in sorted(exp)]
+        from ..models.glmdsa import GlmMoeDsaConfig
+        if isinstance(cfg, GlmMoeDsaConfig):
+            # shared-indexer layers carry a copy of the governing
+            # indexer so per-block calibration stays self-contained
+            # (models/glmdsa.py module docstring)
+            governing = None
+            for b in blocks:
+                if "indexer" in b:
+                    governing = b["indexer"]
+                elif governing is not None:
+                    b["indexer"] = dict(governing)
     if is_llama4 or is_q3next:
         # dense (non-MoE) layers got pre-seeded empty expert lists
         for b in blocks:

@@ -85,3 +85,44 @@ class TestRoundTripAndQuantize:
         np.testing.assert_allclose(np.asarray(logits2, np.float32),
                                    np.asarray(want2, np.float32),
                                    rtol=5e-2, atol=5e-2)
+
+
+class TestGlmMoeLite:
+    """GLM-4.6-Lite (``Glm4MoeLiteForCausalLM``): DeepSeek-V2
+    architecture with GLM vocab — the reference's GGUF converter exports
+    it as DEEPSEEK2 (``conversion/glm.py:204``) and its MoE spec is the
+    V3 routing verbatim (``unfused_moe/glm_moe_light.py``)."""
+
+    def test_dispatches_through_deepseek(self):
+        from autoround_tpu.models import deepseek
+        from autoround_tpu.models.glm4moe import GlmMoeLiteConfig
+        from autoround_tpu.models.registry import get_model_fns
+        cfg = glm4moe.CONFIG_PRESETS["tiny-glmlite"]
+        assert isinstance(cfg, GlmMoeLiteConfig)
+        assert get_model_fns(cfg).model_fwd is deepseek.model_fwd
+
+    def test_quantize_and_serve_mla(self):
+        from autoround_tpu.models import deepseek
+        from autoround_tpu.serve import QuantizedLlama
+        cfg = glm4moe.CONFIG_PRESETS["tiny-glmlite"]
+        params = deepseek.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 cfg.vocab_size)
+        res = AutoRound((params, cfg), scheme="W4A16", iters=0).quantize(ids)
+        assert "blocks.1.experts.0.gate_proj" in res.layers
+        assert "blocks.0.q_a_proj" in res.layers
+        # kv_lora_rank > 0 → the MLA latent-cache serving path
+        eng = QuantizedLlama.from_quantize_result(res, cfg, max_seq=32)
+        q = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 256)
+        logits, cache = eng.prefill(q)
+        want = deepseek.model_fwd(res.params, q, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits2, _ = eng.decode_step(tok, cache)
+        seq = jnp.concatenate([q, tok[:, None]], axis=1)
+        want2 = deepseek.model_fwd(res.params, seq, cfg)[:, -1]
+        np.testing.assert_allclose(np.asarray(logits2, np.float32),
+                                   np.asarray(want2, np.float32),
+                                   rtol=5e-2, atol=5e-2)

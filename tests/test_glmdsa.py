@@ -1,0 +1,127 @@
+"""GLM-5 ``GlmMoeDsa`` family: DSA lightning-indexer sparse attention
+over the DeepSeek MLA/MoE base (ref ``modeling/unfused_moe/
+glm_moe_dsa.py``, ``algorithms/block_runner.py:81`` prev_topk_indices
+chaining, ``special_model_handler.py`` glm5 ignore rules).
+
+No public transformers modeling exists to lock logit parity against;
+the numeric anchor is the dense-equivalence property: with
+``index_topk >= S`` the DSA mask reduces to pure causal and the block
+must match ``deepseek.block_fwd`` exactly.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autoround_tpu import AutoRound
+from autoround_tpu.models import deepseek, glmdsa
+from autoround_tpu.models.glmdsa import CONFIG_PRESETS
+
+CFG = CONFIG_PRESETS["tiny-glmdsa"]
+
+
+class TestDsaSemantics:
+    def test_dense_equivalence_at_full_topk(self):
+        """index_topk >= S ⇒ every causal token selected ⇒ exactly the
+        dense MLA block."""
+        cfg = dataclasses.replace(CFG, index_topk=64)
+        p = glmdsa.init_params(cfg, jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 64),
+                              jnp.float32)
+        cos, sin = deepseek.rope_tables(cfg, 16)
+        y_dsa = glmdsa.block_fwd(p["blocks"][1], x, cos, sin, cfg)
+        y_dense = deepseek.block_fwd(p["blocks"][1], x, cos, sin, cfg)
+        np.testing.assert_allclose(np.asarray(y_dsa), np.asarray(y_dense),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_sparse_differs_from_dense(self):
+        p = glmdsa.init_params(CFG, jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 64),
+                              jnp.float32)
+        cos, sin = deepseek.rope_tables(CFG, 32)
+        y_dsa = glmdsa.block_fwd(p["blocks"][1], x, cos, sin, CFG)
+        y_dense = deepseek.block_fwd(p["blocks"][1], x, cos, sin, CFG)
+        assert not np.allclose(np.asarray(y_dsa), np.asarray(y_dense),
+                               atol=1e-5)
+
+    def test_mask_keeps_topk_and_diagonal(self):
+        sc = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16))
+        m = np.asarray(glmdsa.dsa_mask(sc, 4))[0, 0]   # (S, T)
+        kept = m == 0.0
+        # causal: nothing above the diagonal
+        assert not np.triu(kept, k=1).any()
+        # the diagonal always survives
+        assert np.diag(kept).all()
+        # per query at most topk + 1 kept (+1: forced diagonal)
+        assert (kept.sum(axis=1) <= 5).all()
+        # late queries keep exactly topk (no unused budget)
+        assert kept[-1].sum() >= 4
+
+    def test_index_layer_sharing(self):
+        """Shared layers carry a copy of the governing indexer and
+        model_fwd threads the governing layer's indices."""
+        cfg = dataclasses.replace(CFG, index_layers=(0,))
+        p = glmdsa.init_params(cfg, jax.random.PRNGKey(0))
+        for n in ("q_proj", "k_proj", "weights_proj"):
+            assert n in p["blocks"][1]["indexer"]
+            np.testing.assert_array_equal(
+                np.asarray(p["blocks"][0]["indexer"][n]),
+                np.asarray(p["blocks"][1]["indexer"][n]))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 256)
+        y = glmdsa.model_fwd(p, ids, cfg)
+        assert np.isfinite(np.asarray(y)).all()
+
+
+class TestQuantize:
+    def test_quantize_e2e(self):
+        p = glmdsa.init_params(CFG, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 CFG.vocab_size)
+        res = AutoRound((p, CFG), scheme={"bits": 4, "group_size": 16},
+                        iters=2, batch_size=2).quantize(ids)
+        names = set(res.layers)
+        assert "blocks.1.indexer.q_proj" in names
+        assert "blocks.1.experts.0.gate_proj" in names
+        # weights_proj is NEVER quantized (reference glm5 ignore rule)
+        assert not any("weights_proj" in n for n in names)
+        y = glmdsa.model_fwd(res.params, ids, CFG)
+        assert np.isfinite(np.asarray(y)).all()
+
+
+class TestConfigFromHf:
+    def test_glm_moe_dsa_mapping(self):
+        from autoround_tpu.utils.hf_loader import config_from_hf
+        from autoround_tpu.models.glmdsa import GlmMoeDsaConfig
+        cfg = config_from_hf({
+            "model_type": "glm_moe_dsa", "vocab_size": 128,
+            "hidden_size": 64, "intermediate_size": 128,
+            "num_hidden_layers": 3, "num_attention_heads": 4,
+            "q_lora_rank": 32, "kv_lora_rank": 32,
+            "qk_nope_head_dim": 16, "qk_rope_head_dim": 8,
+            "v_head_dim": 16, "n_routed_experts": 8,
+            "num_experts_per_tok": 2, "moe_intermediate_size": 32,
+            "n_shared_experts": 1, "first_k_dense_replace": 1,
+            "routed_scaling_factor": 1.8, "n_group": 2, "topk_group": 1,
+            "norm_topk_prob": True,
+            "index_n_heads": 2, "index_head_dim": 16, "index_topk": 64,
+        })
+        assert isinstance(cfg, GlmMoeDsaConfig)
+        assert cfg.index_n_heads == 2 and cfg.index_topk == 64
+        assert cfg.kv_lora_rank == 32
+
+    def test_glm4_moe_lite_mapping(self):
+        from autoround_tpu.utils.hf_loader import config_from_hf
+        from autoround_tpu.models.glm4moe import GlmMoeLiteConfig
+        cfg = config_from_hf({
+            "model_type": "glm4_moe_lite", "vocab_size": 128,
+            "hidden_size": 64, "intermediate_size": 128,
+            "num_hidden_layers": 3, "num_attention_heads": 4,
+            "q_lora_rank": 0, "kv_lora_rank": 32,
+            "qk_nope_head_dim": 16, "qk_rope_head_dim": 8,
+            "v_head_dim": 16, "n_routed_experts": 8,
+            "num_experts_per_tok": 2, "moe_intermediate_size": 32,
+            "n_shared_experts": 1})
+        assert isinstance(cfg, GlmMoeLiteConfig)
+        assert cfg.kv_lora_rank == 32
