@@ -755,24 +755,69 @@ _ARCH_BLOCK_EXTRA = {
                   "kv_a_layernorm": "attn_kv_a_norm",
                   "kv_b_proj": "attn_kv_b"},
     "gpt-oss": {"sinks": "attn_sinks"},
+    # Qwen3-Next hybrid: full layers carry qk norms; GatedDeltaNet
+    # linear layers map onto the llama.cpp ssm_* slots (qwen3next
+    # conversion; A_log/dt_bias handled specially in the save loop)
+    "qwen3next": {"q_norm": "attn_q_norm", "k_norm": "attn_k_norm",
+                  "in_proj_qkvz": "ssm_in", "in_proj_ba": "ssm_beta_alpha",
+                  "conv1d": "ssm_conv1d", "linear_norm": "ssm_norm",
+                  "out_proj": "ssm_out"},
+    # Qwen3.5-MoE: same tensor layout as qwen3next (QWEN35MOE arch,
+    # ref conversion/qwen.py:625)
+    "qwen35moe": {"q_norm": "attn_q_norm", "k_norm": "attn_k_norm",
+                  "in_proj_qkvz": "ssm_in", "in_proj_ba": "ssm_beta_alpha",
+                  "conv1d": "ssm_conv1d", "linear_norm": "ssm_norm",
+                  "out_proj": "ssm_out"},
+    # Qwen3-VL-MoE text decoder = qwen3moe layout (QWEN3VLMOE arch,
+    # ref conversion/qwen3vl.py:272)
+    "qwen3vlmoe": {"q_norm": "attn_q_norm", "k_norm": "attn_k_norm"},
+    # Step-3.5 (STEP35 arch, ref conversion/step3.py:98): per-head
+    # attention output gate
+    "step35": {"g_proj": "attn_gate"},
 }
 _BIAS_NAME = {"q_bias": "attn_q", "k_bias": "attn_k", "v_bias": "attn_v",
-              "o_bias": "attn_output"}
+              "o_bias": "attn_output",
+              # qwen3next GatedDeltaNet per-head dt bias
+              "dt_bias": "ssm_dt"}
 
 
 def gguf_arch(model_cfg) -> str:
-    """llama.cpp architecture id for a model config."""
+    """llama.cpp architecture id for a model config (enum names at the
+    reference's pinned conversion commit,
+    ``export_to_gguf/LLAMA_CPP_CONVERSION_COMMIT``)."""
     name = type(model_cfg).__name__
     by_cls = {"DeepseekConfig": "deepseek2", "Glm4MoeConfig": "glm4moe",
+              # GLM-4.6-Lite / GLM-5 convert as DEEPSEEK2 trunks
+              # (ref conversion/glm.py:204; the GLM-5 DSA indexer has no
+              # stable mapping — dropped with a warning on save)
+              "GlmMoeLiteConfig": "deepseek2",
+              "GlmMoeDsaConfig": "deepseek2",
               "GptOssConfig": "gpt-oss", "Llama4Config": "llama4",
-              "Qwen3NextConfig": "qwen3next"}
+              "Qwen3NextConfig": "qwen3next",
+              "Qwen35MoeConfig": "qwen35moe",
+              "Mistral3Config": "mistral3",
+              "Step35Config": "step35",
+              "Qwen3VLMoeConfig": "qwen3vlmoe"}
     if name in by_cls:
         return by_cls[name]
+    if name == "Ernie45Config":
+        return ("ernie4_5-moe"
+                if getattr(model_cfg, "moe_num_experts", 0)
+                else "ernie4_5")
+    if name == "MiniMaxConfig":
+        # MiniMax-M1 lightning attention has no llama.cpp architecture;
+        # the reference likewise converts only MiniMax-M2 (standard
+        # attention, conversion/minimax.py)
+        raise NotImplementedError(
+            "GGUF export: MiniMax-M1 lightning attention has no "
+            "llama.cpp architecture (the reference converts MiniMax-M2 "
+            "only)")
     if name == "MixtralConfig":
         return ("qwen3moe" if getattr(model_cfg, "qk_norm", False)
                 else "qwen2moe" if getattr(
                     model_cfg, "shared_expert_intermediate", 0)
                 else "llama")  # Mixtral exports under the llama arch
+                               # with llama.expert_count metadata
     if getattr(model_cfg, "rope_local_theta", 0.0):
         return "gemma3"
     if getattr(model_cfg, "qk_norm", False):
@@ -1230,6 +1275,250 @@ def _load_llama4(meta, tensors, dtype):
     return params, cfg
 
 
+def _load_qwen3next(meta, tensors, dtype, a: str):
+    """qwen3next / qwen35moe loadback: hybrid GatedDeltaNet + MoE."""
+    import jax.numpy as jnp  # noqa: F811
+    import numpy as _np
+    from ..models.qwen3next import Qwen35MoeConfig, Qwen3NextConfig
+    L = int(meta[f"{a}.block_count"])
+    get, getf32 = _mk_get(tensors, dtype)
+    layer_types = tuple(
+        "linear_attention" if f"blk.{bi}.ssm_in.weight" in tensors
+        else "full_attention" for bi in range(L))
+    E = int(meta.get(f"{a}.expert_count", 0))
+    moe_layers = {bi for bi in range(L)
+                  if f"blk.{bi}.ffn_gate_exps.weight" in tensors}
+    cls = Qwen35MoeConfig if a == "qwen35moe" else Qwen3NextConfig
+    hd_meta = meta.get(f"{a}.attention.key_length")
+    hidden = int(meta[f"{a}.embedding_length"])
+    nh = int(meta[f"{a}.attention.head_count"])
+    cfg = cls(
+        vocab_size=int(meta[f"{a}.vocab_size"]),
+        hidden_size=hidden,
+        intermediate_size=int(meta[f"{a}.feed_forward_length"]),
+        moe_intermediate_size=int(meta.get(
+            f"{a}.expert_feed_forward_length", 0)),
+        num_layers=L, num_heads=nh,
+        num_kv_heads=int(meta[f"{a}.attention.head_count_kv"]),
+        head_dim=(int(hd_meta) if hd_meta is not None
+                  and int(hd_meta) != hidden // nh else None),
+        rope_theta=float(meta.get(f"{a}.rope.freq_base", 10000.0)),
+        rms_eps=float(meta.get(
+            f"{a}.attention.layer_norm_rms_epsilon", 1e-6)),
+        tie_embeddings="output.weight" not in tensors,
+        qk_norm=True, norm_offset=1.0,
+        partial_rotary_factor=float(meta.get(
+            f"{a}.rope.partial_rotary_factor", 0.25)),
+        layer_types=layer_types,
+        linear_num_key_heads=int(meta[f"{a}.linear_num_key_heads"]),
+        linear_num_value_heads=int(meta[f"{a}.linear_num_value_heads"]),
+        linear_key_head_dim=int(meta[f"{a}.linear_key_head_dim"]),
+        linear_value_head_dim=int(meta[f"{a}.linear_value_head_dim"]),
+        linear_conv_kernel_dim=int(meta[f"{a}.linear_conv_kernel_dim"]),
+        num_experts=E,
+        top_k=int(meta.get(f"{a}.expert_used_count", 0)),
+        shared_expert_intermediate=int(meta.get(
+            f"{a}.expert_shared_feed_forward_length", 0)),
+        shared_expert_gate="blk.0.ffn_gate_inp_shexp.weight" in tensors,
+        norm_topk_prob=True,
+        mlp_only_layers=tuple(sorted(set(range(L)) - moe_layers))
+        if E else (),
+        dtype=dtype)
+
+    def get_norm(nm):
+        ne, tt, raw = tensors[nm]
+        return jnp.asarray(dequant_tensor(ne, tt, raw) - 1.0, dtype)
+
+    params = {"embed_tokens": get("token_embd.weight"),
+              "norm": get_norm("output_norm.weight"), "blocks": []}
+    if "output.weight" in tensors:
+        params["lm_head"] = get("output.weight")
+    for bi in range(L):
+        p = f"blk.{bi}."
+        b = {"input_layernorm": get_norm(p + "attn_norm.weight"),
+             "post_attention_layernorm": get_norm(p + "ffn_norm.weight")}
+        if layer_types[bi] == "linear_attention":
+            b["in_proj_qkvz"] = get(p + "ssm_in.weight")
+            b["in_proj_ba"] = get(p + "ssm_beta_alpha.weight")
+            b["conv1d"] = get(p + "ssm_conv1d.weight")
+            b["linear_norm"] = get(p + "ssm_norm.weight")  # not shifted
+            b["out_proj"] = get(p + "ssm_out.weight")
+            ne, tt, raw = tensors[p + "ssm_a.weight"]
+            b["A_log"] = jnp.asarray(
+                _np.log(-dequant_tensor(ne, tt, raw)), jnp.float32)
+            ne, tt, raw = tensors[p + "ssm_dt.bias"]
+            b["dt_bias"] = jnp.asarray(dequant_tensor(ne, tt, raw),
+                                       jnp.float32)
+        else:
+            for g, ours in (("attn_q", "q_proj"), ("attn_k", "k_proj"),
+                            ("attn_v", "v_proj"),
+                            ("attn_output", "o_proj")):
+                b[ours] = get(p + g + ".weight")
+            b["q_norm"] = get_norm(p + "attn_q_norm.weight")
+            b["k_norm"] = get_norm(p + "attn_k_norm.weight")
+        if bi in moe_layers:
+            b["experts"] = _load_exps(tensors, get, bi, E,
+                                      proj_keys=("w1", "w3", "w2"))
+            b["router"] = getf32(p + "ffn_gate_inp.weight")
+            if p + "ffn_gate_shexp.weight" in tensors:
+                b["shared_expert"] = {
+                    w: get(p + f"ffn_{g}_shexp.weight")
+                    for w, g in (("w1", "gate"), ("w3", "up"),
+                                 ("w2", "down"))}
+            if p + "ffn_gate_inp_shexp.weight" in tensors:
+                b["shared_expert_gate"] = getf32(
+                    p + "ffn_gate_inp_shexp.weight")
+        else:
+            for g, ours in (("ffn_gate", "gate_proj"), ("ffn_up",
+                            "up_proj"), ("ffn_down", "down_proj")):
+                if p + g + ".weight" in tensors:
+                    b[ours] = get(p + g + ".weight")
+        params["blocks"].append(b)
+    return params, cfg
+
+
+def _load_ernie_moe(meta, tensors, dtype):
+    """ernie4_5-moe loadback (dense ernie4_5 rides the generic path)."""
+    from ..models.ernie45 import Ernie45Config
+    a = "ernie4_5-moe"
+    L = int(meta[f"{a}.block_count"])
+    get, getf32 = _mk_get(tensors, dtype)
+    E = int(meta.get(f"{a}.expert_count", 0))
+    mi = int(meta.get(f"{a}.expert_feed_forward_length", 0))
+    shexp_w = int(meta.get(f"{a}.expert_shared_feed_forward_length", 0))
+    hidden = int(meta[f"{a}.embedding_length"])
+    nh = int(meta[f"{a}.attention.head_count"])
+    hd_meta = meta.get(f"{a}.attention.key_length")
+    cfg = Ernie45Config(
+        vocab_size=int(meta[f"{a}.vocab_size"]),
+        hidden_size=hidden,
+        intermediate_size=int(meta[f"{a}.feed_forward_length"]),
+        num_layers=L, num_heads=nh,
+        num_kv_heads=int(meta[f"{a}.attention.head_count_kv"]),
+        head_dim=(int(hd_meta) if hd_meta is not None
+                  and int(hd_meta) != hidden // nh else None),
+        rope_theta=float(meta.get(f"{a}.rope.freq_base", 10000.0)),
+        rms_eps=float(meta.get(
+            f"{a}.attention.layer_norm_rms_epsilon", 1e-5)),
+        tie_embeddings="output.weight" not in tensors,
+        moe_num_experts=E,
+        moe_k=int(meta.get(f"{a}.expert_used_count", 0)),
+        moe_intermediate_size=mi,
+        moe_num_shared_experts=(shexp_w // mi if mi else 0),
+        moe_layer_start_index=int(meta.get(
+            f"{a}.leading_dense_block_count", 0)),
+        moe_layer_interval=int(meta.get(
+            f"{a}.interleave_moe_layer_step", 1)),
+        dtype=dtype)
+    params = {"embed_tokens": get("token_embd.weight"),
+              "norm": get("output_norm.weight"), "blocks": []}
+    if "output.weight" in tensors:
+        params["lm_head"] = get("output.weight")
+    for bi in range(L):
+        p = f"blk.{bi}."
+        b = {}
+        for g, ours in _GGUF_BLOCK_INV.items():
+            if p + g + ".weight" in tensors:
+                b[ours] = get(p + g + ".weight")
+        for g, ours in (("attn_q", "q_bias"), ("attn_k", "k_bias"),
+                        ("attn_v", "v_bias")):
+            if p + g + ".bias" in tensors:
+                b[ours] = get(p + g + ".bias")
+        if p + "ffn_gate_exps.weight" in tensors:
+            b["experts"] = _load_exps(tensors, get, bi, E)
+            b["router"] = getf32(p + "ffn_gate_inp.weight")
+            if p + "exp_probs_b.bias" in tensors:
+                b["e_score_correction_bias"] = getf32(
+                    p + "exp_probs_b.bias")
+            if p + "ffn_gate_shexp.weight" in tensors:
+                b["shared_experts"] = {
+                    f"{g}_proj": get(p + f"ffn_{g}_shexp.weight")
+                    for g in ("gate", "up", "down")}
+        params["blocks"].append(b)
+    return params, cfg
+
+
+def _load_step35(meta, tensors, dtype):
+    """step35 loadback: hybrid full/sliding with per-type heads, MoE."""
+    import jax.numpy as jnp  # noqa: F811
+    from ..models.step35 import Step35Config
+    a = "step35"
+    L = int(meta[f"{a}.block_count"])
+    get, getf32 = _mk_get(tensors, dtype)
+    E = int(meta.get(f"{a}.expert_count", 0))
+    lt = tuple((meta.get(f"{a}.layer_types") or "").split(",")) or None
+    ml = tuple(int(i) for i in (meta.get(f"{a}.moe_layers") or "").split(
+        ",") if i != "")
+    hidden = int(meta[f"{a}.embedding_length"])
+    nh = int(meta[f"{a}.attention.head_count"])
+    hd_meta = meta.get(f"{a}.attention.key_length")
+    cfg = Step35Config(
+        vocab_size=int(meta[f"{a}.vocab_size"]),
+        hidden_size=hidden,
+        intermediate_size=int(meta[f"{a}.feed_forward_length"]),
+        num_layers=L, num_heads=nh,
+        num_kv_heads=int(meta[f"{a}.attention.head_count_kv"]),
+        head_dim=(int(hd_meta) if hd_meta is not None
+                  and int(hd_meta) != hidden // nh else None),
+        rope_theta=float(meta.get(f"{a}.rope.freq_base", 10000.0)),
+        rope_local_theta=float(meta.get(f"{a}.rope.freq_base_swa", 0.0)),
+        rms_eps=float(meta.get(
+            f"{a}.attention.layer_norm_rms_epsilon", 1e-5)),
+        tie_embeddings="output.weight" not in tensors,
+        norm_offset=1.0, partial_rotary_factor=0.5,
+        partial_rotary_factor_local=1.0,
+        sliding_window=(int(meta[f"{a}.attention.sliding_window"])
+                        if meta.get(f"{a}.attention.sliding_window")
+                        else None),
+        layer_types=lt if lt and lt[0] else None,
+        swa_num_heads=int(meta.get(f"{a}.swa.head_count", 0)),
+        swa_num_kv_heads=int(meta.get(f"{a}.swa.head_count_kv", 0)),
+        moe_layers=ml, moe_num_experts=E,
+        moe_top_k=int(meta.get(f"{a}.expert_used_count", 0)),
+        moe_intermediate_size=int(meta.get(
+            f"{a}.expert_feed_forward_length", 0)),
+        share_expert_dim=int(meta.get(
+            f"{a}.expert_shared_feed_forward_length", 0)),
+        moe_router_scaling_factor=float(meta.get(
+            f"{a}.expert_weights_scale", 1.0)),
+        use_moe_router_bias="blk.%d.ffn_gate_inp.bias" % (
+            ml[0] if ml else 0) in tensors,
+        swiglu_limit=float(meta.get(f"{a}.swiglu_clamp_exp", 0.0)),
+        swiglu_limit_shared=float(meta.get(
+            f"{a}.swiglu_clamp_shexp", 0.0)),
+        dtype=dtype)
+
+    def get_norm(nm):
+        ne, tt, raw = tensors[nm]
+        return jnp.asarray(dequant_tensor(ne, tt, raw) - 1.0, dtype)
+
+    params = {"embed_tokens": get("token_embd.weight"),
+              "norm": get_norm("output_norm.weight"), "blocks": []}
+    if "output.weight" in tensors:
+        params["lm_head"] = get("output.weight")
+    for bi in range(L):
+        p = f"blk.{bi}."
+        b = {"input_layernorm": get_norm(p + "attn_norm.weight"),
+             "post_attention_layernorm": get_norm(p + "ffn_norm.weight")}
+        for g, ours in (("attn_q", "q_proj"), ("attn_k", "k_proj"),
+                        ("attn_v", "v_proj"), ("attn_output", "o_proj"),
+                        ("attn_gate", "g_proj"), ("ffn_gate", "gate_proj"),
+                        ("ffn_up", "up_proj"), ("ffn_down", "down_proj")):
+            if p + g + ".weight" in tensors:
+                b[ours] = get(p + g + ".weight")
+        if p + "ffn_gate_exps.weight" in tensors:
+            b["experts"] = _load_exps(tensors, get, bi, E)
+            b["gate"] = getf32(p + "ffn_gate_inp.weight")
+            if p + "ffn_gate_inp.bias" in tensors:
+                b["router_bias"] = getf32(p + "ffn_gate_inp.bias")
+            if p + "ffn_gate_shexp.weight" in tensors:
+                b["shared_expert"] = {
+                    f"{g}_proj": get(p + f"ffn_{g}_shexp.weight")
+                    for g in ("gate", "up", "down")}
+        params["blocks"].append(b)
+    return params, cfg
+
+
 def load_gguf_checkpoint(path: str, dtype=None):
     """Load a llama-architecture .gguf file back into (params, LlamaConfig)
     with dequantized weights — the GGUF-file eval path (reference
@@ -1243,7 +1532,8 @@ def load_gguf_checkpoint(path: str, dtype=None):
     arch = meta.get("general.architecture", "llama")
     if arch not in ("llama", "qwen2", "qwen3", "gemma2", "gemma3",
                     "qwen2moe", "qwen3moe", "deepseek2", "gpt-oss",
-                    "llama4"):
+                    "llama4", "mistral3", "ernie4_5", "ernie4_5-moe",
+                    "qwen3next", "qwen35moe", "qwen3vlmoe", "step35"):
         raise NotImplementedError(f"gguf arch {arch!r} not supported")
     if arch == "deepseek2":
         return _load_deepseek2(meta, tensors, dtype)
@@ -1251,8 +1541,20 @@ def load_gguf_checkpoint(path: str, dtype=None):
         return _load_gptoss(meta, tensors, dtype)
     if arch == "llama4":
         return _load_llama4(meta, tensors, dtype)
+    if arch in ("qwen3next", "qwen35moe"):
+        return _load_qwen3next(meta, tensors, dtype, arch)
+    if arch == "ernie4_5-moe":
+        return _load_ernie_moe(meta, tensors, dtype)
+    if arch == "step35":
+        return _load_step35(meta, tensors, dtype)
+    # mistral3 / dense ernie4_5 are llama-layout; qwen3vlmoe's TEXT
+    # decoder is qwen3moe-layout (vision lives in a separate mmproj file,
+    # llama.cpp convention) — all ride the generic path below
     gemma = arch in ("gemma2", "gemma3")
-    moe = arch in ("qwen2moe", "qwen3moe")
+    moe = arch in ("qwen2moe", "qwen3moe", "qwen3vlmoe")
+    # Mixtral exports under the llama arch with expert metadata
+    if arch == "llama" and meta.get("llama.expert_count"):
+        moe = True
     num_layers = int(meta[f"{arch}.block_count"])
     n_heads = int(meta[f"{arch}.attention.head_count"])
     hidden = int(meta[f"{arch}.embedding_length"])
@@ -1269,7 +1571,10 @@ def load_gguf_checkpoint(path: str, dtype=None):
             shared_expert_intermediate=shexp_ff,
             shared_expert_gate=("blk.0.ffn_gate_inp_shexp.weight"
                                 in tensors),
-            norm_topk_prob=arch == "qwen3moe")
+            norm_topk_prob=bool(int(meta.get(
+                f"{arch}.expert_weights_norm",
+                1 if arch in ("qwen3moe", "llama", "qwen3vlmoe")
+                else 0))))
         inter = int(meta.get(f"{arch}.expert_feed_forward_length")
                     or meta[f"{arch}.feed_forward_length"])
     else:
@@ -1291,7 +1596,7 @@ def load_gguf_checkpoint(path: str, dtype=None):
             f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
         tie_embeddings="output.weight" not in tensors,
         attn_bias=arch in ("qwen2", "qwen2moe"),
-        qk_norm=arch in ("qwen3", "gemma3", "qwen3moe"),
+        qk_norm=arch in ("qwen3", "gemma3", "qwen3moe", "qwen3vlmoe"),
         norm_offset=1.0 if gemma else 0.0,
         hidden_act="gelu_tanh" if gemma else "silu",
         embed_scale=gemma,
@@ -1438,12 +1743,14 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
         nonlocal n_tuned, n_imx
         arr = np.asarray(arr, np.float32)
         if arr.ndim == 1:
-            if kind != "bias" and arch in ("gemma2", "gemma3"):
-                # llama.cpp gemma convention: norm gains are stored
-                # SHIFTED by +1 (Gemma*RMSNorm computes (1 + w) * x; the
-                # reference converter adds 1 at write,
-                # conversion/gemma.py modify_tensors) — llama.cpp then
-                # uses the stored value directly
+            if (kind != "bias" and kind != "ssm_norm"
+                    and arch in ("gemma2", "gemma3", "qwen3next",
+                                 "qwen35moe", "step35")):
+                # llama.cpp convention for zero-centered RMSNorms: gains
+                # are stored SHIFTED by +1 ((1 + w) * x models — gemma,
+                # qwen3next, step3.5; the reference converters add 1 at
+                # write, conversion/gemma.py + step3.py modify_tensors).
+                # The gated ssm_norm is NOT zero-centered and stays raw.
                 arr = arr + float(getattr(model_cfg, "norm_offset", 1.0))
             tensors.append((name, (arr.shape[0],), GGMLType.F32, arr))
             return
@@ -1453,6 +1760,11 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
             t = GGMLType.F32
         elif kind in ("ffn_gate_inp", "ffn_gate_inp_shexp"):
             t = GGMLType.F32   # routers stay f32 (llama.cpp convention)
+        elif kind in ("ssm_conv1d", "ssm_beta_alpha"):
+            # conv taps and delta-rule gate params are tiny and
+            # precision-critical (in_proj_ba stays FP even in
+            # quantization — models/qwen3next.block_linear_names)
+            t = GGMLType.F32
         elif mixed:
             nh = getattr(model_cfg, "num_heads", 0)
             nkv = getattr(model_cfg, "num_kv_heads", 0) or nh
@@ -1553,10 +1865,21 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
         if block.get("shared_expert_gate") is not None:
             add(f"blk.{bi}.ffn_gate_inp_shexp.weight",
                 block["shared_expert_gate"], "ffn_gate_inp_shexp", bi)
+        if "A_log" in block and arch in ("qwen3next", "qwen35moe"):
+            # llama.cpp ssm convention stores A = -exp(A_log) f32
+            a = -np.exp(np.asarray(block["A_log"], np.float32))
+            tensors.append((f"blk.{bi}.ssm_a.weight", (a.shape[0],),
+                            GGMLType.F32, a))
+        if "indexer" in block:
+            logger.warning(
+                "gguf export: blk %d DSA indexer tensors dropped — no "
+                "stable llama.cpp mapping at the pinned conversion "
+                "commit (trunk exports as deepseek2)", bi)
         for ours, arr in block.items():
             if ours in ("experts", "router", "router_bias", "gate",
                         "shared_expert", "shared_experts",
-                        "shared_expert_gate", "e_score_correction_bias"):
+                        "shared_expert_gate", "e_score_correction_bias",
+                        "A_log", "indexer"):
                 continue
             if ours in _BIAS_NAME:
                 add(f"blk.{bi}.{_BIAS_NAME[ours]}.bias", arr, "bias", bi)
@@ -1703,6 +2026,92 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
         if model_cfg.attn_scale is not None:
             metadata.append((f"{arch}.attention.query_pre_attn_scalar",
                              _T_F32, float(model_cfg.attn_scale) ** 2))
+    # generic MoE metadata for the arches not covered by a dedicated
+    # block above: mixtral-as-llama (llama.cpp stores llama.expert_count
+    # next to the ffn_*_exps tensors), ernie4_5-moe, the qwen3next
+    # family, qwen3vlmoe, step35, glm4moe
+    _moe_done = ("qwen2moe", "qwen3moe", "deepseek2", "gpt-oss", "llama4")
+    n_exp = int(getattr(model_cfg, "num_experts", 0)
+                or getattr(model_cfg, "n_routed_experts", 0)
+                or getattr(model_cfg, "moe_num_experts", 0) or 0)
+    if n_exp and arch not in _moe_done:
+        used = int(getattr(model_cfg, "top_k", 0)
+                   or getattr(model_cfg, "num_experts_per_tok", 0)
+                   or getattr(model_cfg, "moe_k", 0)
+                   or getattr(model_cfg, "moe_top_k", 0) or 0)
+        eff = int(getattr(model_cfg, "moe_intermediate_size", 0)
+                  or model_cfg.intermediate_size)
+        metadata += [
+            (f"{arch}.expert_count", _T_U32, n_exp),
+            (f"{arch}.expert_used_count", _T_U32, used),
+            (f"{arch}.expert_feed_forward_length", _T_U32, eff),
+        ]
+        shexp = int(getattr(model_cfg, "shared_expert_intermediate", 0)
+                    or getattr(model_cfg, "share_expert_dim", 0)
+                    or (getattr(model_cfg, "moe_num_shared_experts", 0)
+                        or getattr(model_cfg, "n_shared_experts", 0) or 0)
+                    * int(getattr(model_cfg, "moe_intermediate_size", 0)
+                          or 0))
+        if shexp:
+            metadata.append(
+                (f"{arch}.expert_shared_feed_forward_length", _T_U32,
+                 shexp))
+        metadata.append((f"{arch}.expert_weights_norm", _T_U32,
+                         int(bool(getattr(model_cfg, "norm_topk_prob",
+                                          False)))))
+    if arch == "ernie4_5-moe":
+        metadata += [
+            (f"{arch}.leading_dense_block_count", _T_U32,
+             int(getattr(model_cfg, "moe_layer_start_index", 0))),
+            (f"{arch}.interleave_moe_layer_step", _T_U32,
+             int(getattr(model_cfg, "moe_layer_interval", 1))),
+        ]
+    if arch in ("qwen3next", "qwen35moe"):
+        # GatedDeltaNet geometry — needed to rebuild the hybrid on load
+        lt = getattr(model_cfg, "layer_types", None) or ()
+        full = [i for i, t in enumerate(lt) if t == "full_attention"]
+        metadata += [
+            (f"{arch}.linear_num_key_heads", _T_U32,
+             int(model_cfg.linear_num_key_heads)),
+            (f"{arch}.linear_num_value_heads", _T_U32,
+             int(model_cfg.linear_num_value_heads)),
+            (f"{arch}.linear_key_head_dim", _T_U32,
+             int(model_cfg.linear_key_head_dim)),
+            (f"{arch}.linear_value_head_dim", _T_U32,
+             int(model_cfg.linear_value_head_dim)),
+            (f"{arch}.linear_conv_kernel_dim", _T_U32,
+             int(model_cfg.linear_conv_kernel_dim)),
+            # every Nth layer is full attention (qwen3next: 4)
+            (f"{arch}.full_attention_interval", _T_U32,
+             (full[0] + 1) if full else 4),
+            (f"{arch}.rope.partial_rotary_factor", _T_F32,
+             float(model_cfg.partial_rotary_factor)),
+        ]
+    if arch == "qwen3vlmoe":
+        metadata.append(
+            (f"{arch}.n_deepstack_layers", _T_U32,
+             len(getattr(model_cfg, "deepstack_visual_indexes", ()) or ())))
+    if arch == "step35":
+        metadata += [
+            (f"{arch}.layer_types", _T_STR,
+             ",".join(model_cfg.layer_types or ())),
+            (f"{arch}.moe_layers", _T_STR, ",".join(
+                str(i) for i in (model_cfg.moe_layers or ()))),
+            (f"{arch}.swa.head_count", _T_U32,
+             int(model_cfg.swa_num_heads or 0)),
+            (f"{arch}.swa.head_count_kv", _T_U32,
+             int(model_cfg.swa_num_kv_heads or 0)),
+            (f"{arch}.attention.sliding_window", _T_U32,
+             int(model_cfg.sliding_window or 0)),
+            (f"{arch}.rope.freq_base_swa", _T_F32,
+             float(model_cfg.rope_local_theta or 0.0)),
+            (f"{arch}.swiglu_clamp_exp", _T_F32,
+             float(getattr(model_cfg, "swiglu_limit", 0.0))),
+            (f"{arch}.swiglu_clamp_shexp", _T_F32,
+             float(getattr(model_cfg, "swiglu_limit_shared", 0.0))),
+            (f"{arch}.expert_weights_scale", _T_F32,
+             float(getattr(model_cfg, "moe_router_scaling_factor", 1.0))),
+        ]
     if tokenizer is not None:
         metadata.extend(tokenizer_metadata(tokenizer))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
