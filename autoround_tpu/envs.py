@@ -41,6 +41,11 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # instead.  Kept as an opt-in for future XLA fusion behavior.
     "AR_PREFILL_DEQUANT_TOKENS": lambda: int(os.environ.get(
         "AR_PREFILL_DEQUANT_TOKENS", "0")),
+    # per-phase wall-clock attribution inside quantize_model (adds
+    # block_until_ready syncs at phase boundaries — small serialization
+    # cost, exact attribution; flagship profiling, docs/flagship_r05)
+    "AR_PROFILE_PHASES": lambda: os.environ.get(
+        "AR_PROFILE_PHASES", "0") == "1",
     # isolate hub dataset loading in a spawn subprocess (calib_data.py)
     "AR_CALIB_SUBPROCESS": lambda: os.environ.get(
         "AR_CALIB_SUBPROCESS", "0") == "1",

@@ -136,6 +136,10 @@ class QuantizedLayer:
     act_scale: Optional[jax.Array] = None       # static act scale (FP8/int)
     act_global_scale: Optional[jax.Array] = None  # NVFP4 global scale
     extras: Optional[Dict[str, Any]] = None      # GGUF dq export payload
+    # W4-sym packed nibble planes captured at the offload pull — the
+    # serving engine reuses them verbatim (host->HBM transfer of 0.5
+    # byte/weight instead of re-deriving codes and shipping int32)
+    packed_w4: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
 
 @dataclass
@@ -149,6 +153,8 @@ class QuantizeResult:
     # GGUF export reuses them to weighted-search UNTUNED/upgraded layers
     # (reference imatrix packer args, export_to_gguf/packing.py:658,788)
     imatrices: Dict[str, np.ndarray] = field(default_factory=dict)
+    # wall-clock phase breakdown (seconds) when AR_PROFILE_PHASES=1
+    profile: Dict[str, float] = field(default_factory=dict)
 
 
 _APPLY_CACHE: Dict[Any, Callable] = {}
@@ -723,6 +729,18 @@ def quantize_model(
     # dispatched hides the transfer entirely under the compute
     _prefetched: Dict[int, Any] = {}
 
+    # per-phase wall-clock attribution (AR_PROFILE_PHASES=1): syncs at
+    # phase boundaries so each bucket is true device+host time
+    _prof: Optional[Dict[str, float]] = (
+        {} if envs.AR_PROFILE_PHASES else None)
+
+    def _phase(key: str, t0: float, sync=None):
+        if _prof is None:
+            return
+        if sync is not None:
+            jax.block_until_ready(sync)
+        _prof[key] = _prof.get(key, 0.0) + (_time.time() - t0)
+
     def _block_on_device(bi: int, raw):
         if not cfg.offload_params:
             return raw
@@ -766,10 +784,14 @@ def quantize_model(
         am = _attn_mask_for(bi)
         cb, sb = (cosl, sinl) if _use_sliding_fn(bi) else (cos, sin)
         bf_i = _block_fwd_for(bi)
+        _t0 = _time.time()
         block = _block_on_device(bi, block)
+        _phase("upload", _t0, block)
+        _t0 = _time.time()
         ref_out = _batched_block_apply(block, x_fp, cb, sb, model_cfg,
                                        cfg.cache_batch, attn_mask=am,
                                        block_fwd=bf_i)
+        _phase("fp_ref", _t0, ref_out)
         _prefetch_next(bi)
         if not schemes:
             new_blocks.append(block)
@@ -883,10 +905,12 @@ def quantize_model(
                         s.super_bits, s.super_group_size, s.sym,
                         imatrix=im_tune.get(lname))
                 tune_extras = ex or None
+            _t0 = _time.time()
             best, info = tune_block(
                 block_fn, tune_weights, tune_in, ref_out, schemes, tcfg,
                 mask=mask, lfq_fn=lfq_fn, init_scales=init_scales,
                 norm_bias_leaves=nb_leaves, extras=tune_extras)
+            _phase("tune", _t0, best)
             traces[bi] = info["loss_trace"]
             logger.info(
                 "block %d: loss iter0 %.6f -> best %.6f (%.1fs)",
@@ -914,6 +938,7 @@ def quantize_model(
                     qdq_block = set_by_path(
                         qdq_block, nname,
                         qdq_asym_wo_round(leaf, p["v"]).astype(leaf.dtype))
+            _t0 = _time.time()
             for lname, scheme in schemes.items():
                 w_orig = get_by_path(block, lname)
                 ql = _finalize_layer(f"blocks.{bi}.{lname}", w_orig,
@@ -922,6 +947,7 @@ def quantize_model(
                 qdq_block = set_by_path(qdq_block, lname,
                                         ql.qdq.astype(w_orig.dtype))
                 layers[ql.name] = ql
+            _phase("finalize", _t0, qdq_block)
         else:
             im: Dict[str, jax.Array] = {}
             if cfg.use_imatrix:
@@ -953,11 +979,14 @@ def quantize_model(
         # reference's persistent WrapperWALayer)
         x_fp = ref_out
         if x_q is not None:
+            _t0 = _time.time()
             x_q = _batched_block_apply(qdq_block, x_q, cb, sb, model_cfg,
                                        cfg.cache_batch, linear_fn=act_lf,
                                        attn_mask=am, block_fwd=bf_i)
+            _phase("qchain", _t0, x_q)
         x_fp, x_q = _apply_extras(bi, x_fp, x_q)
         if cfg.offload_params:
+            _t0 = _time.time()
             # qdq result returns to host; only the caches stay in HBM.
             # Host-link bytes are the offload regime's bottleneck, so:
             #   * W4-sym-g layers transfer PACKED int4 codes + scales
@@ -1005,6 +1034,10 @@ def quantize_model(
                 ql = layers[f"blocks.{bi}.{lname}"]
                 ql.qdq = qdq_np
                 ql.scale = scale_np
+                # keep the exact packed words for the serving engine
+                # (from_quantize_result ships these verbatim: 0.5
+                # byte/weight host->HBM instead of re-derived int32)
+                ql.packed_w4 = (words_np, scale_np)
                 qdq_block = set_by_path(qdq_block, lname, qdq_np)
             qdq_block = jax.tree.map(
                 lambda t: t if isinstance(t, np.ndarray) else np.asarray(t),
@@ -1024,6 +1057,7 @@ def quantize_model(
                 ql.scale = np.asarray(ql.scale)
                 if ql.zp is not None:
                     ql.zp = np.asarray(ql.zp)
+            _phase("pull", _t0)
         if cfg.offload_params:
             # each iteration leaves ~one bf16 block copy (device upload /
             # pre-pull qdq tree) in REFERENCE CYCLES that only gen-2 gc
@@ -1032,8 +1066,10 @@ def quantize_model(
             # occasional gc dips).  Collect deterministically per block —
             # microseconds against a ~50 s tuning window.
             block = None       # release this block's device upload now
+            _t0 = _time.time()
             import gc as _gc
             _gc.collect()
+            _phase("gc", _t0)
         if monitor is not None:
             monitor.log_summary(f"block {bi}")
             from ..utils.memory import log_live_arrays
@@ -1104,7 +1140,13 @@ def quantize_model(
             shard_writer.add_many(_pack_layer(layers["lm_head"]))
         shard_writer.finalize()
 
+    if _prof is not None:
+        total = sum(_prof.values())
+        logger.info("phase profile (%.1fs attributed): %s", total,
+                    {k: round(v, 1) for k, v in sorted(
+                        _prof.items(), key=lambda kv: -kv[1])})
     return QuantizeResult(params=new_params, layers=layers,
                           loss_traces=traces,
                           attention_scales=attention_scales,
-                          imatrices=imatrices)
+                          imatrices=imatrices,
+                          profile=dict(_prof or {}))

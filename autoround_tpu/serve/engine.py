@@ -357,6 +357,24 @@ class QuantizedLlama:
                     and np.asarray(ql.qdq).shape[0] % 256 == 0
                     and np.asarray(ql.qdq).shape[1] % 256 == 0):
                 kind = "w4a8"
+            pw4 = getattr(ql, "packed_w4", None)
+            if kind == "w4a16" and pw4 is not None:
+                # offload pull already produced the exact nibble planes —
+                # ship them verbatim (0.5 byte/weight host->HBM instead
+                # of re-deriving codes and pushing int32 through the
+                # tunnel; measured dominant pack cost at 8B)
+                words_np, scale_np = pw4
+                packed[name] = (jnp.asarray(words_np),
+                                jnp.asarray(scale_np))
+                kinds[name] = kind
+                parts = name.split(".", 2)
+                if parts[0] == "blocks":
+                    from ..utils.pytree import set_by_path
+                    params["blocks"][int(parts[1])] = set_by_path(
+                        params["blocks"][int(parts[1])], parts[2], None)
+                elif name == "lm_head" and "lm_head" in params:
+                    params["lm_head"] = None
+                continue
             qdq = np.asarray(ql.qdq, np.float32)
             O, K = qdq.shape
             if kind == "w4a16" and K % (8 * g) == 0:

@@ -760,3 +760,439 @@ def load_gemma3vl_checkpoint(path: str, dtype=None):
     logger.info("loaded Gemma3-VL %s: %d blocks, %d vision blocks", path,
                 cfg.num_layers, cfg.v_layers)
     return params, cfg
+
+
+# --------------------------------------------------------------------
+# Round-5 loaders: the remaining VLM/omni families (VERDICT r4 item 8).
+# Each maps a flat {hf_key: tensor} state dict into the family's
+# functional pytree; tested against in-container transformers
+# state_dicts where the model ships (glm4v_moe, mistral3, mllama,
+# qwen2_5_omni, qwen3_omni_moe) and synthetic layouts otherwise
+# (DeepSeek-VL2 — transformers<5 has no VL2 modeling).
+
+
+def _lm_block_into(blocks, lm_key, params, arr, extra_map=None):
+    """Shared language-decoder key routing (llama-style names)."""
+    if lm_key == "model.embed_tokens.weight":
+        params["embed_tokens"] = arr
+    elif lm_key == "model.norm.weight":
+        params["norm"] = arr
+    elif lm_key == "lm_head.weight":
+        params["lm_head"] = arr
+    elif lm_key.startswith("model.layers."):
+        rest = lm_key[len("model.layers."):]
+        li, sub = rest.split(".", 1)
+        if extra_map and sub in extra_map:
+            blocks[int(li)][extra_map[sub]] = arr
+        elif sub in _BLOCK_MAP:
+            blocks[int(li)][_BLOCK_MAP[sub]] = arr
+        else:
+            return False
+    else:
+        return False
+    return True
+
+
+def glm4vmoe_params_from_state(state, cfg, dtype=None) -> Dict[str, Any]:
+    """HF ``Glm4vMoeForConditionalGeneration`` state dict → pytree of
+    ``models.glm4vmoe`` (conv3d patch embed + RMSNorm ViT + bicubic pos
+    resample tower; GLM-MoE text decoder with attention biases)."""
+    dtype = dtype or cfg.dtype
+    blocks: List[Dict[str, Any]] = [
+        ({"experts": [dict() for _ in range(cfg.n_routed_experts)]}
+         if cfg.layer_is_moe(li) else {})
+        for li in range(cfg.num_layers)]
+    vt: Dict[str, Any] = {"blocks": [dict() for _ in range(cfg.v_layers)],
+                          "merger": {}}
+    params: Dict[str, Any] = {"blocks": blocks, "visual": vt}
+    vmap = {"norm1.weight": "ln1", "norm2.weight": "ln2",
+            "attn.qkv.weight": "qkv", "attn.qkv.bias": "qkv_b",
+            "attn.proj.weight": "proj",
+            "mlp.gate_proj.weight": "gate_proj",
+            "mlp.up_proj.weight": "up_proj",
+            "mlp.down_proj.weight": "down_proj"}
+    mmap = {"proj.weight": "proj",
+            "post_projection_norm.weight": "ln_g",
+            "post_projection_norm.bias": "ln_b",
+            "gate_proj.weight": "gate_proj",
+            "up_proj.weight": "up_proj",
+            "down_proj.weight": "down_proj"}
+    bias_map = {"self_attn.q_proj.bias": "q_bias",
+                "self_attn.k_proj.bias": "k_bias",
+                "self_attn.v_proj.bias": "v_bias"}
+    for key, tensor in state.items():
+        arr = jnp.asarray(np.asarray(tensor)).astype(dtype)
+        k = key
+        for pre in ("model.language_model.", "language_model.model.",
+                    "language_model."):
+            if k.startswith(pre):
+                k = "model." + k[len(pre):]
+                break
+        if k == "lm_head.weight":
+            params["lm_head"] = arr
+            continue
+        if k.startswith("model.layers."):
+            rest = k[len("model.layers."):]
+            li, sub = rest.split(".", 1)
+            li = int(li)
+            if sub in bias_map:
+                blocks[li][bias_map[sub]] = arr
+                continue
+            if sub == "mlp.gate.weight":
+                blocks[li]["gate"] = arr
+                continue
+            if sub == "mlp.gate.e_score_correction_bias":
+                blocks[li]["e_score_correction_bias"] = jnp.asarray(
+                    np.asarray(tensor), jnp.float32)
+                continue
+            if sub.startswith("mlp.experts."):
+                parts = sub.split(".")
+                if (len(parts) >= 5 and parts[4] == "weight"
+                        and parts[3] in ("gate_proj", "up_proj",
+                                         "down_proj")):
+                    blocks[li]["experts"][int(parts[2])][parts[3]] = arr
+                continue
+            if sub.startswith("mlp.shared_experts."):
+                wname = sub[len("mlp.shared_experts."):].rsplit(
+                    ".weight", 1)[0]
+                blocks[li].setdefault("shared_experts", {})[wname] = arr
+                continue
+            if _lm_block_into(blocks, k, params, arr):
+                continue
+            continue
+        if _lm_block_into(blocks, k, params, arr):
+            continue
+        v = k
+        for pre in ("model.visual.", "visual."):
+            if v.startswith(pre):
+                v = v[len(pre):]
+                break
+        else:
+            continue
+        if v == "patch_embed.proj.weight":
+            w = np.asarray(tensor)
+            vt["patch_embed"] = jnp.asarray(
+                w.reshape(w.shape[0], -1)).astype(dtype)
+        elif v == "patch_embed.proj.bias":
+            vt["patch_embed_b"] = arr
+        elif v == "post_conv_layernorm.weight":
+            vt["post_conv_ln_g"] = arr
+        elif v == "embeddings.position_embedding.weight":
+            vt["pos_embed"] = arr
+        elif v == "post_layernorm.weight":
+            vt["post_ln_g"] = arr
+        elif v == "downsample.weight":
+            vt["downsample"] = arr
+        elif v == "downsample.bias":
+            vt["downsample_b"] = arr
+        elif v.startswith("merger."):
+            sub = v[len("merger."):]
+            if sub in mmap:
+                vt["merger"][mmap[sub]] = arr
+        elif v.startswith("blocks."):
+            li, sub = v[len("blocks."):].split(".", 1)
+            if sub in vmap:
+                vt["blocks"][int(li)][vmap[sub]] = arr
+    if getattr(cfg, "tie_embeddings", False):
+        params.pop("lm_head", None)
+    return params
+
+
+def mistral3_params_from_state(state, cfg, dtype=None) -> Dict[str, Any]:
+    """HF ``Mistral3ForConditionalGeneration`` state dict → pytree of
+    ``models.mistral3`` (Pixtral interleaved-2D-rope ViT + patch-merger
+    projector + mistral decoder)."""
+    dtype = dtype or cfg.dtype
+    blocks = [dict() for _ in range(cfg.num_layers)]
+    vis: Dict[str, Any] = {"blocks": [dict() for _ in range(cfg.v_layers)]}
+    params: Dict[str, Any] = {"blocks": blocks, "visual": vis}
+    vmap = {"attention_norm.weight": "attn_norm",
+            "ffn_norm.weight": "ffn_norm",
+            "attention.q_proj.weight": "q_proj",
+            "attention.k_proj.weight": "k_proj",
+            "attention.v_proj.weight": "v_proj",
+            "attention.o_proj.weight": "o_proj",
+            "feed_forward.gate_proj.weight": "gate_proj",
+            "feed_forward.up_proj.weight": "up_proj",
+            "feed_forward.down_proj.weight": "down_proj"}
+    for key, tensor in state.items():
+        arr = jnp.asarray(np.asarray(tensor)).astype(dtype)
+        k = key
+        for pre in ("model.language_model.", "language_model.model.",
+                    "language_model."):
+            if k.startswith(pre):
+                k = "model." + k[len(pre):]
+                break
+        if k == "lm_head.weight":
+            params["lm_head"] = arr
+            continue
+        if _lm_block_into(blocks, k, params, arr):
+            continue
+        v = k
+        for pre in ("model.vision_tower.", "vision_tower."):
+            if v.startswith(pre):
+                v = v[len(pre):]
+                break
+        else:
+            if "multi_modal_projector." in k:
+                sub = k.split("multi_modal_projector.", 1)[1]
+                if sub == "norm.weight":
+                    vis["proj_norm"] = arr
+                elif sub == "patch_merger.merging_layer.weight":
+                    vis["merge"] = arr
+                elif sub == "linear_1.weight":
+                    vis["fc1"] = arr
+                elif sub == "linear_2.weight":
+                    vis["fc2"] = arr
+            continue
+        if v == "patch_conv.weight":
+            w = np.asarray(tensor)
+            vis["patch_embed"] = jnp.asarray(
+                w.reshape(w.shape[0], -1)).astype(dtype)
+        elif v == "ln_pre.weight":
+            vis["ln_pre"] = arr
+        elif v.startswith("transformer.layers."):
+            li, sub = v[len("transformer.layers."):].split(".", 1)
+            if sub in vmap:
+                vis["blocks"][int(li)][vmap[sub]] = arr
+    if getattr(cfg, "tie_embeddings", False):
+        params.pop("lm_head", None)
+    return params
+
+
+def mllama_params_from_state(state, cfg, dtype=None) -> Dict[str, Any]:
+    """HF Mllama (Llama-3.2 Vision) text-decoder state dict → pytree of
+    ``models.mllama`` (self blocks + gated cross-attention blocks).
+
+    Accepts ``language_model.model.*`` / ``model.*`` / bare prefixes (the
+    latter is what ``MllamaTextModel.state_dict()`` emits).  The vision
+    tower here is this repo's simplified CLIP-class ViT, so HF vision
+    keys are NOT mapped; tower weights stay at their passed-in values
+    (quantization-relevant parity is the text decoder the reference
+    tunes, ``mllm/template.py`` mllama)."""
+    import jax as _jax
+    dtype = dtype or cfg.dtype
+    from ..models import mllama as _mllama
+    # vision tower/projector initialize deterministically (simplified
+    # CLIP-class design); the text decoder below is overwritten from
+    # the state dict
+    params = _mllama.init_params(cfg, _jax.random.PRNGKey(0))
+    blocks = params["blocks"]
+    cross_map = {"cross_attn.q_proj.weight": "cross_q_proj",
+                 "cross_attn.k_proj.weight": "cross_k_proj",
+                 "cross_attn.v_proj.weight": "cross_v_proj",
+                 "cross_attn.o_proj.weight": "cross_o_proj",
+                 "cross_attn.q_norm.weight": "cross_q_norm",
+                 "cross_attn.k_norm.weight": "cross_k_norm"}
+    for key, tensor in state.items():
+        arr = jnp.asarray(np.asarray(tensor)).astype(dtype)
+        k = key
+        for pre in ("language_model.model.", "model.language_model.",
+                    "language_model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        else:
+            if k.startswith("model."):
+                k = k[len("model."):]
+        if k == "embed_tokens.weight":
+            # HF mllama appends 8 special image rows past vocab_size
+            params["embed_tokens"] = arr[:cfg.vocab_size]
+            continue
+        if k == "norm.weight":
+            params["norm"] = arr
+            continue
+        if k in ("lm_head.weight",):
+            params["lm_head"] = arr
+            continue
+        if not k.startswith("layers."):
+            continue
+        li, sub = k[len("layers."):].split(".", 1)
+        li = int(li)
+        if sub in cross_map:
+            blocks[li][cross_map[sub]] = arr
+        elif sub == "cross_attn_attn_gate":
+            blocks[li]["gate_attn"] = jnp.asarray(
+                np.asarray(tensor), jnp.float32).reshape(())
+        elif sub == "cross_attn_mlp_gate":
+            blocks[li]["gate_ffn"] = jnp.asarray(
+                np.asarray(tensor), jnp.float32).reshape(())
+        elif sub in _BLOCK_MAP:
+            blocks[li][_BLOCK_MAP[sub]] = arr
+    if getattr(cfg, "tie_embeddings", False):
+        params.pop("lm_head", None)
+    return params
+
+
+_AUDIO_BLOCK_MAP = {
+    "self_attn_layer_norm.weight": "ln1_g",
+    "self_attn_layer_norm.bias": "ln1_b",
+    "self_attn.q_proj.weight": "q_proj", "self_attn.q_proj.bias": "q_b",
+    "self_attn.k_proj.weight": "k_proj", "self_attn.k_proj.bias": "k_b",
+    "self_attn.v_proj.weight": "v_proj", "self_attn.v_proj.bias": "v_b",
+    "self_attn.out_proj.weight": "out_proj",
+    "self_attn.out_proj.bias": "out_b",
+    "final_layer_norm.weight": "ln2_g", "final_layer_norm.bias": "ln2_b",
+    "fc1.weight": "fc1", "fc1.bias": "fc1_b",
+    "fc2.weight": "fc2", "fc2.bias": "fc2_b",
+}
+
+
+def _audio_tower_from_state(state, cfg, dtype, *, v3: bool):
+    """Audio-encoder keys (bare / ``audio_tower.`` / ``thinker.audio_tower.``
+    prefixes) → the ``audio_tower`` sub-pytree of qwen25omni/qwen3omni.
+
+    ``v3`` selects the Qwen3-Omni layout (three conv2d stages + conv_out
+    + two projections) vs the Qwen2.5-Omni whisper-lineage layout (two
+    conv1d stages + proj); the whisper k_proj has no bias — zeros."""
+    top_v2 = {"conv1.weight": "conv1", "conv1.bias": "conv1_b",
+              "conv2.weight": "conv2", "conv2.bias": "conv2_b",
+              "ln_post.weight": "ln_post_g", "ln_post.bias": "ln_post_b",
+              "proj.weight": "proj", "proj.bias": "proj_b"}
+    top_v3 = {"conv2d1.weight": "conv1", "conv2d1.bias": "conv1_b",
+              "conv2d2.weight": "conv2", "conv2d2.bias": "conv2_b",
+              "conv2d3.weight": "conv3", "conv2d3.bias": "conv3_b",
+              "conv_out.weight": "conv_out",
+              "ln_post.weight": "ln_post_g", "ln_post.bias": "ln_post_b",
+              "proj1.weight": "proj1", "proj1.bias": "proj1_b",
+              "proj2.weight": "proj2", "proj2.bias": "proj2_b"}
+    top = top_v3 if v3 else top_v2
+    at: Dict[str, Any] = {"blocks": [dict() for _ in range(cfg.a_layers)]}
+    found = False
+    for key, tensor in state.items():
+        k = key
+        for pre in ("thinker.audio_tower.", "model.audio_tower.",
+                    "audio_tower."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        arr = jnp.asarray(np.asarray(tensor)).astype(dtype)
+        if k in top:
+            at[top[k]] = arr
+            found = True
+        elif k.startswith("layers."):
+            li, sub = k[len("layers."):].split(".", 1)
+            if sub in _AUDIO_BLOCK_MAP:
+                at["blocks"][int(li)][_AUDIO_BLOCK_MAP[sub]] = arr
+                found = True
+    if not found:
+        return None
+    if not v3:
+        for b in at["blocks"]:
+            # whisper-lineage attention: k_proj carries no bias
+            b.setdefault("k_b", jnp.zeros((cfg.a_d_model,), dtype))
+    return at
+
+
+def qwen25omni_params_from_state(state, cfg, dtype=None) -> Dict[str, Any]:
+    """HF Qwen2.5-Omni thinker state dict → pytree of
+    ``models.qwen25omni``: the vision/decoder side IS qwen25vl (config
+    subclass — reuses :func:`qwen25vl_params_from_state`), plus the
+    whisper-lineage audio tower.  Accepts ``thinker.*`` prefixes."""
+    dtype = dtype or cfg.dtype
+    stripped = {}
+    for k, t in state.items():
+        kk = k[len("thinker."):] if k.startswith("thinker.") else k
+        stripped[kk] = t
+    params = qwen25vl_params_from_state(stripped, cfg, dtype)
+    at = _audio_tower_from_state(stripped, cfg, dtype, v3=False)
+    if at is not None:
+        params["audio_tower"] = at
+    return params
+
+
+def qwen3omni_params_from_state(state, cfg, dtype=None) -> Dict[str, Any]:
+    """HF Qwen3-Omni-MoE thinker state dict → pytree of
+    ``models.qwen3omni``: text/vision via
+    :func:`qwen3vlmoe_params_from_state`, plus the conv2d-stack audio
+    tower."""
+    dtype = dtype or cfg.dtype
+    stripped = {}
+    for k, t in state.items():
+        kk = k[len("thinker."):] if k.startswith("thinker.") else k
+        stripped[kk] = t
+    params = qwen3vlmoe_params_from_state(stripped, cfg, dtype)
+    at = _audio_tower_from_state(stripped, cfg, dtype, v3=True)
+    if at is not None:
+        params["audio_tower"] = at
+    return params
+
+
+def deepseek_vl_params_from_state(state, cfg, dtype=None) -> Dict[str, Any]:
+    """DeepSeek-VL2-layout state dict → pytree of ``models.deepseek_vl``
+    (SigLIP tower + pixel-shuffle projector over a DeepSeek-MLA text
+    decoder).  Key layout follows the published VL2 checkpoints:
+    ``language.model.*`` (DeepSeek keys), ``vision.*`` (timm-style ViT:
+    patch_embed.proj, blocks.N.{norm1,norm2,attn.qkv,attn.proj,mlp.fc1,
+    mlp.fc2}, norm), ``projector.layers.{0,2}`` (transformers<5 ships no
+    VL2 modeling — layout locked by the synthetic roundtrip test)."""
+    dtype = dtype or cfg.dtype
+    from .hf_loader import _map_deepseek_key
+    n_exp = cfg.n_routed_experts
+    blocks: List[Dict[str, Any]] = [dict() for _ in range(cfg.num_layers)]
+    vt: Dict[str, Any] = {"blocks": [dict() for _ in range(cfg.v_layers)]}
+    params: Dict[str, Any] = {"blocks": blocks, "vision_tower": vt,
+                              "mm_projector": {}}
+    vmap = {"norm1.weight": "ln1_g", "norm1.bias": "ln1_b",
+            "norm2.weight": "ln2_g", "norm2.bias": "ln2_b",
+            "attn.qkv.weight": "qkv", "attn.qkv.bias": "qkv_b",
+            "attn.proj.weight": "proj", "attn.proj.bias": "proj_b",
+            "mlp.fc1.weight": "fc1", "mlp.fc1.bias": "fc1_b",
+            "mlp.fc2.weight": "fc2", "mlp.fc2.bias": "fc2_b"}
+    for key, tensor in state.items():
+        arr = jnp.asarray(np.asarray(tensor)).astype(dtype)
+        if key.startswith(("language.model.", "language_model.model.")):
+            k = key.split("model.", 1)[1]
+            if k == "embed_tokens.weight":
+                params["embed_tokens"] = arr
+            elif k == "norm.weight":
+                params["norm"] = arr
+            elif k.startswith("layers."):
+                li, sub = k[len("layers."):].split(".", 1)
+                li = int(li)
+                if sub == "mlp.gate.weight":
+                    blocks[li]["gate"] = arr
+                elif sub == "mlp.gate.e_score_correction_bias":
+                    blocks[li]["e_score_correction_bias"] = jnp.asarray(
+                        np.asarray(tensor), jnp.float32)
+                else:
+                    _map_deepseek_key(sub, blocks[li], arr)
+            continue
+        if key in ("language.lm_head.weight", "lm_head.weight"):
+            params["lm_head"] = arr
+            continue
+        if key.startswith("vision."):
+            v = key[len("vision."):]
+            if v == "patch_embed.proj.weight":
+                w = np.asarray(tensor)
+                vt["patch_embed"] = jnp.asarray(
+                    w.transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
+                    if w.ndim == 4 else w.reshape(w.shape[0], -1)
+                ).astype(dtype)
+            elif v == "patch_embed.proj.bias":
+                vt["patch_embed_b"] = arr
+            elif v == "pos_embed":
+                vt["pos_embed"] = arr.reshape(-1, arr.shape[-1])
+            elif v == "norm.weight":
+                vt["post_ln_g"] = arr
+            elif v == "norm.bias":
+                vt["post_ln_b"] = arr
+            elif v.startswith("blocks."):
+                li, sub = v[len("blocks."):].split(".", 1)
+                if sub in vmap:
+                    vt["blocks"][int(li)][vmap[sub]] = arr
+            continue
+        if key.startswith("projector.layers."):
+            idx, rest = key[len("projector.layers."):].split(".", 1)
+            slot = "fc1" if idx == "0" else "fc2"
+            if rest == "weight":
+                params["mm_projector"][slot] = arr
+            elif rest == "bias":
+                params["mm_projector"][slot + "_b"] = arr
+    for b in blocks:
+        if isinstance(b.get("experts"), dict):
+            exp = b["experts"]
+            b["experts"] = [exp[e] for e in sorted(exp)]
+    if getattr(cfg, "tie_embeddings", False):
+        params.pop("lm_head", None)
+    return params

@@ -104,7 +104,12 @@ def main():
     ap.add_argument("--out", default="/tmp/e2e_flagship.json")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--skip-quant", action="store_true")
+    ap.add_argument("--profile", action="store_true",
+                    help="per-phase wall-clock attribution "
+                         "(AR_PROFILE_PHASES; adds phase-boundary syncs)")
     args = ap.parse_args()
+    if args.profile:
+        os.environ["AR_PROFILE_PHASES"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -142,6 +147,12 @@ def main():
         summary["quant_wall_s"] = round(tq, 1)
         summary["quant_peak_rss_gb"] = round(monitor.peak_rss_gb, 2)
         summary["quant_peak_hbm_gb"] = round(monitor.peak_device_gb, 2)
+        if res.profile:
+            summary["phase_profile_s"] = {
+                k: round(v, 1) for k, v in sorted(
+                    res.profile.items(), key=lambda kv: -kv[1])}
+            summary["phase_profile_other_s"] = round(
+                tq - sum(res.profile.values()), 1)
         print(f"quantize wall-clock: {tq/60:.1f} min "
               f"(peak RSS {monitor.peak_rss_gb:.1f} GB, "
               f"peak HBM {monitor.peak_device_gb:.1f} GB)", flush=True)

@@ -105,3 +105,74 @@ class TestQuantize:
         assert any("experts." in n for n in qnames)
         y = deepseek_vl.model_fwd(res.params, _inputs(seed=5), CFG)
         assert np.isfinite(np.asarray(y)).all()
+
+
+class TestStateDictLoader:
+    """Synthetic-layout roundtrip for the DeepSeek-VL2 state-dict loader
+    (transformers<5 ships no VL2 modeling — layout per the published
+    checkpoints: language.model.* / vision.* / projector.layers.*;
+    VERDICT r4 item 8, mmdit_loader pattern)."""
+
+    def test_roundtrip(self):
+        from autoround_tpu.utils.hf_loader import _DS_ATTN_MAP
+        from autoround_tpu.utils.vlm_loader import (
+            deepseek_vl_params_from_state)
+        p0 = deepseek_vl.init_params(CFG, jax.random.PRNGKey(0))
+        inv_ds = {v: k for k, v in _DS_ATTN_MAP.items()}
+        state = {
+            "language.model.embed_tokens.weight": np.asarray(
+                p0["embed_tokens"]),
+            "language.model.norm.weight": np.asarray(p0["norm"]),
+            "language.lm_head.weight": np.asarray(p0["lm_head"]),
+        }
+        for li, b in enumerate(p0["blocks"]):
+            pre = f"language.model.layers.{li}."
+            for ours, arr in b.items():
+                if ours == "experts":
+                    for e, ew in enumerate(arr):
+                        for wn, w in ew.items():
+                            state[pre + f"mlp.experts.{e}.{wn}.weight"] \
+                                = np.asarray(w)
+                elif ours == "shared_experts":
+                    for wn, w in arr.items():
+                        state[pre + f"mlp.shared_experts.{wn}.weight"] \
+                            = np.asarray(w)
+                elif ours == "gate":
+                    state[pre + "mlp.gate.weight"] = np.asarray(arr)
+                elif ours == "e_score_correction_bias":
+                    state[pre + "mlp.gate.e_score_correction_bias"] = \
+                        np.asarray(arr)
+                elif ours in inv_ds:
+                    state[pre + inv_ds[ours]] = np.asarray(arr)
+        vt = p0["vision_tower"]
+        D = CFG.v_hidden
+        ps = CFG.patch_size
+        # timm conv layout (D, 3, P, P); the loader re-flattens it the
+        # (P, P, 3) row-major way _siglip_fwd patchifies
+        state["vision.patch_embed.proj.weight"] = np.asarray(
+            vt["patch_embed"]).reshape(D, ps, ps, 3).transpose(0, 3, 1, 2)
+        state["vision.patch_embed.proj.bias"] = np.asarray(
+            vt["patch_embed_b"])
+        state["vision.pos_embed"] = np.asarray(vt["pos_embed"])[None]
+        state["vision.norm.weight"] = np.asarray(vt["post_ln_g"])
+        state["vision.norm.bias"] = np.asarray(vt["post_ln_b"])
+        vinv = {"ln1_g": "norm1.weight", "ln1_b": "norm1.bias",
+                "ln2_g": "norm2.weight", "ln2_b": "norm2.bias",
+                "qkv": "attn.qkv.weight", "qkv_b": "attn.qkv.bias",
+                "proj": "attn.proj.weight", "proj_b": "attn.proj.bias",
+                "fc1": "mlp.fc1.weight", "fc1_b": "mlp.fc1.bias",
+                "fc2": "mlp.fc2.weight", "fc2_b": "mlp.fc2.bias"}
+        for li, vb in enumerate(vt["blocks"]):
+            for ours, hf_n in vinv.items():
+                state[f"vision.blocks.{li}.{hf_n}"] = np.asarray(vb[ours])
+        mp = p0["mm_projector"]
+        state["projector.layers.0.weight"] = np.asarray(mp["fc1"])
+        state["projector.layers.0.bias"] = np.asarray(mp["fc1_b"])
+        state["projector.layers.2.weight"] = np.asarray(mp["fc2"])
+        state["projector.layers.2.bias"] = np.asarray(mp["fc2_b"])
+
+        params = deepseek_vl_params_from_state(state, CFG, jnp.float32)
+        inputs = _inputs()
+        y0 = np.asarray(deepseek_vl.model_fwd(p0, inputs, CFG))
+        y1 = np.asarray(deepseek_vl.model_fwd(params, inputs, CFG))
+        np.testing.assert_allclose(y1, y0, rtol=1e-5, atol=1e-5)

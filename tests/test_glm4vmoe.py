@@ -185,3 +185,38 @@ class TestQuantize:
         assert "tiny-glm4vmoe" in ALL_PRESETS
         assert get_model_fns(CFG).model_fwd is glm4vmoe.model_fwd
         assert get_vlm_template(CFG).model_type == "glm_image"
+
+
+class TestStateDictLoader:
+    """The flat state-dict loader (``utils/vlm_loader.
+    glm4vmoe_params_from_state``) must reproduce the module-ported
+    params from the REAL HF state dict (VERDICT r4 item 8)."""
+
+    def test_matches_hf_logits(self, pair):
+        from autoround_tpu.utils.vlm_loader import glm4vmoe_params_from_state
+        hf, _ = pair
+        state = {k: v.detach().float().numpy()
+                 for k, v in hf.state_dict().items()}
+        params = glm4vmoe_params_from_state(state, CFG, jnp.float32)
+        ids = np.arange(20, 34, dtype=np.int64)[None]
+        with torch.no_grad():
+            want = hf(input_ids=torch.from_numpy(ids)).logits.numpy()
+        got = np.asarray(glm4vmoe.model_fwd(params, jnp.asarray(ids), CFG))
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    def test_multimodal_matches_hf(self, pair):
+        from autoround_tpu.utils.vlm_loader import glm4vmoe_params_from_state
+        hf, _ = pair
+        state = {k: v.detach().float().numpy()
+                 for k, v in hf.state_dict().items()}
+        params = glm4vmoe_params_from_state(state, CFG, jnp.float32)
+        ids, pixels, grid = _mm_batch()
+        with torch.no_grad():
+            want = hf(input_ids=torch.from_numpy(ids),
+                      pixel_values=torch.from_numpy(pixels),
+                      image_grid_thw=torch.tensor(grid)).logits.numpy()
+        inputs = {"input_ids": jnp.asarray(ids),
+                  "pixel_values": jnp.asarray(pixels),
+                  "grid_thw": [tuple(g) for g in grid]}
+        got = np.asarray(glm4vmoe.model_fwd(params, inputs, CFG))
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)

@@ -156,3 +156,41 @@ class TestQuantize:
         assert "tiny-mistral3" in ALL_PRESETS
         assert get_model_fns(CFG).model_fwd is mistral3.model_fwd
         assert get_vlm_template(CFG).model_type == "mistral3"
+
+
+class TestStateDictLoader:
+    """``utils/vlm_loader.mistral3_params_from_state`` against the REAL
+    HF state dict (VERDICT r4 item 8)."""
+
+    def test_matches_hf_logits(self, pair):
+        from autoround_tpu.utils.vlm_loader import mistral3_params_from_state
+        hf, _ = pair
+        state = {k: v.detach().float().numpy()
+                 for k, v in hf.state_dict().items()}
+        params = mistral3_params_from_state(state, CFG, jnp.float32)
+        ids = np.arange(20, 34, dtype=np.int64)[None]
+        with torch.no_grad():
+            want = hf(input_ids=torch.from_numpy(ids)).logits.numpy()
+        got = np.asarray(mistral3.model_fwd(
+            params, jnp.asarray(ids), CFG))
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    def test_multimodal_matches_hf(self, pair):
+        from autoround_tpu.utils.vlm_loader import mistral3_params_from_state
+        hf, _ = pair
+        state = {k: v.detach().float().numpy()
+                 for k, v in hf.state_dict().items()}
+        params = mistral3_params_from_state(state, CFG, jnp.float32)
+        ids, image, patches, grid = _mm_batch()
+        h, w = grid[0]
+        ps = CFG.patch_size
+        with torch.no_grad():
+            want = hf(input_ids=torch.from_numpy(ids),
+                      pixel_values=torch.from_numpy(image[None]),
+                      image_sizes=torch.tensor([[h * ps, w * ps]])
+                      ).logits.numpy()
+        inputs = {"input_ids": jnp.asarray(ids),
+                  "pixel_values": jnp.asarray(patches),
+                  "grid_hw": [tuple(g) for g in grid]}
+        got = np.asarray(mistral3.model_fwd(params, inputs, CFG))
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)

@@ -158,3 +158,35 @@ class TestQuantize:
         assert any("cross_q_proj" in n for n in qnames), sorted(qnames)
         y = mllama.model_fwd(res.params, _inputs(), CFG)
         assert np.isfinite(np.asarray(y)).all()
+
+
+class TestStateDictLoader(TestHFParity):
+    """``utils/vlm_loader.mllama_params_from_state`` maps the REAL
+    MllamaTextModel state dict (bare-prefix keys) — decoder output must
+    match HF with cross states (VERDICT r4 item 8).  Inherits the
+    HF-model fixture."""
+
+    def test_matches_hf_decoder(self, pair):
+        from autoround_tpu.utils.vlm_loader import mllama_params_from_state
+        hf, _, torch = pair
+        state = {k: v.detach().float().numpy()
+                 for k, v in hf.state_dict().items()}
+        params = mllama_params_from_state(state, CFG, jnp.float32)
+        rng = np.random.default_rng(5)
+        B, S, Tv = 2, 10, CFG.vision_tokens
+        ids = rng.integers(2, CFG.vocab_size, (B, S)).astype(np.int64)
+        vis = rng.standard_normal((B, Tv, CFG.hidden_size)).astype(
+            np.float32) * 0.5
+        with torch.no_grad():
+            want = hf(input_ids=torch.from_numpy(ids),
+                      cross_attention_states=torch.from_numpy(vis)
+                      ).last_hidden_state.numpy()
+        x = llama.embed_fwd(params, jnp.asarray(ids, jnp.int32), CFG)
+        x_aug = jnp.concatenate([x, jnp.asarray(vis)], axis=1)
+        cos, sin = llama.rope_tables(CFG, S)
+        for bi, b in enumerate(params["blocks"]):
+            x_aug = mllama.block_fwd_for(CFG, bi)(b, x_aug, cos, sin, CFG)
+        ours = llama.rms_norm(x_aug[:, :S], params["norm"], CFG.rms_eps,
+                              CFG.norm_offset)
+        np.testing.assert_allclose(np.asarray(ours, np.float32), want,
+                                   rtol=2e-4, atol=2e-4)

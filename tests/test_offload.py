@@ -93,3 +93,38 @@ class TestOffloadPackedPull:
             if np.asarray(q0).shape[1] % (8 * g) == 0:
                 n_pack += 1
         assert n_pack > 0  # the packed-pull path must actually trigger
+
+
+class TestPackedW4Reuse:
+    """The offload pull retains the exact W4 nibble planes
+    (``QuantizedLayer.packed_w4``); the serving engine must ship them
+    verbatim and produce an engine IDENTICAL to the recompute path
+    (round-5 pack-time optimization — 0.5 byte/weight host->HBM)."""
+
+    def test_engine_identical_with_and_without(self, setup):
+        from autoround_tpu.serve import QuantizedLlama
+        cfg, params, ids = setup
+        r = AutoRound((params, cfg), scheme="W4A16G32", iters=0,
+                      offload_params=True).quantize(ids)
+        assert any(ql.packed_w4 is not None for ql in r.layers.values())
+        e1 = QuantizedLlama.from_quantize_result(r, cfg, max_seq=32)
+        for ql in r.layers.values():
+            ql.packed_w4 = None
+        e2 = QuantizedLlama.from_quantize_result(r, cfg, max_seq=32)
+        assert set(e1.packed) == set(e2.packed)
+        for k in e1.packed:
+            for a, b in zip(e1.packed[k], e2.packed[k]):
+                np.testing.assert_array_equal(np.asarray(a),
+                                              np.asarray(b), err_msg=k)
+        q = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 64)
+        l1, _ = e1.prefill(q)
+        l2, _ = e2.prefill(q)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    def test_profile_populated(self, setup, monkeypatch):
+        cfg, params, ids = setup
+        monkeypatch.setenv("AR_PROFILE_PHASES", "1")
+        r = AutoRound((params, cfg), scheme="W4A16G32", iters=2,
+                      offload_params=True).quantize(ids)
+        assert r.profile and "tune" in r.profile and "pull" in r.profile
+        assert all(v >= 0 for v in r.profile.values())

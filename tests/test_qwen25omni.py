@@ -127,3 +127,57 @@ class TestQuantize:
         assert "blocks.0.q_proj" in res.layers
         y = qwen25omni.model_fwd(res.params, inputs, CFG)
         assert np.isfinite(np.asarray(y)).all()
+
+
+class TestStateDictLoader:
+    """``utils/vlm_loader._audio_tower_from_state`` builds the audio
+    tower from the REAL encoder state dict; output must match HF
+    (VERDICT r4 item 8 — omni loader path)."""
+
+    def test_audio_tower_from_state(self, audio_pair):
+        from autoround_tpu.utils.vlm_loader import _audio_tower_from_state
+        hf, _ = audio_pair
+        sd = {k: v.detach().float().numpy()
+              for k, v in hf.state_dict().items()}
+        at = _audio_tower_from_state(sd, CFG, jnp.float32, v3=False)
+        assert at is not None
+        T = CFG.a_chunk
+        rng = np.random.default_rng(11)
+        mel = rng.standard_normal((T, CFG.n_mels)).astype(np.float32)
+        with torch.no_grad():
+            want = hf(torch.from_numpy(mel.T),
+                      feature_lens=torch.tensor([T]),
+                      aftercnn_lens=torch.tensor([T // 2])
+                      ).last_hidden_state.numpy()
+        got = np.asarray(qwen25omni.audio_fwd(at, jnp.asarray(mel), CFG))
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    def test_full_params_from_state_prefixes(self):
+        """thinker.* prefixed keys route to decoder + audio tower."""
+        from autoround_tpu.utils.vlm_loader import (
+            qwen25omni_params_from_state)
+        p0 = qwen25omni.init_params(CFG, jax.random.PRNGKey(3))
+        state = {}
+        state["thinker.model.embed_tokens.weight"] = np.asarray(
+            p0["embed_tokens"])
+        state["thinker.model.norm.weight"] = np.asarray(p0["norm"])
+        state["thinker.lm_head.weight"] = np.asarray(p0["lm_head"])
+        for li, b in enumerate(p0["blocks"]):
+            pre = f"thinker.model.layers.{li}."
+            for hf_n, ours in (("self_attn.q_proj.weight", "q_proj"),
+                               ("self_attn.k_proj.weight", "k_proj"),
+                               ("self_attn.v_proj.weight", "v_proj"),
+                               ("self_attn.o_proj.weight", "o_proj"),
+                               ("mlp.gate_proj.weight", "gate_proj"),
+                               ("mlp.up_proj.weight", "up_proj"),
+                               ("mlp.down_proj.weight", "down_proj"),
+                               ("input_layernorm.weight",
+                                "input_layernorm"),
+                               ("post_attention_layernorm.weight",
+                                "post_attention_layernorm")):
+                state[pre + hf_n] = np.asarray(b[ours])
+        params = qwen25omni_params_from_state(state, CFG, jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(params["blocks"][0]["q_proj"]),
+            np.asarray(p0["blocks"][0]["q_proj"]))
+        assert "embed_tokens" in params

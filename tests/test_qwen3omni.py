@@ -159,3 +159,26 @@ class TestQuantize:
         assert "blocks.0.experts.0.w1" in res.layers
         y = qwen3omni.model_fwd(res.params, inputs, CFG)
         assert np.isfinite(np.asarray(y)).all()
+
+
+class TestStateDictLoader:
+    """``_audio_tower_from_state(v3=True)`` against the REAL Qwen3-Omni
+    audio encoder state dict (VERDICT r4 item 8)."""
+
+    def test_audio_tower_from_state(self, audio_pair):
+        from autoround_tpu.utils.vlm_loader import _audio_tower_from_state
+        hf, at_ref = audio_pair
+        sd = {k: v.detach().float().numpy()
+              for k, v in hf.state_dict().items()}
+        at = _audio_tower_from_state(sd, CFG, jnp.float32, v3=True)
+        assert at is not None
+        for k in at_ref:
+            if k == "blocks":
+                continue
+            np.testing.assert_array_equal(np.asarray(at[k]),
+                                          np.asarray(at_ref[k]), err_msg=k)
+        for li, (b, br) in enumerate(zip(at["blocks"], at_ref["blocks"])):
+            for k in br:
+                np.testing.assert_array_equal(
+                    np.asarray(b[k]), np.asarray(br[k]),
+                    err_msg=f"blocks.{li}.{k}")
