@@ -21,13 +21,49 @@ import numpy as np
 from ..models import llama
 
 __all__ = ["sequence_loglikelihood", "greedy_matches",
-           "make_harness_lm", "simple_evaluate", "evaluate_offline"]
+           "make_harness_lm", "simple_evaluate", "evaluate_offline",
+           "packed_eval_stats"]
 
 
-def _score_fn(cfg, packed=None, kinds=None):
+def _a8_linear_fn(pk, i, kinds):
+    """Serving-interceptor variant that FORCES the a8 numerics model on
+    every packed W4A16 projection: per-token dynamic sym int8
+    activations against the dequantized W4 grid — exactly
+    ``ops.qmatmul_int8.w4a8_matmul_ref`` math on the plane layout, on
+    any backend/shape.  This is the numerics of ``serve_a8`` decode and
+    ``prefill_a8`` prompts (per-row act quantization is identical
+    whether rows arrive one-per-step or batched), so full-sequence
+    scoring through it measures the accuracy cost of the a8 modes."""
+    from ..ops.qmatmul import unpack_w4_planes
+    from ..ops.qmatmul_int8 import quantize_rows
+    from ..serve.engine import QuantizedLlama
+    base = QuantizedLlama._make_linear_fn(pk, i, kinds)
+
+    def lf(name, x, w, b=None):
+        key = f"blocks.{i}.{name}"
+        entry = (pk or {}).get(key)
+        kind = (kinds or {}).get(key, "w4a16")
+        if entry is not None and kind == "w4a16" and len(entry) == 2:
+            qw, scales = entry
+            g = (qw.shape[1] * 8) // scales.shape[1]
+            codes = unpack_w4_planes(qw, g)
+            wde = (codes - 8).astype(jnp.float32) * jnp.repeat(
+                scales.astype(jnp.float32), g, axis=1)
+            orig = x.shape
+            xi, xs = quantize_rows(x.reshape(-1, orig[-1]))
+            y = (xi.astype(jnp.float32) @ wde.T) * xs[:, None]
+            y = y.astype(x.dtype).reshape(*orig[:-1], wde.shape[0])
+            return y if b is None else y + b
+        return base(name, x, w, b)
+    return lf
+
+
+def _score_fn(cfg, packed=None, kinds=None, a8: bool = False):
     """Jitted scorer.  With ``packed`` given, every block forward routes
     through the serving interceptor so PACKED low-bit weights score
-    (round-1 regression: eval always ran dense qdq weights)."""
+    (round-1 regression: eval always ran dense qdq weights).  ``a8``
+    forces the int8-activation numerics model (see
+    :func:`_a8_linear_fn`)."""
     from ..models.registry import get_model_fns
     mfns = get_model_fns(cfg)
     model_fwd = mfns.model_fwd
@@ -45,10 +81,9 @@ def _score_fn(cfg, packed=None, kinds=None):
         for i, b in enumerate(params["blocks"]):
             m = (smask if smask is not None
                  and llama.layer_is_sliding(cfg, i) else None)
-            x = mfns.block_fwd(
-                b, x, cos, sin, cfg, mask=m,
-                linear_fn=QuantizedLlama._make_linear_fn(
-                    pk, i, kinds))
+            lf = (_a8_linear_fn(pk, i, kinds) if a8
+                  else QuantizedLlama._make_linear_fn(pk, i, kinds))
+            x = mfns.block_fwd(b, x, cos, sin, cfg, mask=m, linear_fn=lf)
         return llama.final_fwd(params, x, cfg)
 
     # packed weights ride as a jit ARGUMENT — closure capture would bake
@@ -109,6 +144,67 @@ def greedy_matches(params, cfg, ids: np.ndarray) -> np.ndarray:
     _, g = score(params, jnp.asarray(ids),
                  jnp.ones(ids.shape, jnp.float32))
     return np.asarray(g)
+
+
+def packed_eval_stats(params, cfg, ids: np.ndarray, packed=None,
+                      kinds=None, a8: bool = False, batch: int = 8
+                      ) -> Dict[str, Any]:
+    """Held-out ppl + per-position greedy accuracy + argmax tokens,
+    scored through the PACKED serving payloads (and optionally the a8
+    numerics model) — the engine-mode counterpart of
+    :func:`greedy_token_accuracy` (VERDICT r4 item 3: a8 modes need
+    model-level accuracy evidence)."""
+    from ..models.registry import get_model_fns
+    mfns = get_model_fns(cfg)
+    from ..serve.engine import QuantizedLlama
+
+    def fwd(params, pk, x_ids):
+        if pk is None:
+            return mfns.model_fwd(params, x_ids, cfg)
+        x = llama.embed_fwd(params, x_ids, cfg)
+        cos, sin = llama.rope_tables(cfg, x_ids.shape[1])
+        S = x_ids.shape[1]
+        smask = (llama.sliding_mask(cfg, S)
+                 if getattr(cfg, "sliding_window", None) is not None
+                 and S > cfg.sliding_window else None)
+        for i, b in enumerate(params["blocks"]):
+            m = (smask if smask is not None
+                 and llama.layer_is_sliding(cfg, i) else None)
+            lf = (_a8_linear_fn(pk, i, kinds) if a8
+                  else QuantizedLlama._make_linear_fn(pk, i, kinds))
+            x = mfns.block_fwd(b, x, cos, sin, cfg, mask=m, linear_fn=lf)
+        return llama.final_fwd(params, x, cfg)
+
+    @jax.jit
+    def stats(p, pk, chunk):
+        logits = fwd(p, pk, chunk[:, :-1]).astype(jnp.float32)
+        targets = chunk[:, 1:]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_lp = jnp.take_along_axis(logp, targets[..., None],
+                                     axis=-1)[..., 0]
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jnp.sum(tok_lp, axis=-1), pred
+
+    nll_sum, n_tok, n_hit = 0.0, 0, 0
+    preds = []
+    for i in range(0, ids.shape[0], batch):
+        chunk = np.asarray(ids[i:i + batch])
+        r = chunk.shape[0]
+        if r < batch:
+            chunk = np.concatenate(
+                [chunk, np.tile(chunk[-1:], (batch - r, 1))], axis=0)
+        lp, pred = stats(params, packed, jnp.asarray(chunk))
+        lp = np.asarray(lp)[:r]
+        pred = np.asarray(pred)[:r]
+        nll_sum += float(-lp.sum())
+        n_tok += r * (chunk.shape[1] - 1)
+        n_hit += int((pred == chunk[:r, 1:]).sum())
+        preds.append(pred)
+    preds = np.concatenate(preds, axis=0)
+    return {"ppl": float(np.exp(nll_sum / max(n_tok, 1))),
+            "greedy_acc": n_hit / max(n_tok, 1),
+            "n_predictions": n_tok,
+            "argmax_tokens": preds}
 
 
 def greedy_token_accuracy(params, cfg, ids: np.ndarray,

@@ -196,6 +196,36 @@ def main():
                 None, None, tokenizer, task_path, max_len=1024, engine=eng)
             print(f"[{scheme} packed engine] "
                   f"{entry['task_tuned_packed_engine']}", flush=True)
+            # a8 serving-mode evidence (VERDICT r4 item 3): held-out ppl
+            # + greedy accuracy through the packed payloads at exact-A16
+            # vs forced-int8-activation numerics (the serve_a8 /
+            # prefill_a8 model), plus the token-level agreement rate
+            from autoround_tpu.eval.lm_eval_adapter import packed_eval_stats
+            st16 = packed_eval_stats(eng.params, cfg, heldout,
+                                     packed=eng.packed,
+                                     kinds=eng.packed_kinds)
+            st8 = packed_eval_stats(eng.params, cfg, heldout,
+                                    packed=eng.packed,
+                                    kinds=eng.packed_kinds, a8=True)
+            agree = float((st16["argmax_tokens"]
+                           == st8["argmax_tokens"]).mean())
+            n = st16["n_predictions"]
+            entry["a8_modes"] = {
+                "ppl_packed_a16": round(st16["ppl"], 3),
+                "ppl_packed_a8": round(st8["ppl"], 3),
+                "greedy_acc_packed_a16": round(st16["greedy_acc"], 4),
+                "greedy_acc_packed_a8": round(st8["greedy_acc"], 4),
+                "a16_a8_token_agreement": round(agree, 4),
+                "n_predictions": n,
+                "binomial_se": round(float(np.sqrt(
+                    st16["greedy_acc"] * (1 - st16["greedy_acc"])
+                    / max(n, 1))), 5),
+                "note": ("a8 = per-token dynamic sym-int8 activations "
+                         "against the packed W4 grid — the serve_a8 "
+                         "decode / prefill_a8 prompt numerics model "
+                         "(eval/lm_eval_adapter._a8_linear_fn)"),
+            }
+            print(f"[{scheme} a8-mode] {entry['a8_modes']}", flush=True)
             del eng
         report["schemes"][scheme] = entry
         del tuned
