@@ -125,22 +125,34 @@ def make_bf16_engine(cfg, max_seq, key):
                           max_seq=max_seq, kv_quant=None)
 
 
-def time_decode(engine, ids, steps=24):
-    """Per-step decode latency; warm BOTH scan lengths first (each
-    max_new_tokens is its own executable — a cold one would put a 10-40 s
-    remote compile inside the timed region)."""
+def time_decode(engine, ids, steps=24, reps=5):
+    """Per-step decode latency: median of ``reps`` long-minus-short
+    differencing sessions, plus the spread.  Warm BOTH scan lengths
+    first (each max_new_tokens is its own executable — a cold one would
+    put a 10-40 s remote compile inside the timed region).  Repetition
+    is the round-5 drift guard (VERDICT r4 weak #1: the single-shot
+    number silently moved ±9% between rounds); returns
+    (median_step_s, spread_dict)."""
     for n in (2, 2 + steps):
         toks = engine.generate_scan(ids, max_new_tokens=n)
         _ = int(np.asarray(toks[0, -1]))
-    t0 = time.perf_counter()
-    toks = engine.generate_scan(ids, max_new_tokens=2 + steps)
-    _ = int(np.asarray(toks[0, -1]))
-    t1 = time.perf_counter()
-    t0b = time.perf_counter()
-    toks = engine.generate_scan(ids, max_new_tokens=2)
-    _ = int(np.asarray(toks[0, -1]))
-    t1b = time.perf_counter()
-    return ((t1 - t0) - (t1b - t0b)) / steps
+
+    def one(n):
+        t0 = time.perf_counter()
+        toks = engine.generate_scan(ids, max_new_tokens=n)
+        _ = int(np.asarray(toks[0, -1]))
+        return time.perf_counter() - t0
+
+    samples = []
+    for _ in range(reps):
+        samples.append((one(2 + steps) - one(2)) / steps)
+    samples.sort()
+    med = samples[len(samples) // 2]
+    spread = {"sessions": reps,
+              "min_ms": round(samples[0] * 1e3, 2),
+              "median_ms": round(med * 1e3, 2),
+              "max_ms": round(samples[-1] * 1e3, 2)}
+    return med, spread
 
 
 def decode_bytes(cfg, bs, max_seq, g=128, scale_bytes=4, kv_bytes=1):
@@ -170,7 +182,7 @@ def main():
         0, cfg.vocab_size, (BS, PROMPT)).astype(np.int32))
 
     eng = make_packed_engine(cfg, MAX_SEQ, key)
-    t_w4 = time_decode(eng, prompt)
+    t_w4, w4_spread = time_decode(eng, prompt)
     toks_w4 = BS / t_w4
     del eng
     step_gb = decode_bytes(cfg, BS, MAX_SEQ) / 1e9
@@ -179,7 +191,7 @@ def main():
     for L in (16, 4):
         cfgL = dataclasses.replace(cfg, num_layers=L)
         engL = make_bf16_engine(cfgL, MAX_SEQ, key)
-        ts[L] = time_decode(engL, prompt)
+        ts[L] = time_decode(engL, prompt, reps=3)[0]
         del engL
     slope = (ts[16] - ts[4]) / 12.0
     t_bf16 = ts[16] + slope * (cfg.num_layers - 16)
@@ -192,6 +204,7 @@ def main():
         "vs_baseline": round(speedup, 3),
         "detail": {
             "w4_step_ms": round(t_w4 * 1e3, 2),
+            "w4_step_spread": w4_spread,
             "bf16_step_ms_extrapolated": round(t_bf16 * 1e3, 2),
             "bf16_16L_ms": round(ts[16] * 1e3, 2),
             "bf16_4L_ms": round(ts[4] * 1e3, 2),

@@ -81,10 +81,10 @@ def main():
         0, cfg.vocab_size, (BS, PROMPT)).astype(np.int32))
 
     eng8 = make_a8_engine(cfg, MAX_SEQ, key)
-    t_a8 = time_decode(eng8, prompt)
+    t_a8 = time_decode(eng8, prompt)[0]
     del eng8
     eng = make_packed_engine(cfg, MAX_SEQ, key)
-    t_w4 = time_decode(eng, prompt)
+    t_w4 = time_decode(eng, prompt)[0]
     del eng
 
     step_gb = decode_bytes(cfg, BS, MAX_SEQ) / 1e9

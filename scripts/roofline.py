@@ -194,7 +194,7 @@ def main():
         prompt = jax.device_put(np.random.default_rng(2).integers(
             0, cfg.vocab_size, (BS, 128)).astype(np.int32))
         eng = make_packed_engine(cfg, MAX_SEQ, jax.random.PRNGKey(0))
-        t = time_decode(eng, prompt)
+        t = time_decode(eng, prompt)[0]
         out["decode_step_ms"] = round(t * 1e3, 2)
         total = out["decode_bytes"]["total_gb"]
         out["decode_effective_gbs"] = round(total / t, 1)
