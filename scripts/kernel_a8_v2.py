@@ -1,0 +1,312 @@
+"""Round-5 W4A8 kernel lab (VERDICT r4 item 2).
+
+The round-4 byte-pair kernel measures 87-94 us on the 14336x4096 g128
+layer vs a 41-45 us DMA-only floor; extraction is ~free (one int8 AND),
+so the ~45 us above DMA is dots/epilogue + scheduling.  This lab
+attacks that term:
+
+  * TO sweep — pipeline depth vs VMEM pressure (double-buffer
+    conclusions from the A16 lab were drawn at 2x the operand width);
+  * grid-T2 — move the group loop into a third grid dimension so byte
+    tiles stream as (TO, 128) blocks (finer DMA interleave, int32
+    scratch accumulators per half with a deferred scale epilogue);
+  * transposed-RHS — store bytes as (K/2, O) so the MXU contracts the
+    rhs LEADING dim (no internal transpose of a (TO, g) block);
+  * dma-floor — DMA-only reference at the same shapes.
+
+Writes docs/kernel_a8_v2.json.  Run on the real chip.
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from autoround_tpu.ops.qmatmul_int8 import (  # noqa: E402
+    _w4a8_scale_rows, pack_w4_bytes, quantize_rows, unpack_w4_bytes)
+
+R = 8
+
+
+# --------------------------------------------------- variant: grid over T2
+
+def _k_gridt2(x_ref, w_ref, st_ref, o_ref, acc_ref, *, g: int):
+    t = pl.program_id(2)
+    nt = pl.num_programs(2)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    byts = w_ref[:]                                    # (TO, g) int8
+    for half in range(2):
+        xg = x_ref[:, pl.ds((2 * t + half) * g, g)]
+        wq = (byts & jnp.int8(0xF)) if half == 0 else \
+            (byts & jnp.int8(-16))
+        partial = jax.lax.dot_general(
+            xg, wq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        if half == 0:
+            xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True)
+            partial = partial - 8 * xsum
+        acc_ref[:] = acc_ref[:] + partial.astype(jnp.float32) \
+            * st_ref[0, half, :][None, :]
+
+    @pl.when(t == nt - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "block_o"))
+def gridt2_matmul(xi, qw, st, g=128, block_o=2048):
+    B, K = xi.shape
+    O, Kb = qw.shape
+    nkt2 = K // (2 * g)
+    TO = min(block_o, O)
+    while O % TO:
+        TO //= 2
+    grid = (1, O // TO, nkt2)
+    out = pl.pallas_call(
+        functools.partial(_k_gridt2, g=g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, K), lambda b, o, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TO, g), lambda b, o, t: (o, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, TO), lambda b, o, t: (t, 0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, TO), lambda b, o, t: (b, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, O), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, TO), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(xi, qw, st)
+    return out
+
+
+# ------------------------------------------- variant: transposed rhs (K2, O)
+
+def _k_trans(x_ref, w_ref, st_ref, o_ref, *, g: int):
+    """w_ref (K//2, TO) int8: byte row r holds groups (2t, 2t+1) where
+    t = r // g; dots contract the rhs LEADING dim."""
+    nkt2 = w_ref.shape[0] // g
+    acc = jnp.zeros((x_ref.shape[0], o_ref.shape[1]), jnp.float32)
+    for t in range(nkt2):
+        byts = w_ref[pl.ds(t * g, g), :]               # (g, TO) int8
+        for half in range(2):
+            xg = x_ref[:, pl.ds((2 * t + half) * g, g)]
+            wq = (byts & jnp.int8(0xF)) if half == 0 else \
+                (byts & jnp.int8(-16))
+            partial = jax.lax.dot_general(
+                xg, wq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            if half == 0:
+                xsum = jnp.sum(xg.astype(jnp.int32), axis=1,
+                               keepdims=True)
+                partial = partial - 8 * xsum
+            acc = acc + partial.astype(jnp.float32) \
+                * st_ref[t, half, :][None, :]
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "block_o"))
+def trans_matmul(xi, qwT, st, g=128, block_o=2048):
+    B, K = xi.shape
+    K2, O = qwT.shape
+    TO = min(block_o, O)
+    while O % TO:
+        TO //= 2
+    grid = (1, O // TO)
+    out = pl.pallas_call(
+        functools.partial(_k_trans, g=g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, K), lambda b, o: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, TO), lambda b, o: (0, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2 // g, 4, TO), lambda b, o: (0, 0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, TO), lambda b, o: (b, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(xi, qwT, st)
+    return out
+
+
+# ------------------------------------------------------- dma-only floor
+
+def _k_dma(w_ref, o_ref):
+    o_ref[0, 0] = jnp.sum(w_ref[:, :8].astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("block_o",))
+def dma_only(qw, block_o=2048):
+    O, Kb = qw.shape
+    TO = min(block_o, O)
+    while O % TO:
+        TO //= 2
+    out = pl.pallas_call(
+        _k_dma,
+        grid=(O // TO,),
+        in_specs=[pl.BlockSpec((TO, Kb), lambda o: (o, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1), lambda o: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+    )(qw)
+    return out
+
+
+# ---------------------------------------------------------------- timing
+
+def _run(f, *args, iters=4):
+    _ = np.asarray(f(*args)).sum()
+    best = 1e9
+    for _i in range(iters):
+        t0 = time.perf_counter()
+        s = f(*args)
+        _ = np.asarray(s).sum()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _slope(make, *args, T=48):
+    t1 = _run(make(T), *args)
+    t2 = _run(make(2 * T), *args)
+    return (t2 - t1) / (T * R)
+
+
+def time_fn(fn, xi, qws, sts, extra=()):
+    def make(T):
+        @jax.jit
+        def f(xi, qws, sts):
+            def outer(i, c):
+                def body(c, qs):
+                    qw, st = qs
+                    # data-dependent select defeats loop-invariant
+                    # hoisting without changing the int8 payload
+                    xx = jnp.where(c < jnp.float32(1e30), xi, -xi)
+                    y = fn(xx, qw, st, *extra)
+                    return c + (jnp.sum(y) * 1e-12).astype(jnp.float32), None
+                c, _ = lax.scan(body, c, (qws, sts))
+                return c
+            return lax.fori_loop(0, T, outer, jnp.float32(0))
+        return f
+    return _slope(make, xi, qws, sts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--O", type=int, default=14336)
+    ap.add_argument("--K", type=int, default=4096)
+    ap.add_argument("--B", type=int, default=32)
+    ap.add_argument("--out", default="docs/kernel_a8_v2.json")
+    args = ap.parse_args()
+    O, K, B, g = args.O, args.K, args.B, 128
+
+    key = jax.random.PRNGKey(0)
+    codes = [jax.random.randint(jax.random.fold_in(key, i), (O, K), 0,
+                                16, jnp.int32) for i in range(R)]
+    qws = jnp.stack([pack_w4_bytes(c) for c in codes])
+    qwsT = jnp.transpose(qws, (0, 2, 1))
+    scs = jax.random.uniform(jax.random.PRNGKey(7), (R, O, K // g),
+                             jnp.float32, 0.005, 0.02)
+    sts = jnp.stack([_w4a8_scale_rows(s, g) for s in scs])
+    x = jax.random.normal(key, (B, K), jnp.bfloat16)
+    xi, xs = quantize_rows(x)
+    nbytes = O * K // 2
+
+    # correctness of the new variants vs the unpacked math
+    w0 = (unpack_w4_bytes(qws[0]) - 8).astype(jnp.float32) * jnp.repeat(
+        scs[0], g, axis=1)
+    want = jnp.einsum("bk,ok->bo", xi.astype(jnp.float32), w0)
+    for name, got in (
+            ("gridt2", gridt2_matmul(xi, qws[0], sts[0], g)),
+            ("trans", trans_matmul(xi, qwsT[0], sts[0], g))):
+        err = float(jnp.max(jnp.abs(got - want)))
+        rel = err / float(jnp.max(jnp.abs(want)))
+        print(f"{name} max rel err {rel:.2e}", flush=True)
+        assert rel < 1e-4, (name, rel)
+
+    results = {"shape": [O, K], "B": B, "g": g, "packed_mb":
+               round(nbytes / 1e6, 1), "variants_us": {}}
+
+    from autoround_tpu.ops.qmatmul_int8 import w4a8_matmul
+
+    for bo in (512, 1024, 2048, 4096):
+        t = time_fn(lambda xx, qw, st: gridt2_matmul(xx, qw, st, g, bo),
+                    xi, qws, sts)
+        results["variants_us"][f"gridt2_to{bo}"] = round(t * 1e6, 2)
+        print(f"gridt2 TO={bo}: {t*1e6:.1f} us "
+              f"({nbytes/t/1e9:.0f} GB/s)", flush=True)
+    for bo in (512, 1024, 2048, 4096):
+        t = time_fn(lambda xx, qw, st: trans_matmul(xx, qw, st, g, bo),
+                    xi, qwsT, sts)
+        results["variants_us"][f"trans_to{bo}"] = round(t * 1e6, 2)
+        print(f"trans TO={bo}: {t*1e6:.1f} us "
+              f"({nbytes/t/1e9:.0f} GB/s)", flush=True)
+
+    # production kernel at multiple TO (bf16 x, includes quantize_rows)
+    for bo in (1024, 2048, 4096):
+        def makeprod(T, bo=bo):
+            @jax.jit
+            def f(xb, qws, scs):
+                def outer(i, c):
+                    def body(c, qs):
+                        qw, sc = qs
+                        xx = (xb + c * jnp.float32(1e-24)).astype(
+                            jnp.bfloat16)
+                        y = w4a8_matmul(xx, qw, sc, g, block_o=bo)
+                        return c + jnp.sum(y.astype(jnp.float32)
+                                           ) * jnp.float32(1e-12), None
+                    c, _ = lax.scan(body, c, (qws, scs))
+                    return c
+                return lax.fori_loop(0, T, outer, jnp.float32(0))
+            return f
+        t = _slope(makeprod, x, qws, scs)
+        results["variants_us"][f"prod_to{bo}"] = round(t * 1e6, 2)
+        print(f"prod TO={bo}: {t*1e6:.1f} us "
+              f"({nbytes/t/1e9:.0f} GB/s)", flush=True)
+
+    def makedma(T):
+        @jax.jit
+        def f(qws):
+            def outer(i, c):
+                def body(c, qw):
+                    return c + dma_only(qw)[0, 0], None
+                c, _ = lax.scan(body, c, qws)
+                return c
+            return lax.fori_loop(0, T, outer, jnp.int32(0))
+        return f
+    t = _slope(makedma, qws)
+    results["variants_us"]["dma_only"] = round(t * 1e6, 2)
+    print(f"dma_only: {t*1e6:.1f} us ({nbytes/t/1e9:.0f} GB/s)",
+          flush=True)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
