@@ -123,3 +123,83 @@ class TestClipScore:
         np.testing.assert_allclose(
             np.asarray(encode_text(params, ids, CFG)),
             np.asarray(encode_text(p2, ids, cfg2)), rtol=1e-4, atol=1e-5)
+
+
+class TestClipIqa:
+    """CLIP-IQA math locked against a manual torch computation through
+    the SAME weights (ref diffusion/eval.py:40-48 -> torchmetrics
+    CLIPImageQualityAssessment: softmax over the antonym pair's
+    100*cosine logits)."""
+
+    def test_matches_manual_softmax(self):
+        from autoround_tpu.eval.clip_score import (ClipConfig, clip_iqa,
+                                                   encode_image,
+                                                   encode_text,
+                                                   init_clip_params)
+        cfg = ClipConfig(image_size=32, patch_size=8, v_hidden=64,
+                         v_layers=2, v_heads=4, t_vocab=64, t_hidden=32,
+                         t_layers=2, t_heads=2, t_max_len=8,
+                         projection_dim=16, eot_token_id=63)
+        params = init_clip_params(cfg, jax.random.PRNGKey(0))
+        pixels = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 32, 3))
+        pair = jnp.asarray([[1, 5, 9, 63, 0, 0, 0, 0],
+                            [2, 6, 7, 63, 0, 0, 0, 0]], jnp.int32)
+        got = np.asarray(clip_iqa(params, pixels, pair, cfg))
+        img = np.asarray(encode_image(params, pixels, cfg))
+        txt = np.asarray(encode_text(params, pair, cfg))
+        logits = 100.0 * img @ txt.T
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        want = (e / e.sum(-1, keepdims=True))[:, 0]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        assert ((got >= 0) & (got <= 1)).all()
+
+    def test_discriminates(self):
+        """An image embedding aligned with the positive prompt must
+        score higher than one aligned with the negative."""
+        from autoround_tpu.eval.clip_score import (ClipConfig, clip_iqa,
+                                                   encode_text,
+                                                   init_clip_params)
+        cfg = ClipConfig(image_size=32, patch_size=8, v_hidden=64,
+                         v_layers=2, v_heads=4, t_vocab=64, t_hidden=32,
+                         t_layers=2, t_heads=2, t_max_len=8,
+                         projection_dim=16, eot_token_id=63)
+        params = init_clip_params(cfg, jax.random.PRNGKey(0))
+        pair = jnp.asarray([[1, 5, 9, 63, 0, 0, 0, 0],
+                            [2, 6, 7, 63, 0, 0, 0, 0]], jnp.int32)
+        txt = encode_text(params, pair, cfg)
+        # synthetic image embeddings: exactly the prompt embeddings
+        logits = 100.0 * jnp.einsum("bp,cp->bc", txt, txt)
+        probs = np.asarray(jax.nn.softmax(logits, -1)[:, 0])
+        assert probs[0] > 0.5 > probs[1]
+
+
+class TestImageReward:
+    def test_head_shapes_and_loader(self, tmp_path):
+        import torch
+        from autoround_tpu.eval.clip_score import (image_reward_score,
+                                                   init_image_reward_head,
+                                                   load_image_reward_head)
+        head = init_image_reward_head(jax.random.PRNGKey(0))
+        feats = jax.random.normal(jax.random.PRNGKey(1), (4, 768))
+        s = np.asarray(image_reward_score(head, feats))
+        assert s.shape == (4,) and np.isfinite(s).all()
+        # loader maps the published mlp.layers.{0,2,4,6,8} layout
+        sd = {}
+        dims = (768, 1024, 128, 64, 16, 1)
+        for j, i in enumerate(range(0, 10, 2)):
+            sd[f"mlp.layers.{i}.weight"] = torch.randn(dims[j + 1],
+                                                       dims[j])
+            sd[f"mlp.layers.{i}.bias"] = torch.randn(dims[j + 1])
+        p = tmp_path / "ImageReward.pt"
+        torch.save(sd, str(p))
+        head2 = load_image_reward_head(str(p))
+        s2 = np.asarray(image_reward_score(head2, feats))
+        # manual forward
+        x = np.asarray(feats, np.float32)
+        for j, i in enumerate(range(0, 10, 2)):
+            x = x @ sd[f"mlp.layers.{i}.weight"].numpy().T \
+                + sd[f"mlp.layers.{i}.bias"].numpy()
+            if i < 8:
+                x = np.maximum(x, 0)
+        want = (x[:, 0] - 0.16717362) / 1.0333394
+        np.testing.assert_allclose(s2, want, rtol=1e-5, atol=1e-5)
