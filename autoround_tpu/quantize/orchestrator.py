@@ -734,6 +734,28 @@ def quantize_model(
     _prof: Optional[Dict[str, float]] = (
         {} if envs.AR_PROFILE_PHASES else None)
 
+    # ---- async offload pull (round-5 flagship profile: the pull was
+    # 935 s of 2839 s — a THIRD of the quant wall-clock spent in
+    # device->host transfer + host nibble unpack while the chip idled).
+    # One worker thread overlaps that host work with the NEXT block's
+    # tuning scan; depth 1 bounds device residency to one extra qdq
+    # tree.  shard_writer/resume consume ql.qdq right after the pull, so
+    # those modes join immediately (same wall as before, no behavior
+    # change).
+    _pull_exec = None
+    _pull_prev = None
+    if cfg.offload_params:
+        import concurrent.futures as _cf
+        _pull_exec = _cf.ThreadPoolExecutor(max_workers=1)
+
+    def _pull_join():
+        nonlocal _pull_prev
+        if _pull_prev is not None:
+            _t0 = _time.time()
+            _pull_prev.result()
+            _pull_prev = None
+            _phase("pull_wait", _t0)
+
     def _phase(key: str, t0: float, sync=None):
         if _prof is None:
             return
@@ -1017,46 +1039,62 @@ def quantize_model(
                         jnp.round(ql.qdq.astype(jnp.float32) / safe) + 8,
                         0, 15).astype(jnp.int32)
                     packed_pull[lname] = (pack_w4_planes(codes, g), scale)
-            for lname, (words, scale) in packed_pull.items():
-                words_np = np.asarray(words)
-                scale_np = np.asarray(scale)
-                # numpy unpack (inverse of pack_w4_planes nibble planes)
-                O, Kw = words_np.shape
-                g = schemes[lname].group_size
-                w = words_np.astype(np.uint32).reshape(O, Kw // g, 1, g)
-                shifts = (np.arange(8, dtype=np.uint32) * 4
-                          )[None, None, :, None]
-                codes_np = ((w >> shifts) & 0xF).reshape(O, Kw * 8)
-                srep = np.repeat(scale_np, g, axis=1)
-                leaf = get_by_path(qdq_block, lname)
-                qdq_np = ((codes_np.astype(np.float32) - 8.0) * srep
-                          ).astype(leaf.dtype)
-                ql = layers[f"blocks.{bi}.{lname}"]
-                ql.qdq = qdq_np
-                ql.scale = scale_np
-                # keep the exact packed words for the serving engine
-                # (from_quantize_result ships these verbatim: 0.5
-                # byte/weight host->HBM instead of re-derived int32)
-                ql.packed_w4 = (words_np, scale_np)
-                qdq_block = set_by_path(qdq_block, lname, qdq_np)
-            qdq_block = jax.tree.map(
-                lambda t: t if isinstance(t, np.ndarray) else np.asarray(t),
-                qdq_block)
-            new_blocks[-1] = qdq_block
-            for lname in schemes:
-                if lname in packed_pull:
-                    continue
-                ql = layers[f"blocks.{bi}.{lname}"]
-                shared = (ql.scheme.data_type == "int"
-                          and ql.scheme.bits <= 4
-                          and ql.extras is None)
-                if shared:
+            # start the device->host copies now so the worker's
+            # np.asarray calls find them already resident
+            for words, scale in packed_pull.values():
+                words.copy_to_host_async()
+                scale.copy_to_host_async()
+
+            def _pull_job(bi=bi, schemes=dict(schemes),
+                          packed_pull=packed_pull, qdq_block=qdq_block):
+                for lname, (words, scale) in packed_pull.items():
+                    words_np = np.asarray(words)
+                    scale_np = np.asarray(scale)
+                    # numpy unpack (inverse of pack_w4_planes planes)
+                    O, Kw = words_np.shape
+                    g = schemes[lname].group_size
+                    w = words_np.astype(np.uint32).reshape(
+                        O, Kw // g, 1, g)
+                    shifts = (np.arange(8, dtype=np.uint32) * 4
+                              )[None, None, :, None]
+                    codes_np = ((w >> shifts) & 0xF).reshape(O, Kw * 8)
+                    srep = np.repeat(scale_np, g, axis=1)
                     leaf = get_by_path(qdq_block, lname)
-                    shared = (getattr(leaf, "shape", None) == ql.qdq.shape)
-                ql.qdq = leaf if shared else np.asarray(ql.qdq)
-                ql.scale = np.asarray(ql.scale)
-                if ql.zp is not None:
-                    ql.zp = np.asarray(ql.zp)
+                    qdq_np = ((codes_np.astype(np.float32) - 8.0) * srep
+                              ).astype(leaf.dtype)
+                    ql = layers[f"blocks.{bi}.{lname}"]
+                    ql.qdq = qdq_np
+                    ql.scale = scale_np
+                    # keep the exact packed words for the serving engine
+                    # (from_quantize_result ships these verbatim: 0.5
+                    # byte/weight host->HBM instead of re-derived int32)
+                    ql.packed_w4 = (words_np, scale_np)
+                    qdq_block = set_by_path(qdq_block, lname, qdq_np)
+                qdq_block = jax.tree.map(
+                    lambda t: (t if isinstance(t, np.ndarray)
+                               else np.asarray(t)), qdq_block)
+                new_blocks[bi] = qdq_block
+                for lname in schemes:
+                    if lname in packed_pull:
+                        continue
+                    ql = layers[f"blocks.{bi}.{lname}"]
+                    shared = (ql.scheme.data_type == "int"
+                              and ql.scheme.bits <= 4
+                              and ql.extras is None)
+                    if shared:
+                        leaf = get_by_path(qdq_block, lname)
+                        shared = (getattr(leaf, "shape", None)
+                                  == ql.qdq.shape)
+                    ql.qdq = leaf if shared else np.asarray(ql.qdq)
+                    ql.scale = np.asarray(ql.scale)
+                    if ql.zp is not None:
+                        ql.zp = np.asarray(ql.zp)
+
+            _pull_join()          # depth 1: previous block's pull done
+            _pull_prev = _pull_exec.submit(_pull_job)
+            if shard_writer is not None or resume is not None:
+                # those paths consume ql.qdq below — stay synchronous
+                _pull_join()
             _phase("pull", _t0)
         if cfg.offload_params:
             # each iteration leaves ~one bf16 block copy (device upload /
@@ -1091,6 +1129,9 @@ def quantize_model(
                 bi, payload, np.asarray(x_fp),
                 None if x_q is None else np.asarray(x_q))
 
+    _pull_join()
+    if _pull_exec is not None:
+        _pull_exec.shutdown(wait=True)
     if _ann is not None:
         _ann.__exit__(None, None, None)
     _trace.close()
