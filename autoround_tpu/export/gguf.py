@@ -774,6 +774,7 @@ _ARCH_BLOCK_EXTRA = {
     # Step-3.5 (STEP35 arch, ref conversion/step3.py:98): per-head
     # attention output gate
     "step35": {"g_proj": "attn_gate"},
+    "glm4moe": {"q_norm": "attn_q_norm", "k_norm": "attn_k_norm"},
 }
 _BIAS_NAME = {"q_bias": "attn_q", "k_bias": "attn_k", "v_bias": "attn_v",
               "o_bias": "attn_output",
@@ -797,7 +798,16 @@ def gguf_arch(model_cfg) -> str:
               "Qwen35MoeConfig": "qwen35moe",
               "Mistral3Config": "mistral3",
               "Step35Config": "step35",
-              "Qwen3VLMoeConfig": "qwen3vlmoe"}
+              "Qwen3VLMoeConfig": "qwen3vlmoe",
+              # VLM text decoders (vision rides a separate mmproj file,
+              # llama.cpp convention; ref conversion/qwenvl.py:21 ->
+              # QWEN2VL, conversion/glm.py:244 Glm4vMoe -> GLM4_MOE)
+              "Qwen2VLConfig": "qwen2vl",
+              "Qwen25VLConfig": "qwen2vl",
+              "Qwen25OmniConfig": "qwen2vl",
+              "Qwen3OmniConfig": "qwen3vlmoe",
+              "Glm4vMoeConfig": "glm4moe",
+              "DeepseekVLConfig": "deepseek2"}
     if name in by_cls:
         return by_cls[name]
     if name == "Ernie45Config":
@@ -812,6 +822,17 @@ def gguf_arch(model_cfg) -> str:
             "GGUF export: MiniMax-M1 lightning attention has no "
             "llama.cpp architecture (the reference converts MiniMax-M2 "
             "only)")
+    if name == "LongcatConfig":
+        raise NotImplementedError(
+            "GGUF export: LongCat-Flash (ScMoE shortcut + "
+            "zero-computation experts) has no llama.cpp architecture — "
+            "the reference ships no longcat converter either "
+            "(export_to_gguf/conversion/)")
+    if name == "MllamaConfig":
+        raise NotImplementedError(
+            "GGUF export: Mllama's gated cross-attention text decoder "
+            "has no llama.cpp architecture (the reference ships no "
+            "mllama converter)")
     if name == "MixtralConfig":
         return ("qwen3moe" if getattr(model_cfg, "qk_norm", False)
                 else "qwen2moe" if getattr(
@@ -1438,6 +1459,81 @@ def _load_ernie_moe(meta, tensors, dtype):
     return params, cfg
 
 
+def _load_glm4moe(meta, tensors, dtype):
+    """glm4moe loadback (GLM-4.5 family): GQA partial-rotary attention
+    with optional qk norms/biases + DeepSeek-style dense-leading MoE."""
+    from ..models.glm4moe import Glm4MoeConfig
+    a = "glm4moe"
+    L = int(meta[f"{a}.block_count"])
+    get, getf32 = _mk_get(tensors, dtype)
+    E = int(meta.get(f"{a}.expert_count", 0))
+    hidden = int(meta[f"{a}.embedding_length"])
+    nh = int(meta[f"{a}.attention.head_count"])
+    hd_meta = meta.get(f"{a}.attention.key_length")
+    cfg = Glm4MoeConfig(
+        vocab_size=int(meta[f"{a}.vocab_size"]),
+        hidden_size=hidden,
+        intermediate_size=int(meta[f"{a}.feed_forward_length"]),
+        num_layers=L, num_heads=nh,
+        num_kv_heads=int(meta[f"{a}.attention.head_count_kv"]),
+        head_dim=(int(hd_meta) if hd_meta is not None
+                  and int(hd_meta) != hidden // nh else None),
+        rope_theta=float(meta.get(f"{a}.rope.freq_base", 10000.0)),
+        rms_eps=float(meta.get(
+            f"{a}.attention.layer_norm_rms_epsilon", 1e-5)),
+        tie_embeddings="output.weight" not in tensors,
+        attn_bias="blk.0.attn_q.bias" in tensors,
+        qk_norm=bool(int(meta.get(f"{a}.attention.qk_norm", 0))),
+        partial_rotary_factor=float(meta.get(
+            f"{a}.rope.partial_rotary_factor", 0.5)),
+        n_routed_experts=E,
+        num_experts_per_tok=int(meta.get(f"{a}.expert_used_count", 0)),
+        moe_intermediate_size=int(meta.get(
+            f"{a}.expert_feed_forward_length", 0)),
+        n_shared_experts=int(meta.get(f"{a}.expert_shared_count", 0)),
+        first_k_dense=int(meta.get(f"{a}.leading_dense_block_count", 0)),
+        routed_scaling_factor=float(meta.get(
+            f"{a}.expert_weights_scale", 1.0)),
+        scoring_func=("sigmoid" if int(meta.get(
+            f"{a}.expert_gating_func", 1)) == 2 else "softmax"),
+        norm_topk_prob=bool(int(meta.get(
+            f"{a}.expert_weights_norm", 0))),
+        dtype=dtype)
+    params = {"embed_tokens": get("token_embd.weight"),
+              "norm": get("output_norm.weight"), "blocks": []}
+    if "output.weight" in tensors:
+        params["lm_head"] = get("output.weight")
+    for bi in range(L):
+        p = f"blk.{bi}."
+        b = {}
+        for g, ours in (("attn_q", "q_proj"), ("attn_k", "k_proj"),
+                        ("attn_v", "v_proj"), ("attn_output", "o_proj"),
+                        ("attn_norm", "input_layernorm"),
+                        ("ffn_norm", "post_attention_layernorm"),
+                        ("attn_q_norm", "q_norm"),
+                        ("attn_k_norm", "k_norm"),
+                        ("ffn_gate", "gate_proj"), ("ffn_up", "up_proj"),
+                        ("ffn_down", "down_proj")):
+            if p + g + ".weight" in tensors:
+                b[ours] = get(p + g + ".weight")
+        for g, ours in (("attn_q", "q_bias"), ("attn_k", "k_bias"),
+                        ("attn_v", "v_bias")):
+            if p + g + ".bias" in tensors:
+                b[ours] = get(p + g + ".bias")
+        if p + "ffn_gate_exps.weight" in tensors:
+            b["experts"] = _load_exps(tensors, get, bi, E)
+            b["gate"] = getf32(p + "ffn_gate_inp.weight")
+            if p + "exp_probs_b.bias" in tensors:
+                b["e_score_correction_bias"] = getf32(
+                    p + "exp_probs_b.bias")
+            if p + "ffn_gate_shexp.weight" in tensors:
+                b["shared_experts"] = {
+                    f"{g}_proj": get(p + f"ffn_{g}_shexp.weight")
+                    for g in ("gate", "up", "down")}
+        params["blocks"].append(b)
+    return params, cfg
+
+
 def _load_step35(meta, tensors, dtype):
     """step35 loadback: hybrid full/sliding with per-type heads, MoE."""
     import jax.numpy as jnp  # noqa: F811
@@ -1533,7 +1629,8 @@ def load_gguf_checkpoint(path: str, dtype=None):
     if arch not in ("llama", "qwen2", "qwen3", "gemma2", "gemma3",
                     "qwen2moe", "qwen3moe", "deepseek2", "gpt-oss",
                     "llama4", "mistral3", "ernie4_5", "ernie4_5-moe",
-                    "qwen3next", "qwen35moe", "qwen3vlmoe", "step35"):
+                    "qwen3next", "qwen35moe", "qwen3vlmoe", "step35",
+                    "glm4moe", "qwen2vl"):
         raise NotImplementedError(f"gguf arch {arch!r} not supported")
     if arch == "deepseek2":
         return _load_deepseek2(meta, tensors, dtype)
@@ -1547,11 +1644,15 @@ def load_gguf_checkpoint(path: str, dtype=None):
         return _load_ernie_moe(meta, tensors, dtype)
     if arch == "step35":
         return _load_step35(meta, tensors, dtype)
+    if arch == "glm4moe":
+        return _load_glm4moe(meta, tensors, dtype)
     # mistral3 / dense ernie4_5 are llama-layout; qwen3vlmoe's TEXT
     # decoder is qwen3moe-layout (vision lives in a separate mmproj file,
     # llama.cpp convention) — all ride the generic path below
     gemma = arch in ("gemma2", "gemma3")
     moe = arch in ("qwen2moe", "qwen3moe", "qwen3vlmoe")
+    # qwen2vl text decoders are qwen2-layout (mrope collapses to rope
+    # for text-only positions)
     # Mixtral exports under the llama arch with expert metadata
     if arch == "llama" and meta.get("llama.expert_count"):
         moe = True
@@ -1595,7 +1696,7 @@ def load_gguf_checkpoint(path: str, dtype=None):
         rms_eps=float(meta.get(
             f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
         tie_embeddings="output.weight" not in tensors,
-        attn_bias=arch in ("qwen2", "qwen2moe"),
+        attn_bias=arch in ("qwen2", "qwen2moe", "qwen2vl"),
         qk_norm=arch in ("qwen3", "gemma3", "qwen3moe", "qwen3vlmoe"),
         norm_offset=1.0 if gemma else 0.0,
         hidden_act="gelu_tanh" if gemma else "silu",
@@ -2065,6 +2166,22 @@ def save_gguf_checkpoint(params: Dict[str, Any], model_cfg,
              int(getattr(model_cfg, "moe_layer_start_index", 0))),
             (f"{arch}.interleave_moe_layer_step", _T_U32,
              int(getattr(model_cfg, "moe_layer_interval", 1))),
+        ]
+    if arch == "glm4moe":
+        metadata += [
+            (f"{arch}.leading_dense_block_count", _T_U32,
+             int(getattr(model_cfg, "first_k_dense", 0))),
+            (f"{arch}.expert_shared_count", _T_U32,
+             int(getattr(model_cfg, "n_shared_experts", 0))),
+            (f"{arch}.expert_weights_scale", _T_F32,
+             float(getattr(model_cfg, "routed_scaling_factor", 1.0))),
+            (f"{arch}.expert_gating_func", _T_U32,
+             2 if getattr(model_cfg, "scoring_func",
+                          "softmax") == "sigmoid" else 1),
+            (f"{arch}.rope.partial_rotary_factor", _T_F32,
+             float(getattr(model_cfg, "partial_rotary_factor", 0.5))),
+            (f"{arch}.attention.qk_norm", _T_U32,
+             int(bool(getattr(model_cfg, "qk_norm", False)))),
         ]
     if arch in ("qwen3next", "qwen35moe"):
         # GatedDeltaNet geometry — needed to rebuild the hybrid on load

@@ -945,3 +945,55 @@ class TestArchBreadthR5:
             list(minimax.CONFIG_PRESETS)[0]]
         with pytest.raises(NotImplementedError, match="MiniMax"):
             gguf_arch(cfg)
+
+
+class TestArchBreadthR5b:
+    """Second wave: VLM text-decoder arch ids + the glm4moe loader +
+    explicit errors for families with no llama.cpp architecture."""
+
+    def test_glm4moe_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        from autoround_tpu.export.gguf import (GGMLType, gguf_arch,
+                                               load_gguf_checkpoint,
+                                               save_gguf_checkpoint)
+        from autoround_tpu.models import glm4moe
+        cfg = glm4moe.CONFIG_PRESETS["tiny-glm4moe"]
+        assert gguf_arch(cfg) == "glm4moe"
+        params = glm4moe.init_params(cfg, jax.random.PRNGKey(0))
+        fp = str(tmp_path / "m.gguf")
+        save_gguf_checkpoint(params, cfg, fp, base_type=GGMLType.Q8_0,
+                             mixed=False)
+        p2, cfg2 = load_gguf_checkpoint(fp, dtype=jnp.float32)
+        assert cfg2.qk_norm == cfg.qk_norm
+        assert cfg2.first_k_dense == cfg.first_k_dense
+        assert cfg2.scoring_func == cfg.scoring_func
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0,
+                                 cfg.vocab_size)
+        l1 = np.asarray(glm4moe.model_fwd(params, ids, cfg), np.float32)
+        l2 = np.asarray(glm4moe.model_fwd(p2, ids, cfg2), np.float32)
+        rms = np.sqrt(np.mean((l1 - l2) ** 2))
+        assert rms < 0.05 * np.sqrt(np.mean(l1 ** 2)) + 1e-3
+
+    def test_vlm_text_arch_ids(self):
+        from autoround_tpu.export.gguf import gguf_arch
+        from autoround_tpu.models import (deepseek_vl, glm4vmoe, llava,
+                                          qwen25vl, qwen2vl, qwen3omni)
+        assert gguf_arch(qwen2vl.CONFIG_PRESETS[
+            "tiny-qwen2vl"]) == "qwen2vl"
+        assert gguf_arch(qwen25vl.CONFIG_PRESETS[
+            "tiny-qwen25vl"]) == "qwen2vl"
+        assert gguf_arch(glm4vmoe.CONFIG_PRESETS[
+            "tiny-glm4vmoe"]) == "glm4moe"
+        assert gguf_arch(qwen3omni.CONFIG_PRESETS[
+            "tiny-qwen3omni"]) == "qwen3vlmoe"
+        assert gguf_arch(deepseek_vl.CONFIG_PRESETS[
+            "tiny-deepseek-vl2"]) == "deepseek2"
+        assert gguf_arch(llava.CONFIG_PRESETS["tiny-llava"]) == "llama"
+
+    def test_unconvertible_raise(self):
+        from autoround_tpu.export.gguf import gguf_arch
+        from autoround_tpu.models import longcat, mllama
+        with pytest.raises(NotImplementedError, match="LongCat"):
+            gguf_arch(longcat.CONFIG_PRESETS["tiny-longcat"])
+        with pytest.raises(NotImplementedError, match="cross-attention"):
+            gguf_arch(mllama.CONFIG_PRESETS["tiny-mllama"])
