@@ -1044,9 +1044,19 @@ def quantize_model(
             for words, scale in packed_pull.values():
                 words.copy_to_host_async()
                 scale.copy_to_host_async()
+            # the q-chain has already advanced, so the packed layers'
+            # DEVICE qdq leaves are dead — drop them on the main thread
+            # before scheduling (holding a ~0.5 GB bf16 tree through the
+            # next block's tuning OOMed the 16 GB chip; the job carries
+            # only the ~55 MB packed words and rebuilds qdq on host)
+            leaf_dtypes = {}
+            for lname in packed_pull:
+                leaf_dtypes[lname] = get_by_path(qdq_block, lname).dtype
+                qdq_block = set_by_path(qdq_block, lname, None)
 
             def _pull_job(bi=bi, schemes=dict(schemes),
-                          packed_pull=packed_pull, qdq_block=qdq_block):
+                          packed_pull=packed_pull, qdq_block=qdq_block,
+                          leaf_dtypes=leaf_dtypes):
                 for lname, (words, scale) in packed_pull.items():
                     words_np = np.asarray(words)
                     scale_np = np.asarray(scale)
@@ -1059,9 +1069,8 @@ def quantize_model(
                               )[None, None, :, None]
                     codes_np = ((w >> shifts) & 0xF).reshape(O, Kw * 8)
                     srep = np.repeat(scale_np, g, axis=1)
-                    leaf = get_by_path(qdq_block, lname)
                     qdq_np = ((codes_np.astype(np.float32) - 8.0) * srep
-                              ).astype(leaf.dtype)
+                              ).astype(leaf_dtypes[lname])
                     ql = layers[f"blocks.{bi}.{lname}"]
                     ql.qdq = qdq_np
                     ql.scale = scale_np
