@@ -1053,6 +1053,13 @@ def quantize_model(
             for lname in packed_pull:
                 leaf_dtypes[lname] = get_by_path(qdq_block, lname).dtype
                 qdq_block = set_by_path(qdq_block, lname, None)
+                # the QuantizedLayer ALSO references the device qdq
+                # (finalize output) — the job rebuilds both from the
+                # packed words, so drop the refs now or the ~0.44 GB
+                # tree survives into the next block's tuning (OOM)
+                ql = layers[f"blocks.{bi}.{lname}"]
+                ql.qdq = None
+                ql.scale = None
 
             def _pull_job(bi=bi, schemes=dict(schemes),
                           packed_pull=packed_pull, qdq_block=qdq_block,
