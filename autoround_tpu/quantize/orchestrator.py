@@ -1039,11 +1039,19 @@ def quantize_model(
                         jnp.round(ql.qdq.astype(jnp.float32) / safe) + 8,
                         0, 15).astype(jnp.int32)
                     packed_pull[lname] = (pack_w4_planes(codes, g), scale)
-            # start the device->host copies now so the worker's
-            # np.asarray calls find them already resident
-            for words, scale in packed_pull.values():
-                words.copy_to_host_async()
-                scale.copy_to_host_async()
+                    # drop the (O, K) int32/f32 pack transients NOW —
+                    # as function locals they would pin ~700 MB of HBM
+                    # through the next block's tuning
+                    codes = srep = safe = scale = None
+            # transfer the packed words on the MAIN thread (0.5
+            # byte/weight — a few seconds over the tunnel) so NO device
+            # buffer survives into the next block's tuning: the worker
+            # receives pure numpy and device residency matches the
+            # synchronous pull exactly (the 16 GB chip OOMed when any
+            # device refs rode in the job closure)
+            packed_pull = {
+                ln: (np.asarray(w), np.asarray(sc))
+                for ln, (w, sc) in packed_pull.items()}
             # the q-chain has already advanced, so the packed layers'
             # DEVICE qdq leaves are dead — drop them on the main thread
             # before scheduling (holding a ~0.5 GB bf16 tree through the
@@ -1064,9 +1072,7 @@ def quantize_model(
             def _pull_job(bi=bi, schemes=dict(schemes),
                           packed_pull=packed_pull, qdq_block=qdq_block,
                           leaf_dtypes=leaf_dtypes):
-                for lname, (words, scale) in packed_pull.items():
-                    words_np = np.asarray(words)
-                    scale_np = np.asarray(scale)
+                for lname, (words_np, scale_np) in packed_pull.items():
                     # numpy unpack (inverse of pack_w4_planes planes)
                     O, Kw = words_np.shape
                     g = schemes[lname].group_size
