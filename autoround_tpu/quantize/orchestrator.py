@@ -1052,6 +1052,26 @@ def quantize_model(
             packed_pull = {
                 ln: (np.asarray(w), np.asarray(sc))
                 for ln, (w, sc) in packed_pull.items()}
+            # ALL remaining device leaves convert on the main thread
+            # too (norms + any non-packed scales/zp — tiny): the worker
+            # must be 100% jax-free, because a device->host transfer
+            # issued from a second thread races the main thread's
+            # tunnel stream (observed as multi-minute device stalls)
+            qdq_block = jax.tree.map(
+                lambda t: t if isinstance(t, np.ndarray)
+                else np.asarray(t), qdq_block)
+            for lname in schemes:
+                if lname in packed_pull:
+                    continue
+                ql = layers[f"blocks.{bi}.{lname}"]
+                if not isinstance(ql.qdq, np.ndarray):
+                    ql.qdq = np.asarray(ql.qdq)
+                if ql.scale is not None and not isinstance(
+                        ql.scale, np.ndarray):
+                    ql.scale = np.asarray(ql.scale)
+                if ql.zp is not None and not isinstance(
+                        ql.zp, np.ndarray):
+                    ql.zp = np.asarray(ql.zp)
             # the q-chain has already advanced, so the packed layers'
             # DEVICE qdq leaves are dead — drop them on the main thread
             # before scheduling (holding a ~0.5 GB bf16 tree through the
@@ -1092,25 +1112,20 @@ def quantize_model(
                     # byte/weight host->HBM instead of re-derived int32)
                     ql.packed_w4 = (words_np, scale_np)
                     qdq_block = set_by_path(qdq_block, lname, qdq_np)
-                qdq_block = jax.tree.map(
-                    lambda t: (t if isinstance(t, np.ndarray)
-                               else np.asarray(t)), qdq_block)
                 new_blocks[bi] = qdq_block
                 for lname in schemes:
                     if lname in packed_pull:
                         continue
+                    # share the host buffer with the export payload for
+                    # int bits<=4 (code recovery is exact there)
                     ql = layers[f"blocks.{bi}.{lname}"]
                     shared = (ql.scheme.data_type == "int"
                               and ql.scheme.bits <= 4
                               and ql.extras is None)
                     if shared:
                         leaf = get_by_path(qdq_block, lname)
-                        shared = (getattr(leaf, "shape", None)
-                                  == ql.qdq.shape)
-                    ql.qdq = leaf if shared else np.asarray(ql.qdq)
-                    ql.scale = np.asarray(ql.scale)
-                    if ql.zp is not None:
-                        ql.zp = np.asarray(ql.zp)
+                        if getattr(leaf, "shape", None) == ql.qdq.shape:
+                            ql.qdq = leaf
 
             _pull_join()          # depth 1: previous block's pull done
             _pull_prev = _pull_exec.submit(_pull_job)
