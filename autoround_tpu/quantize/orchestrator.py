@@ -756,6 +756,29 @@ def quantize_model(
             _pull_prev = None
             _phase("pull_wait", _t0)
 
+    # deferred D2H pipeline: the packed words' device->host transfer is
+    # the dominant pull cost on this tunnel (~26 s/block at 4.5 MB/s
+    # effective D2H).  copy_to_host_async starts the transfer at pack
+    # time ON THE MAIN THREAD (no second jax thread — that raced the
+    # tunnel stream); materialization happens one block later, when the
+    # copies have been streaming under the next block's tuning.
+    _pending_pull = None           # (job-args tuple) awaiting transfer
+
+    def _materialize_pending():
+        nonlocal _pending_pull, _pull_prev
+        if _pending_pull is None:
+            return
+        args = _pending_pull
+        _pending_pull = None
+        _t0 = _time.time()
+        pb, pschemes, ppacked, pqdq, pdt = args
+        ppacked = {ln: (np.asarray(w), np.asarray(sc))
+                   for ln, (w, sc) in ppacked.items()}
+        _phase("pull_d2h", _t0)
+        _pull_join()
+        _pull_prev = _pull_exec.submit(
+            _pull_unpack_job, pb, pschemes, ppacked, pqdq, pdt)
+
     def _phase(key: str, t0: float, sync=None):
         if _prof is None:
             return
@@ -774,6 +797,38 @@ def quantize_model(
         if (cfg.offload_params and nb < len(params["blocks"])
                 and nb >= start_block and nb not in _prefetched):
             _prefetched[nb] = jax.device_put(params["blocks"][nb])
+
+    def _pull_unpack_job(bi, schemes, packed_pull, qdq_block,
+                         leaf_dtypes):
+        """Worker: pure-numpy nibble unpack + layer payload rebuild
+        (NO jax calls — a transfer from a second thread races the
+        tunnel stream)."""
+        for lname, (words_np, scale_np) in packed_pull.items():
+            O, Kw = words_np.shape
+            g = schemes[lname].group_size
+            w = words_np.astype(np.uint32).reshape(O, Kw // g, 1, g)
+            shifts = (np.arange(8, dtype=np.uint32) * 4
+                      )[None, None, :, None]
+            codes_np = ((w >> shifts) & 0xF).reshape(O, Kw * 8)
+            srep = np.repeat(scale_np, g, axis=1)
+            qdq_np = ((codes_np.astype(np.float32) - 8.0) * srep
+                      ).astype(leaf_dtypes[lname])
+            ql = layers[f"blocks.{bi}.{lname}"]
+            ql.qdq = qdq_np
+            ql.scale = scale_np
+            ql.packed_w4 = (words_np, scale_np)
+            qdq_block = set_by_path(qdq_block, lname, qdq_np)
+        new_blocks[bi] = qdq_block
+        for lname in schemes:
+            if lname in packed_pull:
+                continue
+            ql = layers[f"blocks.{bi}.{lname}"]
+            shared = (ql.scheme.data_type == "int"
+                      and ql.scheme.bits <= 4 and ql.extras is None)
+            if shared:
+                leaf = get_by_path(qdq_block, lname)
+                if getattr(leaf, "shape", None) == ql.qdq.shape:
+                    ql.qdq = leaf
 
     for bi, block in enumerate(params["blocks"]):
         if envs.AR_TRACE_DIR:
@@ -1043,20 +1098,32 @@ def quantize_model(
                     # as function locals they would pin ~700 MB of HBM
                     # through the next block's tuning
                     codes = srep = safe = scale = None
-            # transfer the packed words on the MAIN thread (0.5
-            # byte/weight — a few seconds over the tunnel) so NO device
-            # buffer survives into the next block's tuning: the worker
-            # receives pure numpy and device residency matches the
-            # synchronous pull exactly (the 16 GB chip OOMed when any
-            # device refs rode in the job closure)
-            packed_pull = {
-                ln: (np.asarray(w), np.asarray(sc))
-                for ln, (w, sc) in packed_pull.items()}
-            # ALL remaining device leaves convert on the main thread
-            # too (norms + any non-packed scales/zp — tiny): the worker
-            # must be 100% jax-free, because a device->host transfer
-            # issued from a second thread races the main thread's
-            # tunnel stream (observed as multi-minute device stalls)
+            # start the packed words' D2H copies NOW, on the main
+            # thread (a second jax thread races the tunnel stream;
+            # observed as multi-minute stalls) — materialization is
+            # deferred ONE BLOCK so the ~26 s/block transfer streams
+            # under the next block's tuning scan
+            for _w, _sc in packed_pull.values():
+                _w.copy_to_host_async()
+                _sc.copy_to_host_async()
+            # drop the packed layers' DEVICE qdq leaves FIRST — the
+            # q-chain has already advanced, so they are dead; leaving
+            # them in the tree would make the conversion below stream
+            # the full 0.44 GB bf16 qdq over the ~17 MB/s tunnel D2H
+            # (the round-5 v6 run measured exactly that: 26 s/block)
+            leaf_dtypes = {}
+            for lname in packed_pull:
+                leaf_dtypes[lname] = get_by_path(qdq_block, lname).dtype
+                qdq_block = set_by_path(qdq_block, lname, None)
+                # the QuantizedLayer ALSO references the device qdq
+                # (finalize output) — the worker rebuilds both from the
+                # packed words, so drop the refs now or the tree
+                # survives into the next block's tuning (OOM)
+                ql = layers[f"blocks.{bi}.{lname}"]
+                ql.qdq = None
+                ql.scale = None
+            # remaining device leaves (norms + non-packed scales/zp —
+            # tiny) convert synchronously; the worker stays jax-free
             qdq_block = jax.tree.map(
                 lambda t: t if isinstance(t, np.ndarray)
                 else np.asarray(t), qdq_block)
@@ -1072,65 +1139,12 @@ def quantize_model(
                 if ql.zp is not None and not isinstance(
                         ql.zp, np.ndarray):
                     ql.zp = np.asarray(ql.zp)
-            # the q-chain has already advanced, so the packed layers'
-            # DEVICE qdq leaves are dead — drop them on the main thread
-            # before scheduling (holding a ~0.5 GB bf16 tree through the
-            # next block's tuning OOMed the 16 GB chip; the job carries
-            # only the ~55 MB packed words and rebuilds qdq on host)
-            leaf_dtypes = {}
-            for lname in packed_pull:
-                leaf_dtypes[lname] = get_by_path(qdq_block, lname).dtype
-                qdq_block = set_by_path(qdq_block, lname, None)
-                # the QuantizedLayer ALSO references the device qdq
-                # (finalize output) — the job rebuilds both from the
-                # packed words, so drop the refs now or the ~0.44 GB
-                # tree survives into the next block's tuning (OOM)
-                ql = layers[f"blocks.{bi}.{lname}"]
-                ql.qdq = None
-                ql.scale = None
-
-            def _pull_job(bi=bi, schemes=dict(schemes),
-                          packed_pull=packed_pull, qdq_block=qdq_block,
-                          leaf_dtypes=leaf_dtypes):
-                for lname, (words_np, scale_np) in packed_pull.items():
-                    # numpy unpack (inverse of pack_w4_planes planes)
-                    O, Kw = words_np.shape
-                    g = schemes[lname].group_size
-                    w = words_np.astype(np.uint32).reshape(
-                        O, Kw // g, 1, g)
-                    shifts = (np.arange(8, dtype=np.uint32) * 4
-                              )[None, None, :, None]
-                    codes_np = ((w >> shifts) & 0xF).reshape(O, Kw * 8)
-                    srep = np.repeat(scale_np, g, axis=1)
-                    qdq_np = ((codes_np.astype(np.float32) - 8.0) * srep
-                              ).astype(leaf_dtypes[lname])
-                    ql = layers[f"blocks.{bi}.{lname}"]
-                    ql.qdq = qdq_np
-                    ql.scale = scale_np
-                    # keep the exact packed words for the serving engine
-                    # (from_quantize_result ships these verbatim: 0.5
-                    # byte/weight host->HBM instead of re-derived int32)
-                    ql.packed_w4 = (words_np, scale_np)
-                    qdq_block = set_by_path(qdq_block, lname, qdq_np)
-                new_blocks[bi] = qdq_block
-                for lname in schemes:
-                    if lname in packed_pull:
-                        continue
-                    # share the host buffer with the export payload for
-                    # int bits<=4 (code recovery is exact there)
-                    ql = layers[f"blocks.{bi}.{lname}"]
-                    shared = (ql.scheme.data_type == "int"
-                              and ql.scheme.bits <= 4
-                              and ql.extras is None)
-                    if shared:
-                        leaf = get_by_path(qdq_block, lname)
-                        if getattr(leaf, "shape", None) == ql.qdq.shape:
-                            ql.qdq = leaf
-
-            _pull_join()          # depth 1: previous block's pull done
-            _pull_prev = _pull_exec.submit(_pull_job)
+            _materialize_pending()   # previous block: copies done by now
+            _pending_pull = (bi, dict(schemes), packed_pull, qdq_block,
+                             leaf_dtypes)
             if shard_writer is not None or resume is not None:
                 # those paths consume ql.qdq below — stay synchronous
+                _materialize_pending()
                 _pull_join()
             _phase("pull", _t0)
         if cfg.offload_params:
@@ -1166,6 +1180,7 @@ def quantize_model(
                 bi, payload, np.asarray(x_fp),
                 None if x_q is None else np.asarray(x_q))
 
+    _materialize_pending()
     _pull_join()
     if _pull_exec is not None:
         _pull_exec.shutdown(wait=True)
