@@ -756,29 +756,6 @@ def quantize_model(
             _pull_prev = None
             _phase("pull_wait", _t0)
 
-    # deferred D2H pipeline: the packed words' device->host transfer is
-    # the dominant pull cost on this tunnel (~26 s/block at 4.5 MB/s
-    # effective D2H).  copy_to_host_async starts the transfer at pack
-    # time ON THE MAIN THREAD (no second jax thread — that raced the
-    # tunnel stream); materialization happens one block later, when the
-    # copies have been streaming under the next block's tuning.
-    _pending_pull = None           # (job-args tuple) awaiting transfer
-
-    def _materialize_pending():
-        nonlocal _pending_pull, _pull_prev
-        if _pending_pull is None:
-            return
-        args = _pending_pull
-        _pending_pull = None
-        _t0 = _time.time()
-        pb, pschemes, ppacked, pqdq, pdt = args
-        ppacked = {ln: (np.asarray(w), np.asarray(sc))
-                   for ln, (w, sc) in ppacked.items()}
-        _phase("pull_d2h", _t0)
-        _pull_join()
-        _pull_prev = _pull_exec.submit(
-            _pull_unpack_job, pb, pschemes, ppacked, pqdq, pdt)
-
     def _phase(key: str, t0: float, sync=None):
         if _prof is None:
             return
@@ -1098,14 +1075,15 @@ def quantize_model(
                     # as function locals they would pin ~700 MB of HBM
                     # through the next block's tuning
                     codes = srep = safe = scale = None
-            # start the packed words' D2H copies NOW, on the main
-            # thread (a second jax thread races the tunnel stream;
-            # observed as multi-minute stalls) — materialization is
-            # deferred ONE BLOCK so the ~26 s/block transfer streams
-            # under the next block's tuning scan
-            for _w, _sc in packed_pull.values():
-                _w.copy_to_host_async()
-                _sc.copy_to_host_async()
+            # words transfer synchronously on the MAIN thread:
+            # copy_to_host_async on this experimental tunnel backend
+            # stalls the device stream permanently (observed twice,
+            # blocks 15-16), and a transfer from a second thread races
+            # it too — ~7 s/block for the 0.5 byte/weight words is the
+            # robust price; the host unpack still overlaps on the worker
+            packed_pull = {
+                ln: (np.asarray(w), np.asarray(sc))
+                for ln, (w, sc) in packed_pull.items()}
             # drop the packed layers' DEVICE qdq leaves FIRST — the
             # q-chain has already advanced, so they are dead; leaving
             # them in the tree would make the conversion below stream
@@ -1139,12 +1117,12 @@ def quantize_model(
                 if ql.zp is not None and not isinstance(
                         ql.zp, np.ndarray):
                     ql.zp = np.asarray(ql.zp)
-            _materialize_pending()   # previous block: copies done by now
-            _pending_pull = (bi, dict(schemes), packed_pull, qdq_block,
-                             leaf_dtypes)
+            _pull_join()             # depth 1: previous unpack done
+            _pull_prev = _pull_exec.submit(
+                _pull_unpack_job, bi, dict(schemes), packed_pull,
+                qdq_block, leaf_dtypes)
             if shard_writer is not None or resume is not None:
                 # those paths consume ql.qdq below — stay synchronous
-                _materialize_pending()
                 _pull_join()
             _phase("pull", _t0)
         if cfg.offload_params:
@@ -1180,7 +1158,6 @@ def quantize_model(
                 bi, payload, np.asarray(x_fp),
                 None if x_q is None else np.asarray(x_q))
 
-    _materialize_pending()
     _pull_join()
     if _pull_exec is not None:
         _pull_exec.shutdown(wait=True)
