@@ -247,22 +247,25 @@ def _recorded_artifacts():
                 {k: p[k] for k in ("bs", "seq", "w4_prefill_tok_s",
                                    "w4_ttft_ms", "a8_vs_bf16_prefill")
                  if k in p} for p in a8pts]
-    af = os.path.join(here, "docs", "decode_a8_r04.json")
+    af = os.path.join(here, "docs", "decode_a8_r05.json")
+    if not os.path.exists(af):
+        af = os.path.join(here, "docs", "decode_a8_r04.json")
     if os.path.exists(af):
         with open(af) as f:
             a = json.load(f)
         out["decode_a8_mode"] = {k: a[k] for k in (
             "w4a8_tok_s", "w4a8_step_ms", "a8_speedup") if k in a}
-    qf = os.path.join(here, "docs", "flagship_r04.json")
+    qf = os.path.join(here, "docs", "flagship_r05.json")
     if not os.path.exists(qf):
-        qf = os.path.join(here, "docs", "flagship_quant_r03.json")
+        qf = os.path.join(here, "docs", "flagship_r04.json")
     if os.path.exists(qf):
         with open(qf) as f:
             q = json.load(f)
         out["quant_wall_clock"] = {
-            k: q[k] for k in ("quant_wall_s", "quant_peak_rss_gb",
-                              "quant_peak_hbm_gb", "iters", "nsamples",
-                              "seqlen", "w4_decode_tok_s")
+            k: q[k] for k in ("quant_wall_s", "quant_wall_s_ex_stall",
+                              "tunnel_stall_s", "pack_wall_s",
+                              "quant_peak_rss_gb", "iters", "nsamples",
+                              "seqlen", "phase_profile_s")
             if k in q}
         out["quant_wall_clock"]["ref_a100_min"] = 12
     return out
