@@ -52,7 +52,9 @@ def _k_gridt2(x_ref, w_ref, st_ref, o_ref, acc_ref, *, g: int):
 
     byts = w_ref[:]                                    # (TO, g) int8
     for half in range(2):
-        xg = x_ref[:, pl.ds((2 * t + half) * g, g)]
+        # x block covers this tile's 2g columns; STATIC in-block slice
+        # (a dynamic lane offset mis-slices on Mosaic)
+        xg = x_ref[:, half * g:(half + 1) * g]
         wq = (byts & jnp.int8(0xF)) if half == 0 else \
             (byts & jnp.int8(-16))
         partial = jax.lax.dot_general(
@@ -82,7 +84,7 @@ def gridt2_matmul(xi, qw, st, g=128, block_o=2048):
         functools.partial(_k_gridt2, g=g),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, K), lambda b, o, t: (b, 0),
+            pl.BlockSpec((B, 2 * g), lambda b, o, t: (b, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TO, g), lambda b, o, t: (o, t),
                          memory_space=pltpu.VMEM),
@@ -236,9 +238,11 @@ def main():
     nbytes = O * K // 2
 
     # correctness of the new variants vs the unpacked math
-    w0 = (unpack_w4_bytes(qws[0]) - 8).astype(jnp.float32) * jnp.repeat(
-        scs[0], g, axis=1)
-    want = jnp.einsum("bk,ok->bo", xi.astype(jnp.float32), w0)
+    w0 = (np.asarray(unpack_w4_bytes(qws[0])) - 8).astype(np.float64) \
+        * np.repeat(np.asarray(scs[0], np.float64), g, axis=1)
+    # host f64 ground truth (a TPU f32 einsum reduces through bf16
+    # passes at default precision — ~1e-3 rel, NOT a kernel error)
+    want = jnp.asarray(np.asarray(xi, np.float64) @ w0.T, jnp.float32)
     for name, got in (
             ("gridt2", gridt2_matmul(xi, qws[0], sts[0], g)),
             ("trans", trans_matmul(xi, qwsT[0], sts[0], g))):
