@@ -36,7 +36,9 @@ import jax.numpy as jnp  # noqa: E402
 
 ICI_GBS = 45.0          # v5e per-link ring bandwidth (one direction)
 HOP_LATENCY_US = 1.0    # per-hop collective launch latency
-SINGLE_CHIP_STEP_MS = 14.61   # fallback: bench.py 8B W4 decode, bs32
+SINGLE_CHIP_STEP_MS = 16.06   # bench.py r5 median-of-5 (spread
+                              # 14.51-16.45 — session variance bounds
+                              # the r3->r4 "drift")
 LAYERS = 32
 
 
