@@ -152,3 +152,33 @@ class TestRealModelFloors:
         assert acc_tuned >= acc_rtn + 0.01, (
             f"tuned {acc_tuned:.4f} vs rtn {acc_rtn:.4f}: no "
             f"task-level win")
+
+    def test_a8_mode_accuracy_floor(self, trained):
+        """W4 serving at forced-int8-activation numerics (the serve_a8
+        / prefill_a8 model) must stay near-lossless vs exact-A16 packed
+        serving — a CI gate on the a8 throughput modes (VERDICT r4 item
+        3; the 83M evidence run measures agreement 0.987 and a ppl
+        delta of +0.05%, docs/accuracy_evidence_real.json)."""
+        from autoround_tpu.eval.lm_eval_adapter import packed_eval_stats
+        from autoround_tpu.serve import QuantizedLlama
+        params, heldout, calib = trained
+        tuned = AutoRound((params, CFG), scheme="W4A16G32", iters=0,
+                          donate_params=False).quantize(calib)
+        eng = QuantizedLlama.from_quantize_result(tuned, CFG,
+                                                  max_seq=SEQ + 8)
+        assert eng.packed, "floors need packed layers"
+        s16 = packed_eval_stats(eng.params, CFG, heldout,
+                                packed=eng.packed,
+                                kinds=eng.packed_kinds, batch=8)
+        s8 = packed_eval_stats(eng.params, CFG, heldout,
+                               packed=eng.packed,
+                               kinds=eng.packed_kinds, a8=True, batch=8)
+        agree = float((s16["argmax_tokens"]
+                       == s8["argmax_tokens"]).mean())
+        assert agree >= 0.90, f"a8 token agreement {agree:.3f} < 0.90"
+        assert s8["ppl"] <= s16["ppl"] * 1.05, (
+            f"a8 ppl {s8['ppl']:.2f} vs a16 {s16['ppl']:.2f}: "
+            "more than 5% relative damage")
+        assert abs(s8["greedy_acc"] - s16["greedy_acc"]) <= 0.02, (
+            f"a8 greedy {s8['greedy_acc']:.4f} vs "
+            f"a16 {s16['greedy_acc']:.4f}")
