@@ -129,17 +129,27 @@ def main():
         for name, (O, K, par) in SHAPES.items():
             Os = O // tp if par == "col" else O
             Ks = K // tp if par == "row" else K
-            kernel_ok = (Os % 256 == 0 and Ks % (8 * G) == 0)
+            # mirror the ENGINE's actual policy (serve/tp_engine.py
+            # _reshard_row_layers): row shards PAD K up to the 8*g tile
+            # and run the kernel on the padded shard; column shards
+            # below the O tile serve dense
+            Ks_pad = -(-Ks // (8 * G)) * (8 * G) if par == "row" else Ks
+            kernel_ok = (Os % 256 == 0 and Ks_pad % (8 * G) == 0)
             if kernel_ok:
-                t = time_packed(Os, Ks, args.bs)
+                t = time_packed(Os, Ks_pad, args.bs)
+                tag = ("kernel" if Ks_pad == Ks
+                       else f"kernel K->{Ks_pad}")
+                if Ks_pad != Ks:
+                    entry.setdefault("padded", []).append(
+                        f"{name}: K {Ks}->{Ks_pad}")
             else:
                 t = time_dense(Os, Ks, args.bs)
+                tag = "DENSE"
                 entry["dense_fallback"].append(
                     f"{name} ({Os}x{Ks}): O%256={Os % 256}")
             entry["matmuls_us"][name] = round(t * 1e6, 2)
             total += t
-            print(f"tp={tp} {name}: ({Os},{Ks}) "
-                  f"{'kernel' if kernel_ok else 'DENSE'} "
+            print(f"tp={tp} {name}: ({Os},{Ks}) {tag} "
                   f"{t*1e6:.1f} us", flush=True)
         Vh, Kh = HEAD
         Vs = Vh // tp
