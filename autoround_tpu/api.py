@@ -71,6 +71,14 @@ class AutoRound:
         gradient_accumulate_steps: int = 1,
         **kw,
     ):
+        from . import envs as _envs
+        if _envs.AR_COMPILE_CACHE_DIR:
+            # opt-in persistent XLA compilation cache: repeat runs skip
+            # the 95-445 s per-executable remote compiles (see envs.py)
+            jax.config.update("jax_compilation_cache_dir",
+                              _envs.AR_COMPILE_CACHE_DIR)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
         from .models.registry import ALL_PRESETS, get_model_fns
         if isinstance(model, str):
             cfg = ALL_PRESETS[model]

@@ -41,6 +41,15 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # instead.  Kept as an opt-in for future XLA fusion behavior.
     "AR_PREFILL_DEQUANT_TOKENS": lambda: int(os.environ.get(
         "AR_PREFILL_DEQUANT_TOKENS", "0")),
+    # persistent XLA compilation cache directory (opt-in): repeat
+    # quantization runs re-compile the same tuning executables every
+    # time (95-445 s of block-0 compile measured over the tunnel's
+    # remote-compile service); pointing this at a directory enables
+    # jax's persistent cache for the process (api.AutoRound applies it
+    # on construction).  Effectiveness on the axon remote-compile
+    # backend is untested — harmless if the backend ignores it.
+    "AR_COMPILE_CACHE_DIR": lambda: os.environ.get(
+        "AR_COMPILE_CACHE_DIR"),
     # per-phase wall-clock attribution inside quantize_model (adds
     # block_until_ready syncs at phase boundaries — small serialization
     # cost, exact attribution; flagship profiling, docs/flagship_r05)
