@@ -341,6 +341,15 @@ class QuantizedLlama:
         exact A16 serving."""
         from ..models.deepseek import DeepseekConfig
         is_mla = isinstance(cfg, DeepseekConfig) and bool(cfg.kv_lora_rank)
+        from ..models.glmdsa import GlmMoeDsaConfig
+        if isinstance(cfg, GlmMoeDsaConfig):
+            logger.warning(
+                "GLM-5 DSA engine: serving runs DENSE MLA attention "
+                "over the latent cache (a superset of the lightning-"
+                "indexer top-%d subset) — numerics differ from the "
+                "model's sparse training-time attention; the reference "
+                "does not serve this family at all (its support is "
+                "quantize/export-only)", cfg.index_topk)
         packed: Dict[str, Tuple[jax.Array, jax.Array]] = {}
         kinds: Dict[str, str] = {}
         dense_reasons: Dict[str, int] = {}

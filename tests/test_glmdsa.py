@@ -125,3 +125,21 @@ class TestConfigFromHf:
             "n_shared_experts": 1})
         assert isinstance(cfg, GlmMoeLiteConfig)
         assert cfg.kv_lora_rank == 32
+
+
+class TestServe:
+    def test_serve_warns_dense_attention(self, caplog):
+        """The engine serves DSA models with dense MLA attention and
+        must say so loudly (the reference is quantize/export-only for
+        this family)."""
+        import logging
+        from autoround_tpu.serve import QuantizedLlama
+        p = glmdsa.init_params(CFG, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 256)
+        res = AutoRound((p, CFG), scheme="W4A16", iters=0).quantize(ids)
+        with caplog.at_level(logging.WARNING, logger="autoround_tpu"):
+            eng = QuantizedLlama.from_quantize_result(res, CFG,
+                                                      max_seq=32)
+        assert any("DENSE MLA" in r.message for r in caplog.records)
+        out = eng.generate(ids, max_new_tokens=4)
+        assert out.shape == (2, 4)
