@@ -143,3 +143,86 @@ class TestServe:
         assert any("DENSE MLA" in r.message for r in caplog.records)
         out = eng.generate(ids, max_new_tokens=4)
         assert out.shape == (2, 4)
+
+
+class TestCheckpointLoading:
+    def test_indexer_keys_and_propagation(self, tmp_path):
+        """hf_loader maps self_attn.indexer.* keys and propagates the
+        governing indexer into shared-index layers."""
+        import json as _json
+        from safetensors.numpy import save_file
+        from autoround_tpu.utils.hf_loader import load_hf_checkpoint
+        cfg = dataclasses.replace(CFG, index_layers=(0,))
+        p0 = glmdsa.init_params(cfg, jax.random.PRNGKey(0))
+        t = {"model.embed_tokens.weight": np.asarray(p0["embed_tokens"]),
+             "model.norm.weight": np.asarray(p0["norm"]),
+             "lm_head.weight": np.asarray(p0["lm_head"])}
+        from autoround_tpu.utils.hf_loader import _DS_ATTN_MAP
+        inv = {v: k for k, v in _DS_ATTN_MAP.items()}
+        for li, b in enumerate(p0["blocks"]):
+            pre = f"model.layers.{li}."
+            for ours, arr in b.items():
+                if ours == "indexer":
+                    if cfg.layer_has_indexer(li):
+                        for n, w in arr.items():
+                            t[pre + f"self_attn.indexer.{n}.weight"] = \
+                                np.asarray(w)
+                elif ours == "experts":
+                    for e, ew in enumerate(arr):
+                        for wn, w in ew.items():
+                            t[pre + f"mlp.experts.{e}.{wn}.weight"] = \
+                                np.asarray(w)
+                elif ours == "shared_experts":
+                    for wn, w in arr.items():
+                        t[pre + f"mlp.shared_experts.{wn}.weight"] = \
+                            np.asarray(w)
+                elif ours == "gate":
+                    t[pre + "mlp.gate.weight"] = np.asarray(arr)
+                elif ours == "e_score_correction_bias":
+                    t[pre + "mlp.gate.e_score_correction_bias"] = \
+                        np.asarray(arr)
+                elif ours in inv:
+                    t[pre + inv[ours]] = np.asarray(arr)
+        d = tmp_path / "dsa"
+        d.mkdir()
+        save_file(t, str(d / "model.safetensors"))
+        _json.dump({
+            "model_type": "glm_moe_dsa", "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "intermediate_size": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "q_lora_rank": cfg.q_lora_rank,
+            "kv_lora_rank": cfg.kv_lora_rank,
+            "qk_nope_head_dim": cfg.qk_nope_head_dim,
+            "qk_rope_head_dim": cfg.qk_rope_head_dim,
+            "v_head_dim": cfg.v_head_dim,
+            "n_routed_experts": cfg.n_routed_experts,
+            "num_experts_per_tok": cfg.num_experts_per_tok,
+            "moe_intermediate_size": cfg.moe_intermediate_size,
+            "n_shared_experts": cfg.n_shared_experts,
+            "first_k_dense_replace": cfg.first_k_dense,
+            "routed_scaling_factor": cfg.routed_scaling_factor,
+            "n_group": cfg.n_group, "topk_group": cfg.topk_group,
+            "norm_topk_prob": cfg.norm_topk_prob,
+            "index_n_heads": cfg.index_n_heads,
+            "index_head_dim": cfg.index_head_dim,
+            "index_topk": cfg.index_topk,
+            "index_layers": list(cfg.index_layers),
+            "rms_norm_eps": cfg.rms_eps,
+            "rope_theta": cfg.rope_theta,
+            "tie_word_embeddings": False}, open(d / "config.json", "w"))
+        loaded, cfg2 = load_hf_checkpoint(str(d), dtype=jnp.float32)
+        assert cfg2.index_layers == (0,)
+        # layer 0 owns the indexer; layer 1/2 carry propagated copies
+        for li in range(cfg.num_layers):
+            assert "indexer" in loaded["blocks"][li], li
+            np.testing.assert_array_equal(
+                np.asarray(loaded["blocks"][li]["indexer"]["q_proj"]),
+                np.asarray(p0["blocks"][0]["indexer"]["q_proj"]))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0,
+                                 cfg.vocab_size)
+        y0 = glmdsa.model_fwd(p0, ids, cfg)
+        y1 = glmdsa.model_fwd(loaded, ids, cfg2)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=1e-5, atol=1e-5)
