@@ -68,7 +68,17 @@ def _slope(make, *args, T=32):
     return (t2 - t1) / (T * R)
 
 
-def time_packed(O, K, B=32):
+def _slope_for(nbytes):
+    """Scale the loop count so every measurement spans >= ~80 ms of
+    device time — the small shards (k/v at 0.5-2 MB) were pure noise at
+    T=32 (one came out NEGATIVE)."""
+    target_s = 0.08
+    per_iter_est = max(nbytes / 400e9, 2e-6) * R   # ~400 GB/s guess
+    T = max(32, int(target_s / per_iter_est / 2) or 32)
+    return min(T, 4096)
+
+
+def time_packed(O, K, B=32, T=32):
     """Per-call seconds of w4a16_matmul at (B, K) x (O, K) g128."""
     key = jax.random.PRNGKey(O * 131 + K)
     codes = [jax.random.randint(jax.random.fold_in(key, i), (O, K), 0, 16,
@@ -91,10 +101,10 @@ def time_packed(O, K, B=32):
                 return c
             return lax.fori_loop(0, T, outer, jnp.float32(0))
         return f
-    return _slope(make, x, qws, scs)
+    return _slope(make, x, qws, scs, T=T)
 
 
-def time_dense(O, K, B=32):
+def time_dense(O, K, B=32, T=32):
     """Dense bf16 fallback path (what sub-tile shards actually serve)."""
     key = jax.random.PRNGKey(O * 177 + K)
     ws = jax.random.normal(key, (R, O, K), jnp.bfloat16) * 0.02
@@ -112,7 +122,7 @@ def time_dense(O, K, B=32):
                 return c
             return lax.fori_loop(0, T, outer, jnp.float32(0))
         return f
-    return _slope(make, x, ws)
+    return _slope(make, x, ws, T=T)
 
 
 def main():
@@ -136,14 +146,16 @@ def main():
             Ks_pad = -(-Ks // (8 * G)) * (8 * G) if par == "row" else Ks
             kernel_ok = (Os % 256 == 0 and Ks_pad % (8 * G) == 0)
             if kernel_ok:
-                t = time_packed(Os, Ks_pad, args.bs)
+                t = time_packed(Os, Ks_pad, args.bs,
+                                T=_slope_for(Os * Ks_pad // 2))
                 tag = ("kernel" if Ks_pad == Ks
                        else f"kernel K->{Ks_pad}")
                 if Ks_pad != Ks:
                     entry.setdefault("padded", []).append(
                         f"{name}: K {Ks}->{Ks_pad}")
             else:
-                t = time_dense(Os, Ks, args.bs)
+                t = time_dense(Os, Ks, args.bs,
+                               T=_slope_for(Os * Ks * 2))
                 tag = "DENSE"
                 entry["dense_fallback"].append(
                     f"{name} ({Os}x{Ks}): O%256={Os % 256}")
