@@ -272,4 +272,24 @@ def _recorded_artifacts():
 
 
 if __name__ == "__main__":
+    try:
+        _ = jax.devices()
+    except Exception as e:
+        # the tunnel's TPU service can go down entirely (connection
+        # refused on the remote-compile endpoint — observed round 5);
+        # emit a parseable error line instead of a stack trace, with
+        # the last recorded artifacts for context (clearly labeled)
+        print(json.dumps({
+            "metric": "llama3_8b_w4a16_decode_tok_s_per_chip",
+            "value": None,
+            "unit": "tok/s/chip (full 8B model, bs32, int8 KV)",
+            "vs_baseline": None,
+            "error": f"TPU backend unavailable: {type(e).__name__}: "
+                     f"{str(e)[:200]}",
+            "detail": {"note": "no fresh measurement possible — tunnel "
+                               "service down; recorded artifacts below "
+                               "are from prior sessions",
+                       **_recorded_artifacts()},
+        }))
+        raise SystemExit(0)
     main()
