@@ -273,7 +273,16 @@ def _recorded_artifacts():
 
 if __name__ == "__main__":
     try:
-        _ = jax.devices()
+        # probe device availability in a CHILD with a hard timeout: the
+        # axon init blocks inside C when the tunnel is down, so neither
+        # SIGALRM nor KeyboardInterrupt can break it in-process
+        import subprocess
+        r = subprocess.run(
+            ["python", "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=180)
+        if r.returncode != 0:
+            raise RuntimeError(
+                (r.stderr or b"").decode()[-200:] or "device init failed")
     except Exception as e:
         # the tunnel's TPU service can go down entirely (connection
         # refused on the remote-compile endpoint — observed round 5);
